@@ -1,0 +1,81 @@
+"""Local emulation of the driver's correctness gate: every queries()
+entry vs its oracle_sql() twin via DuckDB — row count, column names, and
+order-insensitive value equality (the driver hashes; we compare frames
+exactly, which is strictly stronger)."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_DIR, SF_DIR_MED
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def _compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame):
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
+        f"{name}: column mismatch {spark_pdf.columns} vs {duck_pdf.columns}"
+    )
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: row count {len(spark_pdf)} vs {len(duck_pdf)}"
+    )
+    a, b = _normalize(spark_pdf), _normalize(duck_pdf)
+    for col in a.columns:
+        av, bv = a[col].tolist(), b[col].tolist()
+        for i, (x, y) in enumerate(zip(av, bv)):
+            if isinstance(x, float) or isinstance(y, float):
+                ok = (
+                    (isinstance(x, float) and isinstance(y, float))
+                    and (x == y or (math.isnan(x) and math.isnan(y)))
+                )
+            else:
+                ok = x == y
+            assert ok, f"{name}.{col}[{i}]: spark={x!r} duck={y!r}"
+
+
+@pytest.fixture(scope="module")
+def pairs():
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    return q, o
+
+
+def test_every_query_has_runnable_shape(pairs):
+    q, o = pairs
+    # oracle-less entries are allowed (rows-only check) but flag them
+    missing = [k for k in o if k not in q]
+    assert not missing, f"oracle without query: {missing}"
+
+
+def _run_parity(spark, con, pairs, sf_dir):
+    q, o = pairs
+    for name, fn in q.items():
+        spark_pdf = fn(spark, sf_dir).toPandas()
+        if name not in o:
+            assert len(spark_pdf) >= 0  # rows-only check
+            continue
+        duck_pdf = con.execute(o[name]).fetchdf()
+        _compare(f"{name}@{sf_dir}", spark_pdf, duck_pdf)
+
+
+def test_driver_parity_sf0001(spark, duck, pairs):
+    _run_parity(spark, duck, pairs, SF_DIR)
+
+
+def test_driver_parity_sf001(spark, duck_med, pairs):
+    _run_parity(spark, duck_med, pairs, SF_DIR_MED)
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert "doc_id" in df.columns and "score" in df.columns

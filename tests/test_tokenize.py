@@ -1,0 +1,79 @@
+"""Tokenizer spec cases (FIXTURES.md §3.1) + Spark/Python/DuckDB parity."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from xsearch_spark.constants import TOKEN_SPLIT_REGEX
+from xsearch_spark.functions.tokenize import (
+    _code_tokenize_series,
+    tokenize_base_py,
+    tokenize_code_py,
+    tokenize_df,
+)
+
+
+def test_base_spec_cases():
+    assert tokenize_base_py("Hello, World!") == ["hello", "world"]
+    assert tokenize_base_py("") == []
+    assert tokenize_base_py("   ") == []
+    assert tokenize_base_py("a_b c-d") == ["a_b", "c", "d"]
+    assert tokenize_base_py("x1 2y _z_") == ["x1", "2y", "_z_"]
+    assert tokenize_base_py("...!!!") == []
+
+
+def test_code_spec_cases():
+    # snake_case: compound kept, sub-tokens appended
+    assert tokenize_code_py("parse_config") == ["parse_config", "parse", "config"]
+    # camelCase
+    assert tokenize_code_py("parseConfig") == ["parseconfig", "parse", "config"]
+    # mixed
+    assert tokenize_code_py("getHTTPResponse_v2") == [
+        "gethttpresponse_v2",
+        "get",  # boundary only at lower->upper: 'tH' splits, 'PR' does not
+        "httpresponse",
+        "v2",
+    ]
+    # non-compound: emitted once
+    assert tokenize_code_py("def foo(bar):") == ["def", "foo", "bar"]
+    # digits inside identifiers
+    assert tokenize_code_py("base64Encode") == ["base64encode", "base64", "encode"]
+
+
+def test_code_udf_matches_py():
+    texts = [
+        "def parse_config(fooBar, baz_qux): return fooBar",
+        "",
+        "class HTTPServer: pass",
+        "x = snake_case + camelCaseName",
+    ]
+    got = _code_tokenize_series(pd.Series(texts)).tolist()
+    assert got == [tokenize_code_py(t) for t in texts]
+
+
+def test_spark_base_matches_py(spark):
+    texts = ["Hello, World!", "a_b c-d", "", "Mixed CASE text_1"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [r["tokens"] for r in tokenize_df(df, "text").select("tokens").collect()]
+    assert got == [tokenize_base_py(t) for t in texts]
+
+
+def test_spark_code_matches_py(spark):
+    texts = ["def parse_config(fooBar):", "class HTTPServer: pass", ""]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        r["tokens"]
+        for r in tokenize_df(df, "text", variant="code").select("tokens").collect()
+    ]
+    assert got == [tokenize_code_py(t) for t in texts]
+
+
+def test_duckdb_base_parity(duck):
+    texts = ["Hello, World!", "a_b c-d", "Mixed CASE text_1"]
+    for t in texts:
+        rows = duck.execute(
+            "SELECT u FROM (SELECT unnest(string_split_regex(lower(?), ?)) u) WHERE u <> ''",
+            [t, TOKEN_SPLIT_REGEX],
+        ).fetchall()
+        assert [r[0] for r in rows] == tokenize_base_py(t)

@@ -1,0 +1,79 @@
+"""Frozen semantic constants for the xsearch-capability engine.
+
+This module is the single source of truth for every semantic degree of
+freedom that the (empty) reference checkout would normally pin — see
+FIXTURES.md §3. It is imported by:
+
+  * the Spark engine (``xsearch_spark.functions`` / ``operators``),
+  * the pure-NumPy oracle (``xsearch_spark.pyref``),
+  * the DuckDB oracle-SQL generators (``__spark_entry__.py`` / tests).
+
+Changing anything here invalidates all goldens (tests/goldens/) — see
+FIXTURES.md §0.
+
+Reference parity: BM25 parameterization k1=1.2, b=0.75 is pinned by the
+driver contract (BASELINE.json:6, "same parameterization as xsearch's
+searcher"). The idf variant is the Lucene/trec non-negative form, frozen
+in FIXTURES.md §3.2 (the Go source is unavailable to verify — SURVEY.md
+§0 open item).
+"""
+
+from __future__ import annotations
+
+# --- BM25 (FIXTURES.md §3.2; BASELINE.json:6) ---------------------------
+K1: float = 1.2
+B: float = 0.75
+
+# --- Tokenizer (FIXTURES.md §3.1) ----------------------------------------
+# base variant: lowercase, split on this regex, drop empty tokens.
+# Identical semantics in Python `re`, Java regex (Spark F.split) and
+# DuckDB string_split_regex for this character class.
+TOKEN_SPLIT_REGEX: str = r"[^a-z0-9_]+"
+
+# code variant additionally emits sub-tokens of compound identifiers
+# (snake_case on '_', camelCase at lower->upper boundaries), lowercased,
+# compound kept first (Lucene WordDelimiter preserve_original style).
+CAMEL_BOUNDARY_REGEX: str = r"(?<=[a-z0-9])(?=[A-Z])"
+
+# --- Posting codec (FIXTURES.md §3.4) ------------------------------------
+# LEB128 varint: 7 bits/byte, little-endian, high bit = continuation.
+# docIDs: sorted ascending, unique; delta-encoded with the first value
+# kept absolute. tfs: plain varint stream aligned by position (no delta).
+BLOCK_SIZE: int = 128  # postings per block-max block
+
+# --- Query semantics (FIXTURES.md §3.3) ----------------------------------
+DEFAULT_TOP_K: int = 10
+# top-k ordering: score DESC, doc_id ASC (ties broken by ascending doc_id)
+SCORE_ROUND_DECIMALS: int = 6  # oracle score comparison precision
+
+# --- Skew handling (SURVEY.md B5, §4) ------------------------------------
+# Terms whose document frequency exceeds this fraction of total postings
+# divided by the shuffle partition count are "hot" and get salted.
+HOT_TERM_SALT_BUCKETS: int = 8
+
+# --- idf -------------------------------------------------------------------
+
+
+def idf(N: int, df: int) -> float:
+    """Lucene-style non-negative idf: ln(1 + (N - df + 0.5)/(df + 0.5)).
+
+    FROZEN in FIXTURES.md §3.2. Shared formula string for SQL oracles is
+    built by :func:`idf_sql`.
+    """
+    import math
+
+    return math.log(1.0 + (N - df + 0.5) / (df + 0.5))
+
+
+def idf_sql(n_expr: str, df_expr: str) -> str:
+    """The idf formula as an ANSI-SQL expression (ln is ln in both Spark
+    SQL and DuckDB)."""
+    return f"ln(1.0 + ({n_expr} - {df_expr} + 0.5) / ({df_expr} + 0.5))"
+
+
+def bm25_weight_sql(idf_expr: str, tf_expr: str, dl_expr: str, avgdl_expr: str) -> str:
+    """The BM25 per-(term,doc) weight as an ANSI-SQL expression."""
+    return (
+        f"({idf_expr}) * ({tf_expr}) * ({K1} + 1.0) / "
+        f"(({tf_expr}) + {K1} * (1.0 - {B} + {B} * ({dl_expr}) / ({avgdl_expr})))"
+    )

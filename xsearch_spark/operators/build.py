@@ -1,0 +1,80 @@
+"""Index-build operators B1–B3 (SURVEY.md §2.3): posting construction,
+doc lengths, collection statistics.
+
+Reference parity: xsearch builds an in-memory ``term -> []posting`` map
+per shard and tracks per-doc lengths + global stats (component-level
+[R]; pinned shape BASELINE.json:6 "partition-local posting-list
+construction (term -> sorted docID runs with term frequencies and doc
+lengths)").
+
+Scale notes:
+  * B1 is ``explode + groupBy(term, doc_id).count()`` — Catalyst plans a
+    partial (map-side) HashAggregate before the shuffle, so the shuffle
+    carries one row per *distinct* (term, doc_id), not per token
+    occurrence. That partial-agg is the Spark analogue of xsearch's
+    shard-local posting map.
+  * dl is computed pre-explode via ``F.size(tokens)`` (no extra shuffle).
+  * df/N/avgdl are one extra aggregation over the deduplicated postings.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from xsearch_spark.functions.tokenize import tokenize_df
+
+
+def with_tokens(df: DataFrame, text_col: str, variant: str = "base") -> DataFrame:
+    """A1/A2: attach ``tokens`` and ``dl`` (post-filter token count)."""
+    return tokenize_df(df, text_col, variant).withColumn("dl", F.size("tokens"))
+
+
+def postings(tokenized: DataFrame, doc_id_col: str = "doc_id") -> DataFrame:
+    """B1: (doc_id, tokens) -> (term, doc_id, tf).
+
+    Map-side partial aggregation collapses repeated tokens before the
+    shuffle; the output is the long (relational) form of the inverted
+    index.
+    """
+    return (
+        tokenized.select(F.col(doc_id_col).alias("doc_id"), F.explode("tokens").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+    )
+
+
+def doc_stats(tokenized: DataFrame, doc_id_col: str = "doc_id") -> DataFrame:
+    """B2: (doc_id, dl) — token count after the filter chain."""
+    return tokenized.select(F.col(doc_id_col).alias("doc_id"), F.col("dl"))
+
+
+def term_stats(postings_df: DataFrame) -> DataFrame:
+    """B3 per-term df. (term, doc_id) is unique post-B1, so a plain
+    count() equals countDistinct(doc_id) without the expensive distinct
+    machinery."""
+    return postings_df.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+
+@dataclass(frozen=True)
+class CollectionStats:
+    n_docs: int
+    avgdl: float
+
+
+def collection_stats(docs_stats_df: DataFrame) -> CollectionStats:
+    """B3 global scalars: N and avgdl (mean dl over ALL docs).
+
+    avgdl is computed as exact-integer sum(dl) divided once in float64 —
+    bit-identical across Spark, Python and DuckDB regardless of
+    summation order (a float-typed avg() would be order-dependent at the
+    last ulp; SURVEY.md §5.2 float discipline).
+    """
+    row = docs_stats_df.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+    ).collect()[0]
+    n = int(row["n"])
+    avgdl = (int(row["s"]) / n) if n else 0.0
+    return CollectionStats(n_docs=n, avgdl=avgdl)

@@ -1,0 +1,122 @@
+"""Query-side operators, relational path (SURVEY.md Q2, Q4–Q7, Q10).
+
+This is the declarative twin of xsearch's searcher loop (analyze query ->
+dictionary lookup -> DAAT scoring -> local top-k heap -> merge; [R],
+SURVEY.md §3.2). In Spark the same semantics compile to:
+
+  * Q2 dictionary lookup  -> ``filter(term IN (...))`` — a literal IN
+    over the handful of query terms, pushed to the parquet scan.
+  * Q4 AND                -> groupBy(doc_id) HAVING count(term) = k
+    (postings are (term,doc_id)-unique, so count == countDistinct).
+  * Q5 OR                 -> same aggregate without the HAVING.
+  * Q6 BM25               -> pure Column arithmetic (functions.bm25).
+  * Q7 top-k              -> orderBy(score desc, doc_id asc).limit(k),
+    which Spark plans as TakeOrderedAndProject: a per-partition heap on
+    executors plus a driver merge — exactly the reference's
+    per-shard-heap + proxy-merge topology (Q9), for free.
+  * Q10 doc fetch         -> inner join of the tiny top-k back to the
+    source table (AQE broadcasts the top-k side).
+
+Stats discipline at scale: per-term df for the few query terms is tiny
+-> broadcast joined; (N, avgdl) are plain Python floats folded into the
+expression as literals (no join at all). The only big-table join is
+postings ⋈ doc_stats on doc_id when dl is not denormalized into the
+index (the packed segment path stores dl per posting precisely to avoid
+that join — see operators.segments).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from xsearch_spark.constants import DEFAULT_TOP_K
+from xsearch_spark.functions.bm25 import bm25_weight_col, idf_col
+from xsearch_spark.operators.build import CollectionStats
+from xsearch_spark.plans.query import ParsedQuery
+
+
+def score_postings(
+    postings_df: DataFrame,
+    term_stats_df: DataFrame,
+    doc_stats_df: DataFrame | None,
+    stats: CollectionStats,
+    parsed: ParsedQuery,
+) -> DataFrame:
+    """Score candidate docs for the parsed query -> (doc_id, score).
+
+    ``postings_df``: (term, doc_id, tf[, dl]). If ``dl`` is already a
+    column (denormalized index), pass ``doc_stats_df=None`` and the big
+    doc-stats join is skipped entirely.
+    """
+    if not parsed.terms:
+        return postings_df.sparkSession.createDataFrame(
+            [], "doc_id long, score double"
+        )
+    q = postings_df.filter(F.col("term").isin(list(parsed.terms)))
+    ts = term_stats_df.filter(F.col("term").isin(list(parsed.terms)))
+    q = q.join(F.broadcast(ts), "term")
+    if "dl" not in q.columns:
+        if doc_stats_df is None:
+            raise ValueError("postings lack dl and no doc_stats provided")
+        q = q.join(doc_stats_df, "doc_id")
+    idf = idf_col(stats.n_docs, F.col("df").cast("double"))
+    w = bm25_weight_col(idf, F.col("tf"), F.col("dl"), stats.avgdl)
+    scored = q.select("doc_id", "term", w.alias("w"))
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("w").alias("score"), F.count(F.lit(1)).alias("n_terms")
+    )
+    if parsed.connective == "AND":
+        agg = agg.filter(F.col("n_terms") == len(parsed.terms))
+    return agg.select("doc_id", "score")
+
+
+def apply_doc_filters(
+    scored: DataFrame,
+    postings_df: DataFrame,
+    source_df: DataFrame | None,
+    parsed: ParsedQuery,
+) -> DataFrame:
+    """Q5b field filter (lang:) and NOT (-term) as semi/anti joins."""
+    out = scored
+    if parsed.lang is not None:
+        if source_df is None:
+            raise ValueError("lang: filter requires the source table")
+        allowed = source_df.filter(F.col("lang") == parsed.lang).select("doc_id")
+        out = out.join(allowed, "doc_id", "left_semi")
+    if parsed.exclude:
+        bad = (
+            postings_df.filter(F.col("term").isin(list(parsed.exclude)))
+            .select("doc_id")
+            .distinct()
+        )
+        out = out.join(bad, "doc_id", "left_anti")
+    return out
+
+
+def top_k(scored: DataFrame, k: int = DEFAULT_TOP_K) -> DataFrame:
+    """Q7: exact top-k, ties by ascending doc_id -> TakeOrderedAndProject."""
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def fetch_docs(topk: DataFrame, source_df: DataFrame, cols: list[str]) -> DataFrame:
+    """Q10: join the tiny top-k result back to the doc store. ``content``
+    is never re-emitted (column pruning keeps it out of the scan)."""
+    return topk.join(source_df.select("doc_id", *cols), "doc_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+
+
+def search_relational(
+    source_df: DataFrame,
+    postings_df: DataFrame,
+    term_stats_df: DataFrame,
+    doc_stats_df: DataFrame | None,
+    stats: CollectionStats,
+    parsed: ParsedQuery,
+    k: int = DEFAULT_TOP_K,
+) -> DataFrame:
+    """Full Q1→Q7 pipeline over long-form postings -> (doc_id, score)."""
+    scored = score_postings(postings_df, term_stats_df, doc_stats_df, stats, parsed)
+    scored = apply_doc_filters(scored, postings_df, source_df, parsed)
+    return top_k(scored, k)

@@ -1,0 +1,129 @@
+"""DuckDB oracle-SQL generators.
+
+Every SQL string the driver (or our pytest suite) runs against DuckDB is
+generated HERE, from the same frozen constants the engine uses
+(SURVEY.md §5 hard part #4: tokenizer/BM25 parity is enforced by
+construction, not by keeping two copies in sync).
+
+All scores are emitted as ``round(score, 6)`` on both sides — Spark and
+DuckDB agree to 1 ulp but not bit-exactly (measured, SURVEY.md §5.2).
+"""
+
+from __future__ import annotations
+
+from xsearch_spark.constants import (
+    SCORE_ROUND_DECIMALS,
+    TOKEN_SPLIT_REGEX,
+    bm25_weight_sql,
+    idf_sql,
+)
+from xsearch_spark.plans.query import ParsedQuery
+
+R = SCORE_ROUND_DECIMALS
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def tokens_cte(table: str = "documents", text_col: str = "text") -> str:
+    """tok(doc_id, term): the frozen base tokenizer in DuckDB SQL."""
+    rgx = _sql_quote(TOKEN_SPLIT_REGEX)
+    return (
+        f"tok AS (SELECT doc_id, u AS term FROM (SELECT doc_id, "
+        f"unnest(string_split_regex(lower({text_col}), {rgx})) AS u FROM {table}) "
+        f"WHERE u <> '')"
+    )
+
+
+def corpus_ctes(table: str = "documents", text_col: str = "text") -> str:
+    """tok, tf, dl, stats, tdf — the shared relational index CTEs."""
+    rgx = _sql_quote(TOKEN_SPLIT_REGEX)
+    return f"""
+{tokens_cte(table, text_col)},
+tf AS (SELECT term, doc_id, count(*)::INT AS tf FROM tok GROUP BY term, doc_id),
+dl AS (SELECT doc_id,
+              len(list_filter(string_split_regex(lower({text_col}), {rgx}), x -> x <> '')) AS dl
+       FROM {table}),
+stats AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+tdf AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+"""
+
+
+def tf_sql(table: str = "documents") -> str:
+    return f"WITH {tokens_cte(table)} SELECT term, doc_id, count(*)::INT AS tf FROM tok GROUP BY term, doc_id"
+
+
+def dl_sql(table: str = "documents", text_col: str = "text") -> str:
+    rgx = _sql_quote(TOKEN_SPLIT_REGEX)
+    return (
+        f"SELECT doc_id, len(list_filter(string_split_regex(lower({text_col}), {rgx}), "
+        f"x -> x <> ''))::INT AS dl FROM {table}"
+    )
+
+
+def df_sql(table: str = "documents") -> str:
+    return (
+        f"WITH {tokens_cte(table)} SELECT term, count(*) AS df FROM "
+        f"(SELECT DISTINCT term, doc_id FROM tok) GROUP BY term"
+    )
+
+
+def collection_stats_sql(table: str = "documents", text_col: str = "text") -> str:
+    rgx = _sql_quote(TOKEN_SPLIT_REGEX)
+    return f"""
+WITH dl AS (SELECT len(list_filter(string_split_regex(lower({text_col}), {rgx}), x -> x <> '')) AS dl FROM {table})
+SELECT count(*) AS n_docs, round(sum(dl)::DOUBLE / count(*), {R}) AS avgdl FROM dl
+"""
+
+
+def bm25_sql(parsed: ParsedQuery, k: int = 10, table: str = "documents") -> str:
+    """Naive (full-evaluation) BM25 top-k — the oracle for Q4–Q8: any
+    engine path (relational, index-backed, WAND-pruned) must emit exactly
+    this result set."""
+    if not parsed.terms:
+        return "SELECT doc_id, 0.0::DOUBLE AS score FROM documents WHERE false"
+    terms_list = ", ".join(_sql_quote(t) for t in parsed.terms)
+    idf = idf_sql("s.n", "tdf.df")
+    w = bm25_weight_sql(idf, "tf.tf", "dl.dl", "s.avgdl")
+    having = (
+        f"HAVING count(*) = {len(parsed.terms)}" if parsed.connective == "AND" else ""
+    )
+    lang_filter = ""
+    if parsed.lang is not None:
+        lang_filter = (
+            f"AND tf.doc_id IN (SELECT doc_id FROM {table} "
+            f"WHERE lang = {_sql_quote(parsed.lang)})"
+        )
+    not_filter = ""
+    if parsed.exclude:
+        ex_list = ", ".join(_sql_quote(t) for t in parsed.exclude)
+        not_filter = (
+            f"AND tf.doc_id NOT IN (SELECT DISTINCT doc_id FROM tf "
+            f"WHERE term IN ({ex_list}))"
+        )
+    return f"""
+WITH {corpus_ctes(table)},
+w AS (
+  SELECT tf.doc_id, {w} AS w
+  FROM tf
+  JOIN tdf USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  WHERE tf.term IN ({terms_list}) {lang_filter} {not_filter}
+),
+scored AS (SELECT doc_id, sum(w) AS raw_score FROM w GROUP BY doc_id {having})
+SELECT doc_id, round(raw_score, {R}) AS score
+FROM scored ORDER BY raw_score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def bm25_fetch_sql(
+    parsed: ParsedQuery, fetch_cols: list[str], k: int = 10, table: str = "documents"
+) -> str:
+    inner = bm25_sql(parsed, k, table)
+    cols = ", ".join(f"d.{c}" for c in fetch_cols)
+    return (
+        f"SELECT t.doc_id, t.score, {cols} FROM ({inner}) t "
+        f"JOIN {table} d USING (doc_id)"
+    )
