@@ -18,6 +18,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import os
+import tempfile
+
 from xsearch_spark import engine, oracles
 from xsearch_spark.constants import SCORE_ROUND_DECIMALS
 from xsearch_spark.plans.query import parse
@@ -32,6 +35,55 @@ def _corpus(spark: SparkSession, sf_dir: str) -> engine.Corpus:
     if sf_dir not in _CORPUS_CACHE:
         _CORPUS_CACHE[sf_dir] = engine.corpus_from_documents(spark, sf_dir, cache=True)
     return _CORPUS_CACHE[sf_dir]
+
+
+_INDEX_CACHE: dict[str, object] = {}
+
+
+def _index(spark: SparkSession, sf_dir: str):
+    """Materialized packed index over the documents table (B4–B7);
+    checkpointed under tmp so repeat driver runs resume instantly."""
+    if sf_dir not in _INDEX_CACHE:
+        from xsearch_spark.plans.build_index import build_index
+        from xsearch_spark.sources.io import read_documents
+
+        out = os.path.join(
+            tempfile.gettempdir(), "xsearch_idx" + sf_dir.replace("/", "_")
+        )
+        _INDEX_CACHE[sf_dir] = build_index(
+            spark,
+            read_documents(spark, sf_dir),
+            out,
+            text_col="text",
+            variant="base",
+            docs_per_segment=1024,
+            segs_per_shard=4,
+            num_buckets=32,
+        )
+    return _INDEX_CACHE[sf_dir]
+
+
+def _make_index_query(qstr: str, path: str) -> Callable[[SparkSession, str], DataFrame]:
+    """Index-backed query (path='wand' -> Q8 engine path, 'rel' -> Q2+Q3
+    relational path). Oracle: the same naive BM25 SQL — pruning must not
+    change results (exact top-k, BASELINE.json:6)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from xsearch_spark.operators.wand import (
+            search_index_relational,
+            search_wand,
+        )
+
+        built = _index(spark, sf_dir)
+        parsed = parse(qstr)
+        src = _corpus(spark, sf_dir).source
+        fn = search_wand if path == "wand" else search_index_relational
+        topk = fn(built, parsed, source_df=src)
+        return topk.select(
+            "doc_id", F.round(F.col("score"), SCORE_ROUND_DECIMALS).alias("score")
+        )
+
+    return run
 
 
 # FIXTURES.md §4 reference query set (documents/base slice)
@@ -99,7 +151,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     for name, qstr in _QUERY_SET.items():
         q[name] = _make_bm25_query(qstr)
+    for name, (qstr, path) in _INDEX_QUERY_SET.items():
+        q[name] = _make_index_query(qstr, path)
     return q
+
+
+# index-backed paths (B4–B7 build + Q2/Q3/Q8): same oracle as the naive
+# evaluation — WAND pruning and the packed codec must be invisible in
+# the results
+_INDEX_QUERY_SET = {
+    "bm25_index_and": ("hash join", "rel"),
+    "bm25_index_not": ("hash -join", "rel"),
+    "bm25_wand_and": ("hash join", "wand"),
+    "bm25_wand_or_hot": ("the OR scan OR join", "wand"),
+    "bm25_wand_single_hot": ("the", "wand"),
+    "bm25_wand_filter": ("lang:zh spark", "wand"),
+}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -111,5 +178,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_fetch": oracles.bm25_fetch_sql(parse("hash join"), ["lang", "source"]),
     }
     for name, qstr in _QUERY_SET.items():
+        o[name] = oracles.bm25_sql(parse(qstr))
+    for name, (qstr, _path) in _INDEX_QUERY_SET.items():
         o[name] = oracles.bm25_sql(parse(qstr))
     return o

@@ -1,0 +1,126 @@
+"""M2–M4: index build, segment merge, codec round-trip through Spark,
+and three-way query-path agreement (naive relational / index-relational
+/ block-max WAND) on the documents table."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from xsearch_spark import engine
+from xsearch_spark.operators import build as b
+from xsearch_spark.operators import segments as seg
+from xsearch_spark.operators.wand import search_index_relational, search_wand
+from xsearch_spark.plans.build_index import build_index, load_index
+from xsearch_spark.plans.query import parse
+from xsearch_spark.sources.io import read_documents
+
+QUERIES = [
+    "hash",
+    "the",
+    "hash join",
+    "hash OR join",
+    "lang:zh spark",
+    "hash -join",
+    "scan merge window sort",
+    "zzzznotaterm",
+    "the OR join OR scan",
+]
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("docs_index"))
+    docs = read_documents(spark, SF_DIR)
+    bi = build_index(
+        spark,
+        docs,
+        out,
+        text_col="text",
+        variant="base",
+        docs_per_segment=128,
+        segs_per_shard=2,
+        num_buckets=16,
+    )
+    yield bi
+    shutil.rmtree(out, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return engine.corpus_from_documents(spark, SF_DIR, cache=True)
+
+
+def _rounded(df):
+    return [(r["doc_id"], round(r["score"], 6)) for r in df.collect()]
+
+
+def test_index_roundtrip_postings(spark, built, corpus):
+    """decode(merge(pack(postings))) == postings — the full B4→B5→Q3 loop."""
+    direct = b.postings_with_dl(corpus.tokenized)
+    via_index = seg.decode_postings(built.index_df)
+    d = {(r["term"], r["doc_id"]): (r["tf"], r["dl"]) for r in direct.collect()}
+    v = {(r["term"], r["doc_id"]): (r["tf"], r["dl"]) for r in via_index.collect()}
+    assert d == v
+
+
+def test_term_stats_match(built, corpus):
+    direct = {r["term"]: r["df"] for r in corpus.term_stats.collect()}
+    via = {r["term"]: r["df"] for r in built.term_stats.collect()}
+    assert direct == via
+
+
+def test_collection_stats_match(built, corpus):
+    assert built.n_docs == corpus.stats.n_docs
+    assert built.avgdl == corpus.stats.avgdl  # bit-exact by construction
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_three_paths_agree(spark, built, corpus, q):
+    docs = corpus.source
+    parsed = parse(q)
+    naive = [(r["doc_id"], r["score"]) for r in engine.run_query(corpus, q).collect()]
+    wand = _rounded(search_wand(built, parsed, source_df=docs))
+    idx_rel = _rounded(search_index_relational(built, parsed, source_df=docs))
+    assert naive == wand, f"WAND differs for {q!r}"
+    assert naive == idx_rel, f"index-relational differs for {q!r}"
+
+
+def test_postings_sorted_unique_invariant(built):
+    """Index invariant: decoded doc_id runs strictly increasing per row."""
+    import numpy as np
+
+    from xsearch_spark.functions import codec
+
+    rows = built.index_df.select("term", "doc_ids", "n_docs").collect()
+    assert rows
+    for r in rows:
+        ids = codec.decode_doc_ids(r["doc_ids"])
+        assert ids.size == r["n_docs"]
+        assert np.all(ids[1:] > ids[:-1])
+
+
+def test_load_index_equivalent(spark, built):
+    li = load_index(spark, built.root, built.num_buckets)
+    assert li.n_docs == built.n_docs and li.avgdl == built.avgdl
+    assert li.index_df.count() == built.index_df.count()
+
+
+def test_block_meta_consistent(built):
+    import math
+
+    import numpy as np
+
+    from xsearch_spark.constants import BLOCK_SIZE
+    from xsearch_spark.functions import codec
+
+    for r in built.index_df.limit(50).collect():
+        ids = codec.decode_doc_ids(r["doc_ids"])
+        n_blocks = math.ceil(ids.size / BLOCK_SIZE)
+        assert len(r["block_last"]) == n_blocks
+        assert len(r["block_max"]) == n_blocks
+        assert r["block_last"][-1] == int(ids[-1])
+        assert all(m > 0 for m in r["block_max"])

@@ -1,0 +1,88 @@
+"""B8: checkpoint/resume — a re-run skips completed stages; a partially
+completed segment stage resumes at seg_group granularity and reproduces
+the identical index (SURVEY.md §5.4 resume row)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+
+from tests.conftest import SF_DIR
+from xsearch_spark.operators import segments as seg
+from xsearch_spark.plans.build_index import build_index
+from xsearch_spark.sources.io import read_documents
+
+
+def _index_snapshot(built) -> dict:
+    rows = seg.decode_postings(built.index_df).collect()
+    return {(r["term"], r["doc_id"]): (r["tf"], r["dl"]) for r in rows}
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("resume_index"))
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _build(spark, out):
+    docs = read_documents(spark, SF_DIR)
+    return build_index(
+        spark,
+        docs,
+        out,
+        text_col="text",
+        variant="base",
+        docs_per_segment=64,
+        segs_per_shard=2,
+        num_buckets=8,
+        segs_per_group=2,
+    )
+
+
+def test_rerun_skips_completed_stages(spark, workdir):
+    built1 = _build(spark, workdir)
+    snap1 = _index_snapshot(built1)
+    stamps1 = {}
+    for stage in ["postings", "segments", "index", "term_stats"]:
+        with open(os.path.join(workdir, "manifests", f"{stage}.json")) as f:
+            stamps1[stage] = json.load(f)["completed_at"]
+    built2 = _build(spark, workdir)
+    for stage, t1 in stamps1.items():
+        with open(os.path.join(workdir, "manifests", f"{stage}.json")) as f:
+            t2 = json.load(f)["completed_at"]
+        assert t2 == t1, f"stage {stage} re-ran on identical input"
+    assert _index_snapshot(built2) == snap1
+
+
+def test_partial_segment_resume(spark, workdir):
+    built1 = _build(spark, workdir)
+    snap1 = _index_snapshot(built1)
+    mpath = os.path.join(workdir, "manifests", "segments.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    assert len(m["partitions"]) >= 2, "need multiple seg_groups to test resume"
+    # simulate a crash that lost one partition: drop it from the manifest
+    # and from disk, and invalidate downstream stages
+    victim = sorted(m["partitions"])[0]
+    del m["partitions"][victim]
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    shutil.rmtree(os.path.join(workdir, "segments", f"seg_group={victim}"))
+    for stage in ["index", "term_stats"]:
+        os.remove(os.path.join(workdir, "manifests", f"{stage}.json"))
+    with open(os.path.join(workdir, "manifests", "postings.json")) as f:
+        postings_stamp = json.load(f)["completed_at"]
+
+    built2 = _build(spark, workdir)
+    # postings stage untouched (still checkpointed) ...
+    with open(os.path.join(workdir, "manifests", "postings.json")) as f:
+        assert json.load(f)["completed_at"] == postings_stamp
+    # ... the lost partition was rebuilt, and the index is identical
+    with open(mpath) as f:
+        m2 = json.load(f)
+    assert victim in m2["partitions"]
+    assert _index_snapshot(built2) == snap1

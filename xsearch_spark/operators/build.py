@@ -46,6 +46,21 @@ def postings(tokenized: DataFrame, doc_id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def postings_with_dl(tokenized: DataFrame, doc_id_col: str = "doc_id") -> DataFrame:
+    """B1+B2 in ONE tokenize pass: (term, doc_id, tf, dl). dl rides the
+    groupBy key (constant per doc), so no postings⋈doc_stats join and no
+    second evaluation of the tokenizer UDF — at 100 TB the tokenizer is
+    the most expensive stage and must run exactly once."""
+    return (
+        tokenized.select(
+            F.col(doc_id_col).alias("doc_id"), "dl", F.explode("tokens").alias("term")
+        )
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+        .select("term", "doc_id", "tf", "dl")
+    )
+
+
 def doc_stats(tokenized: DataFrame, doc_id_col: str = "doc_id") -> DataFrame:
     """B2: (doc_id, dl) — token count after the filter chain."""
     return tokenized.select(F.col(doc_id_col).alias("doc_id"), F.col("dl"))

@@ -1,0 +1,340 @@
+"""Segment build, packing and merge (SURVEY.md B4–B7).
+
+Reference parity (component-level [R] — the Go checkout is empty): each
+xsearch shard accumulates an in-memory ``term -> postings`` map over a
+slice of the ingested documents and flushes it as an immutable segment;
+a background merge folds segments together. Pinned shape
+(BASELINE.json:6): "partition-local posting-list construction ...
+materialized as segment DataFrames, a shuffle-based segment merge keyed
+by term with salted repartitioning for hot-term skew, and delta-encoded
+varint-style posting compression".
+
+Topology here:
+
+  * A *segment* is a doc-id slice: ``seg_id = doc_id // docs_per_seg``.
+    B4 shuffles long postings once by seg_id, sorts within partitions by
+    (seg_id, term, doc_id), and packs each (seg_id, term) group into one
+    compressed run via ``mapInPandas`` — an iterator over Arrow batches
+    with carry-over across batch boundaries, so a term's run never needs
+    the whole partition in memory.
+  * B5 merge re-keys runs to ``shard = seg_id // segs_per_shard`` and
+    concatenates presorted, disjoint runs per (term, shard). The shard
+    key IS the salt (range-salting by doc-id slice, FIXTURES-pinned): a
+    hot term ("def") has runs in every segment, and the (term, shard)
+    key spreads its merge work across the cluster instead of funneling
+    the full posting list through one task. Cold and hot terms take the
+    same path; hot terms simply keep more than one final row, which also
+    bounds row size at 10^12-doc scale and parallelizes query-time
+    decode.
+  * Doc lengths are denormalized into each run (a third varint stream)
+    so query scoring never joins the billion-row doc_stats table.
+  * B7 block-max: per 128-posting block, ``(last_doc_id, max_factor)``
+    where factor = tf(k1+1)/(tf + k1(1-b+b*dl/avgdl)) — the
+    term-independent part of the BM25 bound; the query side multiplies
+    by idf. Stored as flat arrays (Arrow-friendly, no struct boxing).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from xsearch_spark.constants import B, BLOCK_SIZE, K1
+from xsearch_spark.functions import codec
+
+PACKED_SCHEMA = StructType(
+    [
+        StructField("term", StringType(), False),
+        StructField("seg_id", LongType(), False),
+        StructField("n_docs", LongType(), False),
+        StructField("first_doc_id", LongType(), False),
+        StructField("last_doc_id", LongType(), False),
+        StructField("doc_ids", BinaryType(), False),
+        StructField("tfs", BinaryType(), False),
+        StructField("dls", BinaryType(), False),
+        StructField("block_last", ArrayType(LongType()), False),
+        StructField("block_max", ArrayType(DoubleType()), False),
+    ]
+)
+
+DEFAULT_DOCS_PER_SEGMENT = 4096
+DEFAULT_SEGS_PER_SHARD = 4
+
+
+def _bm25_factor(tfs: np.ndarray, dls: np.ndarray, avgdl: float) -> np.ndarray:
+    tf = tfs.astype(np.float64)
+    dl = dls.astype(np.float64)
+    return tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+
+
+def _pack_group(
+    seg_id: int,
+    term: str,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    avgdl: float,
+) -> dict:
+    """Encode one (seg_id, term) posting run. doc_ids pre-sorted unique."""
+    n = doc_ids.size
+    factors = _bm25_factor(tfs, dls, avgdl)
+    starts = np.arange(0, n, BLOCK_SIZE)
+    block_last = doc_ids[np.minimum(starts + BLOCK_SIZE - 1, n - 1)]
+    block_max = np.maximum.reduceat(factors, starts)
+    return {
+        "term": term,
+        "seg_id": int(seg_id),
+        "n_docs": int(n),
+        "first_doc_id": int(doc_ids[0]),
+        "last_doc_id": int(doc_ids[-1]),
+        "doc_ids": codec.encode_doc_ids(doc_ids),
+        "tfs": codec.encode_tfs(tfs),
+        "dls": codec.encode_tfs(dls),
+        "block_last": block_last.astype(np.int64).tolist(),
+        "block_max": block_max.tolist(),
+    }
+
+
+def _group_bounds(*key_arrays: np.ndarray) -> np.ndarray:
+    """Start indices of consecutive equal-key groups (arrays pre-sorted)."""
+    n = key_arrays[0].size
+    change = np.zeros(n, dtype=bool)
+    change[0] = True
+    for a in key_arrays:
+        change[1:] |= a[1:] != a[:-1]
+    return np.nonzero(change)[0]
+
+
+def make_pack_iter(avgdl: float):
+    """mapInPandas packer: sorted (seg_id, term, doc_id, tf, dl) batches
+    -> packed runs. Carries the trailing (possibly incomplete) group
+    across Arrow batch boundaries so memory stays O(batch + one group)."""
+
+    def pack_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if pdf.empty:
+                continue
+            segs = pdf["seg_id"].to_numpy()
+            terms = pdf["term"].to_numpy()
+            starts = _group_bounds(segs, terms)
+            # hold back the final group — it may continue in the next batch
+            if starts.size > 1:
+                last_start = starts[-1]
+                carry = pdf.iloc[last_start:]
+                pdf = pdf.iloc[:last_start]
+                starts = starts[:-1]
+            else:
+                carry = pdf
+                continue
+            yield _pack_frame(pdf, starts, avgdl)
+        if carry is not None and not carry.empty:
+            segs = carry["seg_id"].to_numpy()
+            terms = carry["term"].to_numpy()
+            starts = _group_bounds(segs, terms)
+            yield _pack_frame(carry, starts, avgdl)
+
+    return pack_iter
+
+
+def _pack_frame(pdf: pd.DataFrame, starts: np.ndarray, avgdl: float) -> pd.DataFrame:
+    doc_ids = pdf["doc_id"].to_numpy(np.int64)
+    tfs = pdf["tf"].to_numpy(np.int64)
+    dls = pdf["dl"].to_numpy(np.int64)
+    segs = pdf["seg_id"].to_numpy()
+    terms = pdf["term"].to_numpy()
+    ends = np.append(starts[1:], doc_ids.size)
+    rows = [
+        _pack_group(
+            segs[s], terms[s], doc_ids[s:e], tfs[s:e], dls[s:e], avgdl
+        )
+        for s, e in zip(starts, ends)
+    ]
+    return pd.DataFrame(rows, columns=[f.name for f in PACKED_SCHEMA.fields])
+
+
+def build_segments(
+    postings_with_dl: DataFrame,
+    avgdl: float,
+    docs_per_segment: int = DEFAULT_DOCS_PER_SEGMENT,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """B4+B6+B7: long postings (term, doc_id, tf, dl) -> packed segment
+    runs, one shuffle (by seg_id) + partition-local sort."""
+    n = num_partitions or postings_with_dl.sparkSession.sparkContext.defaultParallelism * 2
+    p = postings_with_dl.withColumn(
+        "seg_id", (F.col("doc_id") / F.lit(docs_per_segment)).cast("long")
+    )
+    p = p.repartition(n, "seg_id").sortWithinPartitions("seg_id", "term", "doc_id")
+    return p.mapInPandas(make_pack_iter(avgdl), PACKED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# B5: shuffle merge keyed by term, range-salted by shard
+
+
+def make_merge_iter():
+    """mapInPandas merger: sorted (term, shard, first_doc_id) run batches
+    -> one concatenated run per (term, shard). Runs are disjoint doc-id
+    ranges (segments are doc slices), so concatenation needs no re-sort;
+    monotonicity is asserted."""
+
+    def merge_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if pdf.empty:
+                continue
+            terms = pdf["term"].to_numpy()
+            shards = pdf["shard"].to_numpy()
+            starts = _group_bounds(terms, shards)
+            if starts.size > 1:
+                last_start = starts[-1]
+                carry = pdf.iloc[last_start:]
+                pdf = pdf.iloc[:last_start]
+                starts = starts[:-1]
+            else:
+                carry = pdf
+                continue
+            yield _merge_frame(pdf, starts)
+        if carry is not None and not carry.empty:
+            terms = carry["term"].to_numpy()
+            shards = carry["shard"].to_numpy()
+            yield _merge_frame(carry, _group_bounds(terms, shards))
+
+    return merge_iter
+
+
+def _merge_frame(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
+    ends = np.append(starts[1:], len(pdf))
+    out = []
+    for s, e in zip(starts, ends):
+        g = pdf.iloc[s:e]
+        doc_ids = np.concatenate([codec.decode_doc_ids(b) for b in g["doc_ids"]])
+        if not np.all(doc_ids[1:] > doc_ids[:-1]):
+            raise ValueError(
+                f"merge invariant violated: doc_ids not strictly increasing "
+                f"for term={g['term'].iloc[0]!r} shard={g['shard'].iloc[0]}"
+            )
+        tfs = np.concatenate([codec.decode_tfs(b) for b in g["tfs"]])
+        dls = np.concatenate([codec.decode_tfs(b) for b in g["dls"]])
+        n = doc_ids.size
+        block_starts = np.arange(0, n, BLOCK_SIZE)
+        # re-blocking shifts block boundaries, so per-run block maxima are
+        # not reusable in general; recompute from the decoded run
+        # (vectorized reduceat — negligible vs the codec work).
+        block_max = _recompute_block_max(tfs, dls, float(g["avgdl"].iloc[0]), block_starts)
+        row = {
+            "term": g["term"].iloc[0],
+            "shard": int(g["shard"].iloc[0]),
+            "n_docs": int(n),
+            "first_doc_id": int(doc_ids[0]),
+            "last_doc_id": int(doc_ids[-1]),
+            "doc_ids": codec.encode_doc_ids(doc_ids.astype(np.uint64)),
+            "tfs": codec.encode_tfs(tfs),
+            "dls": codec.encode_tfs(dls),
+            "block_last": doc_ids[
+                np.minimum(block_starts + BLOCK_SIZE - 1, n - 1)
+            ].astype(np.int64).tolist(),
+            "block_max": block_max,
+        }
+        out.append(row)
+    return pd.DataFrame(out, columns=[f.name for f in MERGED_SCHEMA.fields])
+
+
+MERGED_SCHEMA = StructType(
+    [
+        StructField("term", StringType(), False),
+        StructField("shard", LongType(), False),
+        StructField("n_docs", LongType(), False),
+        StructField("first_doc_id", LongType(), False),
+        StructField("last_doc_id", LongType(), False),
+        StructField("doc_ids", BinaryType(), False),
+        StructField("tfs", BinaryType(), False),
+        StructField("dls", BinaryType(), False),
+        StructField("block_last", ArrayType(LongType()), False),
+        StructField("block_max", ArrayType(DoubleType()), False),
+    ]
+)
+
+
+def merge_segments(
+    segment_runs: DataFrame,
+    avgdl: float,
+    segs_per_shard: int = DEFAULT_SEGS_PER_SHARD,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """B5: (term, seg_id) runs -> (term, shard) merged runs. One shuffle
+    keyed (term, shard); the shard component is the range salt that
+    spreads hot-term merge work (SURVEY.md B5 / BASELINE.json:6)."""
+    n = num_partitions or segment_runs.sparkSession.sparkContext.defaultParallelism * 2
+    runs = segment_runs.withColumn(
+        "shard", (F.col("seg_id") / F.lit(segs_per_shard)).cast("long")
+    ).withColumn("avgdl", F.lit(avgdl))
+    runs = runs.repartition(n, "term", "shard").sortWithinPartitions(
+        "term", "shard", "first_doc_id"
+    )
+    return runs.mapInPandas(make_merge_iter(), MERGED_SCHEMA)
+
+
+def _recompute_block_max(
+    tfs: np.ndarray, dls: np.ndarray, avgdl: float, block_starts: np.ndarray
+) -> list:
+    return np.maximum.reduceat(_bm25_factor(tfs, dls, avgdl), block_starts).tolist()
+
+
+# ---------------------------------------------------------------------------
+# decode: packed runs -> long postings (Q3)
+
+LONG_SCHEMA = StructType(
+    [
+        StructField("term", StringType(), False),
+        StructField("doc_id", LongType(), False),
+        StructField("tf", LongType(), False),
+        StructField("dl", LongType(), False),
+    ]
+)
+
+
+def decode_postings(packed: DataFrame) -> DataFrame:
+    """Q3: mirror of the packing codec — packed runs back to long form.
+    Vectorized: one NumPy concat per Arrow batch, never per-posting
+    Python."""
+
+    def decode_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = [codec.decode_doc_ids(b) for b in pdf["doc_ids"]]
+            tfs = [codec.decode_tfs(b) for b in pdf["tfs"]]
+            dls = [codec.decode_tfs(b) for b in pdf["dls"]]
+            lens = np.array([a.size for a in ids])
+            terms = np.repeat(pdf["term"].to_numpy(), lens)
+            yield pd.DataFrame(
+                {
+                    "term": terms,
+                    "doc_id": np.concatenate(ids).astype(np.int64),
+                    "tf": np.concatenate(tfs).astype(np.int64),
+                    "dl": np.concatenate(dls).astype(np.int64),
+                }
+            )
+
+    return packed.mapInPandas(decode_iter, LONG_SCHEMA)

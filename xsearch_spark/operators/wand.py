@@ -1,0 +1,307 @@
+"""Q8: block-max WAND query evaluation over the packed index, plus the
+index-backed relational path (Q2 pruned scan + Q3 decode).
+
+Reference parity: xsearch's searcher runs a document-at-a-time loop per
+shard with BM25 scoring and WAND pruning against a local top-k heap,
+then the proxy merges shard top-k's (component-level [R]; pinned by
+BASELINE.json:6 "document-at-a-time posting-list intersection and
+block-max WAND pruning to emit exact top-k").
+
+Spark topology: the term-filtered index rows (a handful per query —
+Q2's dictionary lookup is a bucket- and term-pruned parquet scan) are
+repartitioned by ``shard`` so every query term's run for one doc-id
+range lands in the same task; ``mapInPandas`` runs the scorer per shard;
+per-shard exact top-k's union into the global exact top-k via
+TakeOrderedAndProject (top-k is a monoid — the reference's
+shard-heap + proxy-merge, Q9, for free).
+
+The scorer is NumPy-vectorized block-at-a-time, not a per-doc Python
+loop (the input_hint forbids per-row Python):
+
+  * AND — galloping multi-list intersection (np.intersect1d over sorted
+    unique arrays, smallest-df first), then exact vectorized scoring.
+  * OR  — block-max pruning with exact rescore: an initial threshold
+    theta = exact k-th score over the highest-impact term's postings;
+    any 128-posting block whose bound idf_t*block_max_t + sum of other
+    terms' global upper bounds is < theta cannot contain a top-k doc
+    (the bound dominates any member's total score). Survivor-block docs
+    are rescored EXACTLY against the full posting arrays (searchsorted
+    gather), so pruning can only shrink the candidate set, never change
+    a score — WAND output is bit-identical to the naive evaluation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+from xsearch_spark.constants import B, BLOCK_SIZE, DEFAULT_TOP_K, K1, idf as idf_py
+from xsearch_spark.functions import codec
+from xsearch_spark.plans.query import ParsedQuery
+
+TOPK_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("score", DoubleType(), False),
+    ]
+)
+
+
+def _w(idf: float, tf: np.ndarray, dl: np.ndarray, avgdl: float) -> np.ndarray:
+    tf = tf.astype(np.float64)
+    dl = dl.astype(np.float64)
+    return idf * tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+
+
+def _gather_scores(
+    cand: np.ndarray,
+    lists: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]],
+    idfs: dict[str, float],
+    avgdl: float,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact scores + per-doc matched-term counts for candidate docs."""
+    scores = np.zeros(cand.size, dtype=np.float64)
+    nterms = np.zeros(cand.size, dtype=np.int64)
+    for t, (ids, tfs, dls) in lists.items():
+        idx = np.searchsorted(ids, cand)
+        idx_c = np.minimum(idx, ids.size - 1)
+        hit = (idx < ids.size) & (ids[idx_c] == cand)
+        if hit.any():
+            scores[hit] += _w(idfs[t], tfs[idx_c[hit]], dls[idx_c[hit]], avgdl)
+            nterms[hit] += 1
+    return scores, nterms
+
+
+def _local_topk(
+    cand: np.ndarray, scores: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    if cand.size > k:
+        # keep everything at or above the k-th score (ties at the
+        # boundary are broken by doc_id in the final lexsort)
+        kth = scores[np.argpartition(-scores, k - 1)[k - 1]]
+        keep = scores >= kth
+        cand, scores = cand[keep], scores[keep]
+    order = np.lexsort((cand, -scores))[:k]
+    return cand[order], scores[order]
+
+
+def score_shard(
+    lists: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]],
+    blocks: dict[str, tuple[np.ndarray, np.ndarray]],
+    idfs: dict[str, float],
+    avgdl: float,
+    parsed: ParsedQuery,
+    k: int,
+    exclude_lists: list[np.ndarray] | None = None,
+    allowed: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact local top-k for one shard. ``lists``: term -> (doc_ids, tfs,
+    dls); ``blocks``: term -> (block_last, block_max_factor)."""
+    present = [t for t in parsed.terms if t in lists]
+    if not present:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    if parsed.connective == "AND":
+        if len(present) != len(parsed.terms):
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        cand = None
+        for t in sorted(present, key=lambda t: lists[t][0].size):
+            cand = lists[t][0] if cand is None else np.intersect1d(
+                cand, lists[t][0], assume_unique=True
+            )
+            if cand.size == 0:
+                return np.empty(0, np.int64), np.empty(0, np.float64)
+    else:
+        cand = _or_candidates(present, lists, blocks, idfs, avgdl, k)
+    cand = _apply_filters(cand, exclude_lists, allowed)
+    if cand.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    scores, _ = _gather_scores(cand, {t: lists[t] for t in present}, idfs, avgdl)
+    return _local_topk(cand, scores, k)
+
+
+def _apply_filters(
+    cand: np.ndarray,
+    exclude_lists: list[np.ndarray] | None,
+    allowed: np.ndarray | None,
+) -> np.ndarray:
+    if exclude_lists:
+        for ex in exclude_lists:
+            if ex.size:
+                idx = np.searchsorted(ex, cand)
+                idx_c = np.minimum(idx, ex.size - 1)
+                cand = cand[~((idx < ex.size) & (ex[idx_c] == cand))]
+    if allowed is not None:
+        idx = np.searchsorted(allowed, cand)
+        idx_c = np.minimum(idx, allowed.size - 1)
+        cand = cand[(idx < allowed.size) & (allowed[idx_c] == cand)]
+    return cand
+
+
+def _or_candidates(
+    present: list[str],
+    lists: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]],
+    blocks: dict[str, tuple[np.ndarray, np.ndarray]],
+    idfs: dict[str, float],
+    avgdl: float,
+    k: int,
+) -> np.ndarray:
+    """Block-max pruned OR candidate set (superset of true top-k docs)."""
+    total = sum(lists[t][0].size for t in present)
+    if total <= 4 * k or len(present) == 1:
+        return np.unique(np.concatenate([lists[t][0] for t in present]))
+    # global per-term upper bound = idf * max block factor
+    ub = {t: idfs[t] * float(np.max(blocks[t][1])) for t in present}
+    # initial theta: exact k-th score over the postings of the highest-ub
+    # term (full scoring of that term's doc set against all terms)
+    seed_term = max(present, key=lambda t: ub[t])
+    seed = lists[seed_term][0]
+    seed_scores, _ = _gather_scores(seed, {t: lists[t] for t in present}, idfs, avgdl)
+    if seed.size >= k:
+        theta = float(np.partition(-seed_scores, k - 1)[k - 1] * -1.0)
+    else:
+        theta = -np.inf
+    keep_docs = []
+    for t in present:
+        ids, _, _ = lists[t]
+        b_last, b_max = blocks[t]
+        rest_ub = sum(ub[u] for u in present if u != t)
+        bound = idfs[t] * np.asarray(b_max, dtype=np.float64) + rest_ub
+        live = bound >= theta  # strict-< pruning keeps boundary ties exact
+        if live.all():
+            keep_docs.append(ids)
+            continue
+        starts = np.arange(0, ids.size, BLOCK_SIZE)
+        ends = np.minimum(starts + BLOCK_SIZE, ids.size)
+        for s, e in zip(starts[live], ends[live]):
+            keep_docs.append(ids[s:e])
+    if not keep_docs:
+        return np.empty(0, np.int64)
+    return np.unique(np.concatenate(keep_docs))
+
+
+# ---------------------------------------------------------------------------
+# Spark-side wiring
+
+
+def _term_buckets(spark, terms: list[str], num_buckets: int) -> list[int]:
+    """Compute the term-hash buckets JVM-side (xxhash64 must match the
+    write path exactly)."""
+    exprs = [
+        F.pmod(F.xxhash64(F.lit(t)), F.lit(num_buckets)).cast("int").alias(f"b{i}")
+        for i, t in enumerate(terms)
+    ]
+    row = spark.range(1).select(*exprs).collect()[0]
+    return sorted({row[f"b{i}"] for i in range(len(terms))})
+
+
+def pruned_index_scan(index_df: DataFrame, spark, terms: list[str], num_buckets: int) -> DataFrame:
+    """Q2: dictionary lookup = bucket-pruned + term-filtered scan."""
+    if not terms:
+        return index_df.limit(0)
+    buckets = _term_buckets(spark, terms, num_buckets)
+    return index_df.filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+    )
+
+
+def search_wand(
+    built,
+    parsed: ParsedQuery,
+    k: int = DEFAULT_TOP_K,
+    source_df: DataFrame | None = None,
+) -> DataFrame:
+    """Engine-path search over the packed index -> (doc_id, score) exact
+    top-k (raw scores; caller rounds for presentation)."""
+    spark = built.index_df.sparkSession
+    all_terms = list(parsed.terms) + list(parsed.exclude)
+    rows = pruned_index_scan(built.index_df, spark, all_terms, built.num_buckets)
+    # per-term idf from the merged term stats (tiny collect: |terms| rows)
+    stats = {
+        r["term"]: int(r["df"])
+        for r in built.term_stats.filter(F.col("term").isin(all_terms)).collect()
+    }
+    idfs = {t: idf_py(built.n_docs, stats[t]) for t in parsed.terms if t in stats}
+    avgdl = built.avgdl
+    n_docs = built.n_docs
+    parsed_b = parsed
+    k_b = k
+    exclude_terms = set(parsed.exclude)
+    allowed_b = None
+    if parsed.lang is not None:
+        if source_df is None:
+            raise ValueError("lang: filter requires source_df")
+        allowed_b = np.sort(
+            np.array(
+                [
+                    r["doc_id"]
+                    for r in source_df.filter(F.col("lang") == parsed.lang)
+                    .select("doc_id")
+                    .collect()
+                ],
+                dtype=np.int64,
+            )
+        )
+        # NOTE: collected doc-id allowlist is fine at test scale; at 100 TB
+        # the lang filter runs on the relational path (semi-join) instead.
+
+    def wand_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # group rows by shard within the partition; shards are small
+        # (query terms only), so concat-then-group is safe here.
+        frames = [f for f in batches if not f.empty]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        for _, g in pdf.groupby("shard", sort=False):
+            lists: dict[str, tuple] = {}
+            blocks: dict[str, tuple] = {}
+            ex_lists: list[np.ndarray] = []
+            for r in g.itertuples(index=False):
+                ids = codec.decode_doc_ids(r.doc_ids).astype(np.int64)
+                if r.term in exclude_terms:
+                    ex_lists.append(ids)
+                    continue
+                lists[r.term] = (
+                    ids,
+                    codec.decode_tfs(r.tfs).astype(np.int64),
+                    codec.decode_tfs(r.dls).astype(np.int64),
+                )
+                blocks[r.term] = (
+                    np.asarray(r.block_last, dtype=np.int64),
+                    np.asarray(r.block_max, dtype=np.float64),
+                )
+            ids_out, scores_out = score_shard(
+                lists, blocks, idfs, avgdl, parsed_b, k_b, ex_lists, allowed_b
+            )
+            yield pd.DataFrame({"doc_id": ids_out, "score": scores_out})
+
+    shards = rows.repartition("shard")
+    local = shards.mapInPandas(wand_iter, TOPK_SCHEMA)
+    return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def search_index_relational(
+    built,
+    parsed: ParsedQuery,
+    k: int = DEFAULT_TOP_K,
+    source_df: DataFrame | None = None,
+) -> DataFrame:
+    """Q2 pruned scan + Q3 decode feeding the relational scorer — the
+    second (declarative) path over the same packed index; must agree
+    with search_wand bit-for-bit (tested)."""
+    from xsearch_spark.operators import search as rel
+    from xsearch_spark.operators import segments as seg
+    from xsearch_spark.operators.build import CollectionStats
+
+    spark = built.index_df.sparkSession
+    all_terms = list(parsed.terms) + list(parsed.exclude)
+    rows = pruned_index_scan(built.index_df, spark, all_terms, built.num_buckets)
+    long_postings = seg.decode_postings(rows)
+    stats = CollectionStats(built.n_docs, built.avgdl)
+    scored = rel.score_postings(long_postings, built.term_stats, None, stats, parsed)
+    scored = rel.apply_doc_filters(scored, long_postings, source_df, parsed)
+    return rel.top_k(scored, k)

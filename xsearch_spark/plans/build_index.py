@@ -1,0 +1,229 @@
+"""Entry point 1: the full index-build pipeline (SURVEY.md §3.1),
+checkpointed per stage with per-partition lineage (B8).
+
+Stages (each persisted + manifested; a re-run skips completed stages and
+rebuilds only missing segment partitions):
+
+  1. ``postings``  — tokenize (A1/A2), B1 tf, B2 dl -> long postings
+                     parquet partitioned by seg_group.
+  2. ``segments``  — B4/B6/B7 packed per-(seg_id, term) runs, written
+                     partitionBy(seg_group); resume = rebuild only
+                     seg_groups missing from the manifest (dynamic
+                     partition overwrite).
+  3. ``index``     — B5 salted merge -> (term, shard) runs + term-hash
+                     ``bucket`` partition column for query-time pruning.
+  4. ``stats``     — term df (sum of run n_docs — no postings re-scan),
+                     N/avgdl sidecar JSON.
+
+Scale notes: every stage is one shuffle; nothing collects to the driver
+except the (N, avgdl) scalars and per-partition manifest rows. The
+``bucket`` layout gives Q2 dictionary lookups static partition pruning;
+``shard`` bounds per-row posting size and parallelizes hot-term work at
+both merge and query time.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xsearch_spark.operators import build as b
+from xsearch_spark.operators import segments as seg
+from xsearch_spark.plans import checkpoints as ckpt
+
+DEFAULT_NUM_BUCKETS = 64
+SEGS_PER_GROUP = 8  # seg_group = seg_id // SEGS_PER_GROUP: resume + layout unit
+
+
+@dataclass
+class BuiltIndex:
+    root: str
+    index_df: DataFrame  # merged (term, shard) runs with bucket column
+    term_stats: DataFrame  # (term, df)
+    n_docs: int
+    avgdl: float
+    num_buckets: int
+
+
+def _paths(root: str) -> dict[str, str]:
+    return {
+        "postings": os.path.join(root, "postings"),
+        "segments": os.path.join(root, "segments"),
+        "index": os.path.join(root, "index"),
+        "term_stats": os.path.join(root, "term_stats"),
+        "stats": os.path.join(root, "stats.json"),
+    }
+
+
+def _fingerprint(*parts: object) -> str:
+    return hashlib.sha256("|".join(str(p) for p in parts).encode()).hexdigest()[:16]
+
+
+def _partition_rows(df: DataFrame, key: str) -> dict[str, dict]:
+    rows = df.groupBy(key).agg(F.count(F.lit(1)).alias("rows")).collect()
+    return {str(r[key]): {"rows": int(r["rows"])} for r in rows}
+
+
+def build_index(
+    spark: SparkSession,
+    source_df: DataFrame,
+    out_dir: str,
+    text_col: str = "content",
+    doc_id_col: str = "doc_id",
+    variant: str = "code",
+    docs_per_segment: int = seg.DEFAULT_DOCS_PER_SEGMENT,
+    segs_per_shard: int = seg.DEFAULT_SEGS_PER_SHARD,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    segs_per_group: int = SEGS_PER_GROUP,
+    source_fingerprint: str | None = None,
+) -> BuiltIndex:
+    paths = _paths(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    fp_base = source_fingerprint or _fingerprint(
+        text_col, variant, docs_per_segment, segs_per_shard, num_buckets, segs_per_group
+    )
+    t_start = time.monotonic()
+
+    # ---- stage 1: postings (+ N/avgdl which need only doc stats) --------
+    fp1 = _fingerprint("postings", fp_base)
+    m1 = ckpt.stage_done(out_dir, "postings", fp1)
+    if m1 is None:
+        with ckpt.StageTimer() as t:
+            tok = b.with_tokens(source_df, text_col, variant)
+            post = b.postings_with_dl(tok, doc_id_col).withColumn(
+                "seg_group",
+                (F.col("doc_id") / F.lit(docs_per_segment * segs_per_group)).cast(
+                    "long"
+                ),
+            )
+            post.write.mode("overwrite").partitionBy("seg_group").parquet(
+                paths["postings"]
+            )
+            # N from a content-free source count; sum(dl over all docs) ==
+            # sum(tf over postings) — zero-token docs contribute 0 either
+            # way, so avgdl is exact without a second tokenizer pass.
+            n_docs_l = source_df.count()
+            sum_dl = (
+                spark.read.parquet(paths["postings"])
+                .agg(F.sum(F.col("tf").cast("long")).alias("s"))
+                .collect()[0]["s"]
+            )
+            avgdl_l = (int(sum_dl) / n_docs_l) if n_docs_l else 0.0
+            with open(paths["stats"] + ".tmp", "w") as f:
+                json.dump({"n_docs": n_docs_l, "avgdl": avgdl_l}, f)
+            os.replace(paths["stats"] + ".tmp", paths["stats"])
+        m1 = ckpt.StageManifest("postings", fp1, "done", t.wall_ms)
+        post_df = spark.read.parquet(paths["postings"])
+        m1.partitions = _partition_rows(post_df, "seg_group")
+        m1.rows_out = sum(p["rows"] for p in m1.partitions.values())
+        m1.completed_at = time.time()
+        ckpt.save_manifest(out_dir, m1)
+    with open(paths["stats"]) as f:
+        sidecar = json.load(f)
+    n_docs, avgdl = int(sidecar["n_docs"]), float(sidecar["avgdl"])
+    post_df = spark.read.parquet(paths["postings"])
+
+    # ---- stage 2: packed segments (per-partition resume) -----------------
+    fp2 = _fingerprint("segments", fp1)
+    m2 = ckpt.load_manifest(out_dir, "segments")
+    all_groups = {
+        str(r["seg_group"]) for r in post_df.select("seg_group").distinct().collect()
+    }
+    done_groups = (
+        set(m2.partitions) if m2 and m2.input_fingerprint == fp2 else set()
+    )
+    missing = sorted(all_groups - done_groups, key=int)
+    if missing:
+        with ckpt.StageTimer() as t:
+            todo = post_df.filter(
+                F.col("seg_group").isin([int(g) for g in missing])
+            )
+            packed = seg.build_segments(
+                todo.select("term", "doc_id", "tf", "dl"), avgdl, docs_per_segment
+            ).withColumn(
+                "seg_group",
+                (F.col("seg_id") / F.lit(segs_per_group)).cast("long"),
+            )
+            # dynamic overwrite: only the seg_group partitions in `packed`
+            # are replaced; completed ones stay untouched (resume unit)
+            packed.write.mode("overwrite").partitionBy("seg_group").parquet(
+                paths["segments"]
+            )
+        seg_df = spark.read.parquet(paths["segments"])
+        parts = _partition_rows(seg_df.filter(F.col("seg_group").isin([int(g) for g in missing])), "seg_group")
+        if m2 is None or m2.input_fingerprint != fp2:
+            m2 = ckpt.StageManifest("segments", fp2)
+        for k, v in parts.items():
+            v["wall_ms_batch"] = t.wall_ms
+            m2.partitions[k] = v
+        m2.wall_ms += t.wall_ms
+        m2.rows_out = sum(p["rows"] for p in m2.partitions.values())
+        m2.status = "done"
+        m2.completed_at = time.time()
+        ckpt.save_manifest(out_dir, m2)
+    seg_df = spark.read.parquet(paths["segments"])
+
+    # ---- stage 3: salted merge -> final index ----------------------------
+    fp3 = _fingerprint("index", fp2)
+    if ckpt.stage_done(out_dir, "index", fp3) is None:
+        with ckpt.StageTimer() as t:
+            merged = seg.merge_segments(
+                seg_df.drop("seg_group"), avgdl, segs_per_shard
+            )
+            merged = merged.withColumn(
+                "bucket",
+                F.pmod(F.xxhash64(F.col("term")), F.lit(num_buckets)).cast("int"),
+            )
+            merged.write.mode("overwrite").partitionBy("bucket").parquet(
+                paths["index"]
+            )
+        m3 = ckpt.StageManifest("index", fp3, "done", t.wall_ms)
+        m3.partitions = _partition_rows(spark.read.parquet(paths["index"]), "bucket")
+        m3.rows_out = sum(p["rows"] for p in m3.partitions.values())
+        m3.completed_at = time.time()
+        ckpt.save_manifest(out_dir, m3)
+    index_df = spark.read.parquet(paths["index"])
+
+    # ---- stage 4: term stats (from run metadata — no postings re-scan) ---
+    fp4 = _fingerprint("stats", fp3)
+    if ckpt.stage_done(out_dir, "term_stats", fp4) is None:
+        with ckpt.StageTimer() as t:
+            ts = index_df.groupBy("term").agg(F.sum("n_docs").alias("df"))
+            ts.write.mode("overwrite").parquet(paths["term_stats"])
+        m4 = ckpt.StageManifest("term_stats", fp4, "done", t.wall_ms)
+        m4.rows_out = spark.read.parquet(paths["term_stats"]).count()
+        m4.completed_at = time.time()
+        ckpt.save_manifest(out_dir, m4)
+    term_stats = spark.read.parquet(paths["term_stats"])
+
+    ckpt.progress_event(
+        os.getcwd(),
+        {
+            "event": "index_built",
+            "out_dir": out_dir,
+            "n_docs": n_docs,
+            "wall_s": time.monotonic() - t_start,
+        },
+    )
+    return BuiltIndex(out_dir, index_df, term_stats, n_docs, avgdl, num_buckets)
+
+
+def load_index(spark: SparkSession, out_dir: str, num_buckets: int = DEFAULT_NUM_BUCKETS) -> BuiltIndex:
+    paths = _paths(out_dir)
+    with open(paths["stats"]) as f:
+        sidecar = json.load(f)
+    return BuiltIndex(
+        out_dir,
+        spark.read.parquet(paths["index"]),
+        spark.read.parquet(paths["term_stats"]),
+        int(sidecar["n_docs"]),
+        float(sidecar["avgdl"]),
+        num_buckets,
+    )
