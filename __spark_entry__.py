@@ -141,6 +141,100 @@ def _q_topk_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return engine.run_query_fetch(_corpus(spark, sf_dir), "hash join", ["lang", "source"])
 
 
+# ---------------------------------------------------------------------------
+# training-data pipeline operators (dedup / similarity / text analysis)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _corpus(spark, sf_dir).source
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from xsearch_spark.operators.dedup import exact_dup_groups
+
+    return exact_dup_groups(_docs(spark, sf_dir), "text")
+
+
+def _q_minhash(spark, sf_dir):
+    from xsearch_spark.operators.dedup import minhash_signatures
+
+    return minhash_signatures(_docs(spark, sf_dir), "text", num_hashes=16)
+
+
+def _q_lsh_pairs(spark, sf_dir):
+    from xsearch_spark.operators.dedup import lsh_candidate_pairs
+
+    return lsh_candidate_pairs(_docs(spark, sf_dir), "text", num_hashes=16, bands=4)
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    from xsearch_spark.operators.dedup import lsh_candidate_pairs, ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir)
+    pairs = lsh_candidate_pairs(docs, "text", num_hashes=16, bands=4)
+    out = ngram_jaccard_pairs(docs, pairs, "text", n=3)
+    return out.select(
+        "doc_a", "doc_b", F.round("jaccard", SCORE_ROUND_DECIMALS).alias("jaccard")
+    )
+
+
+def _q_simhash(spark, sf_dir):
+    from xsearch_spark.operators.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir), "text")
+
+
+def _q_ann_cosine(spark, sf_dir):
+    from xsearch_spark.operators.similarity import cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    topk = cosine_topk(emb, qvec, k=10)
+    return topk.select(
+        "vec_id", F.round("cos_sim", SCORE_ROUND_DECIMALS).alias("cos_sim")
+    )
+
+
+def _q_ann_lsh_buckets(spark, sf_dir):
+    from xsearch_spark.operators.similarity import lsh_buckets
+
+    return lsh_buckets(_emb(spark, sf_dir), num_planes=8)
+
+
+def _q_lang_id(spark, sf_dir):
+    from xsearch_spark.functions.textops import lang_id
+
+    return lang_id(_docs(spark, sf_dir), "text")
+
+
+def _q_quality(spark, sf_dir):
+    from xsearch_spark.functions.textops import quality_score
+
+    return quality_score(_docs(spark, sf_dir), "text")
+
+
+def _q_quality_features(spark, sf_dir):
+    from xsearch_spark.functions.textops import quality_features
+
+    return quality_features(_docs(spark, sf_dir), "text")
+
+
+def _q_token_counts(spark, sf_dir):
+    from xsearch_spark.functions.textops import token_counts
+
+    return token_counts(_docs(spark, sf_dir), "text")
+
+
+def _q_fingerprint(spark, sf_dir):
+    from xsearch_spark.functions.textops import doc_fingerprint
+
+    return doc_fingerprint(_docs(spark, sf_dir), "text")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "tokens_tf": _q_tf,
@@ -148,6 +242,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_df": _q_df,
         "collection_stats": _q_stats,
         "topk_fetch": _q_topk_fetch,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_sigs": _q_minhash,
+        "dedup_lsh_pairs": _q_lsh_pairs,
+        "dedup_ngram_jaccard": _q_ngram_jaccard,
+        "dedup_simhash": _q_simhash,
+        "ann_cosine_topk": _q_ann_cosine,
+        "ann_lsh_buckets": _q_ann_lsh_buckets,
+        "text_lang_id": _q_lang_id,
+        "text_quality_features": _q_quality_features,
+        "text_quality_score": _q_quality,
+        "text_token_counts": _q_token_counts,
+        "text_fingerprint": _q_fingerprint,
     }
     for name, qstr in _QUERY_SET.items():
         q[name] = _make_bm25_query(qstr)
@@ -170,12 +276,26 @@ _INDEX_QUERY_SET = {
 
 
 def oracle_sql() -> dict[str, str]:
+    from xsearch_spark import oracles_pipeline as op
+
     o: dict[str, str] = {
         "tokens_tf": oracles.tf_sql(),
         "doc_len": oracles.dl_sql(),
         "term_df": oracles.df_sql(),
         "collection_stats": oracles.collection_stats_sql(),
         "topk_fetch": oracles.bm25_fetch_sql(parse("hash join"), ["lang", "source"]),
+        "dedup_exact": op.dedup_exact_sql(),
+        "dedup_minhash_sigs": op.minhash_sql(16),
+        "dedup_lsh_pairs": op.lsh_pairs_sql(16, 4),
+        "dedup_ngram_jaccard": op.ngram_jaccard_sql(16, 4, 3),
+        "dedup_simhash": op.simhash_sql(),
+        "ann_cosine_topk": op.cosine_topk_sql(0, 10),
+        "ann_lsh_buckets": op.lsh_buckets_sql(8),
+        "text_lang_id": op.lang_id_sql(),
+        "text_quality_features": op.quality_features_sql(),
+        "text_quality_score": op.quality_score_sql(),
+        "text_token_counts": op.token_counts_sql(),
+        "text_fingerprint": op.doc_fingerprint_sql(),
     }
     for name, qstr in _QUERY_SET.items():
         o[name] = oracles.bm25_sql(parse(qstr))

@@ -1,0 +1,201 @@
+#!/usr/bin/env python
+"""Headline benchmark: index-build throughput + BM25 top-k query latency.
+
+Default: build the packed index over ``$SPARK_GRAFT_SF_DIR/documents``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``, run the
+FIXTURES.md §4 document query set twice (second pass = warm numbers),
+and print ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ...}
+
+``--scaling``: run the same build at local[8] and local[32] in fresh
+subprocesses (fresh JVMs — the sandbox substitute for N vs 4N executors
+per the driver instruction) and append the measured throughputs +
+scaling efficiency to BENCH/BASELINE.md.
+
+Timing starts after the Spark session is up and the input row count is
+known (SURVEY.md §5.5: measurement excludes session startup).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+QUERIES = {
+    "q01_rare": "hash",
+    "q02_hot": "the",
+    "q03_and": "hash join",
+    "q04_or": "hash OR join",
+    "q05_lang": "lang:zh spark",
+    "q06_not": "hash -join",
+    "q07_and4": "scan merge window sort",
+    "q08_absent": "zzzznotaterm",
+}
+
+# code-aware pipeline over the synthetic prod-schema table (the
+# north-star workload: BASELINE.json:6 code tokenization + skewed merge)
+CODE_QUERIES = {
+    "q09_hot_kw": "def",
+    "q10_and_hot": "import return",
+    "q11_compound": "parse_config",
+    "q12_subtoken": "config",
+    "q13_lang_hot": "lang:py def",
+}
+
+
+def run_bench(sf_dir: str, cpus: int, emit_json: bool = True) -> dict:
+    from xsearch_spark.operators.wand import search_wand
+    from xsearch_spark.plans.build_index import build_index
+    from xsearch_spark.plans.query import parse
+    from xsearch_spark.session import get_spark
+    from xsearch_spark.sources.datagen import generate_code_files
+    from xsearch_spark.sources.ids import assign_doc_ids_scalable
+    from xsearch_spark.sources.io import read_documents, read_source
+
+    from xsearch_spark.sources.datagen import ROWS
+
+    sf = _sf_of(sf_dir)
+    sf_key = f"{sf:g}" if f"{sf:g}" in ROWS else "0.01"
+    code_parquet = generate_code_files(
+        sf_key, os.path.join(REPO, ".cache", "code_files", f"sf{sf_key}")
+    )
+
+    spark = get_spark(
+        "xsearch-bench", master=f"local[{cpus}]", shuffle_partitions=max(32, 4 * cpus)
+    )
+    docs = read_documents(spark, sf_dir)
+    n_docs = docs.count()  # session + FS warm-up; excluded from timing
+    code_src = read_source(spark, code_parquet)
+    n_code = code_src.count()
+
+    out = tempfile.mkdtemp(prefix="xsbench_idx_")
+    out_code = tempfile.mkdtemp(prefix="xsbench_codeidx_")
+    per_query: dict[str, float] = {}
+    try:
+        # --- workload 1: documents table (driver fixture, base variant) --
+        t0 = time.monotonic()
+        built = build_index(
+            spark, docs, out,
+            text_col="text", variant="base",
+            docs_per_segment=4096, segs_per_shard=4, num_buckets=32,
+        )
+        build_s = time.monotonic() - t0
+        for _pass in range(2):  # second pass = warm
+            for name, q in QUERIES.items():
+                tq = time.monotonic()
+                search_wand(built, parse(q), source_df=docs).collect()
+                per_query[name] = time.monotonic() - tq
+
+        # --- workload 2: code_files (prod schema, code-aware variant) ----
+        t0 = time.monotonic()
+        code_ids = assign_doc_ids_scalable(code_src, max(8, cpus * 2))
+        built_code = build_index(
+            spark, code_ids, out_code,
+            text_col="content", variant="code",
+            docs_per_segment=4096, segs_per_shard=4, num_buckets=64,
+        )
+        code_build_s = time.monotonic() - t0
+        for _pass in range(2):
+            for name, q in CODE_QUERIES.items():
+                tq = time.monotonic()
+                search_wand(built_code, parse(q, "code"), source_df=code_ids).collect()
+                per_query[name] = time.monotonic() - tq
+
+        lat = sorted(per_query.values())
+        p50 = lat[len(lat) // 2]
+        total = build_s + code_build_s + sum(per_query.values())
+        result = {
+            "metric": "index_build_plus_bm25_topk_warm",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": {
+                "index_build_documents": round(build_s, 3),
+                "index_build_code": round(code_build_s, 3),
+                **{k: round(v, 4) for k, v in per_query.items()},
+            },
+            "sf": sf,
+            "n_docs": n_docs,
+            "n_code_docs": n_code,
+            "docs_per_sec": round(n_code / code_build_s, 1),
+            "query_p50_sec": round(p50, 4),
+            "cpus": cpus,
+        }
+        if emit_json:
+            print(json.dumps(result))
+        return result
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(out_code, ignore_errors=True)
+        spark.stop()
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_scaling(sf_dir: str) -> None:
+    """N vs 4N scaling evidence (BASELINE.json:14): same input, local[8]
+    vs local[32], fresh JVM each, efficiency = (thr32/thr8)/4."""
+    results = {}
+    for cpus in (8, 32):
+        env = dict(
+            os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=str(cpus)
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    thr8 = results[8]["docs_per_sec"]
+    thr32 = results[32]["docs_per_sec"]
+    eff = (thr32 / thr8) / 4.0
+    md = os.path.join(REPO, "BENCH", "BASELINE.md")
+    os.makedirs(os.path.dirname(md), exist_ok=True)
+    stamp = time.strftime("%Y-%m-%d %H:%M:%S")
+
+    def row(c: int) -> str:
+        r = results[c]
+        return (
+            f"| {c} | {r['queries']['index_build_documents']} "
+            f"| {r['queries']['index_build_code']} | {r['docs_per_sec']} "
+            f"| {r['query_p50_sec']} |"
+        )
+
+    with open(md, "a") as f:
+        f.write(
+            f"\n## Scaling run {stamp} — {sf_dir} "
+            f"(code_files n={results[32]['n_code_docs']})\n\n"
+            f"| cores | docs build sec | code build sec | code docs/sec | query p50 sec |\n"
+            f"|---|---|---|---|---|\n{row(8)}\n{row(32)}\n\n"
+            f"**Scaling efficiency (8 -> 32 cores): {eff:.3f}** "
+            f"(threshold >= 0.8, BASELINE.json:14; throughput = code_files "
+            f"docs indexed / build sec, fresh JVM per size)\n"
+        )
+    print(json.dumps({"thr8": thr8, "thr32": thr32, "efficiency": round(eff, 3)}))
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--scaling" in sys.argv:
+        run_scaling(sf_dir)
+    else:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        run_bench(sf_dir, cpus)

@@ -1,0 +1,101 @@
+"""Behavioral tests for the training-data pipeline operators (the
+driver-parity sweep in test_driver_parity covers oracle equality; these
+check semantics on constructed inputs)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from xsearch_spark.operators import dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def toy_docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat"),  # near dup
+        (3, "completely different text about spark and parquet files"),
+        (4, "another unrelated document mentioning hash joins and scans"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dup_groups(toy_docs):
+    groups = dedup.exact_dup_groups(toy_docs, "text").collect()
+    assert len(groups) == 1
+    assert groups[0]["dup_count"] == 2
+    assert groups[0]["keeper_doc_id"] == 0
+
+
+def test_dedup_exact_keeps_min_id(toy_docs):
+    kept = sorted(r["doc_id"] for r in dedup.dedup_exact(toy_docs, "text").collect())
+    assert kept == [0, 2, 3, 4]
+
+
+def test_lsh_finds_near_dups(toy_docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.lsh_candidate_pairs(toy_docs, "text", num_hashes=16, bands=4).collect()
+    }
+    assert (0, 1) in pairs  # exact dups always collide
+    assert (0, 2) in pairs or (1, 2) in pairs  # near-dup should collide
+    assert (3, 4) not in pairs  # unrelated docs should not
+
+
+def test_ngram_jaccard_values(toy_docs):
+    pairs = dedup.lsh_candidate_pairs(toy_docs, "text", num_hashes=16, bands=4)
+    j = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(toy_docs, pairs, "text", n=3).collect()
+    }
+    assert j[(0, 1)] == 1.0  # identical docs
+    if (0, 2) in j:
+        assert 0.0 < j[(0, 2)] < 1.0
+
+
+def test_simhash_similar_docs_close(toy_docs):
+    h = {r["doc_id"]: r["simhash"] for r in dedup.simhash(toy_docs, "text").collect()}
+    assert h[0] == h[1]  # identical text -> identical simhash
+
+    def hamming(a: int, b: int) -> int:
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(h[0], h[2]) < hamming(h[0], h[3])
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_cosine_topk_self_first(emb):
+    qvec = emb.filter(F.col("vec_id") == 7).select("embedding").collect()[0][0]
+    top = similarity.cosine_topk(emb, qvec, k=5).collect()
+    assert top[0]["vec_id"] == 7
+    assert abs(top[0]["cos_sim"] - 1.0) < 1e-9
+    sims = [r["cos_sim"] for r in top]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_ivf_topk_probe(emb):
+    """IVF probe: the query's own bucket is always probed (self found at
+    rank 1 with sim 1.0); wider Hamming probes only add candidates.
+    (Recall on random gaussian embeddings is data-limited — the probe
+    mechanics, not a recall SLA, are what this asserts.)"""
+    qvec = emb.filter(F.col("vec_id") == 7).select("embedding").collect()[0][0]
+    a1 = similarity.ivf_topk(emb, qvec, k=10, num_planes=8, probe_hamming=0).collect()
+    a2 = similarity.ivf_topk(emb, qvec, k=10, num_planes=8, probe_hamming=1).collect()
+    assert a1 and a1[0]["vec_id"] == 7 and abs(a1[0]["cos_sim"] - 1.0) < 1e-9
+    assert a2[0]["vec_id"] == 7
+    assert len(a2) >= len(a1)  # wider probe never shrinks the result
+    sims = [r["cos_sim"] for r in a2]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_embedding_cosine_pairs_threshold(emb):
+    out = similarity.embedding_cosine_pairs(emb.limit(200), threshold=0.5).collect()
+    for r in out:
+        assert r["cos_sim"] >= 0.5
+        assert r["vec_a"] < r["vec_b"]

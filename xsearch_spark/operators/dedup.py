@@ -1,0 +1,267 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's capability set (xsearch has only key-based upsert
+dedup, S4 [R]); these are the standard corpus-dedup techniques a 100 TB
+text pipeline needs, each expressed as declarative DataFrame ops so
+Catalyst handles pushdown/partial-agg, with hashing built from ``md5``
+(available and bit-identical in Spark and DuckDB — every operator here
+is oracle-checkable as plain SQL).
+
+Scale notes:
+  * exact dedup — one hash-groupBy; the md5 key shuffles ~32 bytes/doc.
+  * MinHash+LSH — the permutation trick uses the *lexicographic order
+    of md5(seed:token)* as the random order (a hash order is a valid
+    permutation for MinHash); signatures are ``min(md5)`` per (doc,
+    seed): one explode + one groupBy. Banding concatenates rows of the
+    signature and groupBys the band key — candidate pairs only ever
+    join docs sharing a band bucket, never the full cross product.
+  * n-gram Jaccard — exact verification on LSH candidates only (the
+    pair set is bucket-bounded), via shingle-set joins.
+  * SimHash — 64-bit: per (doc, bit) weighted sums over token md5 bits,
+    fully as Column expressions (bit b of a hex digest = nibble >> ...).
+  * embedding cosine near-dup lives in operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# exact dedup
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: md5(text) -> (content_hash, dup_count,
+    min_doc_id keeper). Docs appearing once are excluded."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min(id_col).alias("keeper_doc_id"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id doc per exact content group (the S4 analogue for
+    content rather than keys)."""
+    w_min = (
+        df.select(F.md5(F.col(text_col)).alias("h"), F.col(id_col).alias("_id"))
+        .groupBy("h")
+        .agg(F.min("_id").alias("keep_id"))
+    )
+    return df.join(
+        w_min, F.md5(F.col(text_col)) == F.col("h"), "inner"
+    ).filter(F.col(id_col) == F.col("keep_id")).drop("h", "keep_id")
+
+
+# ---------------------------------------------------------------------------
+# tokens helper (shared with textops): the frozen base tokenizer
+
+
+def _tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    from xsearch_spark.functions.tokenize import tokenize_base_col
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokenize_base_col(F.col(text_col))).alias("term"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(doc_id, seed, minhash): minhash = min over the doc's DISTINCT
+    word-``shingle_n``-gram set of md5(seed || ':' || shingle).
+    String-min over a hash order is a valid MinHash permutation and is
+    exactly reproducible in SQL. Shingles (not unigrams) so that word
+    ORDER matters — unigram sets degenerate on small vocabularies."""
+    sh = _shingles(df, text_col, id_col, shingle_n).withColumnRenamed("shingle", "term")
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(num_hashes)])).alias("seed")
+    expanded = sh.select("doc_id", "term", seeds)
+    return (
+        expanded.select(
+            "doc_id",
+            "seed",
+            F.md5(F.concat_ws(":", F.col("seed").cast("string"), F.col("term"))).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH banding over the minhash signature: docs sharing any band
+    bucket become candidate pairs (doc_a < doc_b). rows = bands*|docs|,
+    join only within buckets — no cross product anywhere."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n).withColumn(
+        "band", (F.col("seed") / F.lit(rows_per_band)).cast("int")
+    )
+    band_keys = (
+        sigs.groupBy("doc_id", "band")
+        # band key = md5 of the ordered minhashes in the band; sort by
+        # seed via array_sort over (seed, minhash) structs
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("seed", "minhash"))
+                        ),
+                        lambda s: s["minhash"],
+                    ),
+                )
+            ).alias("bucket")
+        )
+    )
+    a = band_keys.select(
+        F.col("band"), F.col("bucket"), F.col("doc_id").alias("doc_a")
+    )
+    b = band_keys.select(
+        F.col("band"), F.col("bucket"), F.col("doc_id").alias("doc_b")
+    )
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard verification (exact, on candidate pairs)
+
+
+def _shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """Distinct word n-grams per doc via a self-zip of the token array:
+    transform over index range, all Column expressions."""
+    from xsearch_spark.functions.tokenize import tokenize_base_col
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokenize_base_col(F.col(text_col)).alias("t")
+    )
+    # shingle i = t[i] .. t[i+n-1]; sequence over 0 .. size-n
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("t") >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - n),
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at(F.col("t"), i + j + 1) for j in range(n)]
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("shingle"),
+    )
+    return sh.distinct()
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs: |A∩B| via a shingle
+    join, |A∪B| = |A|+|B|-|A∩B|. Returns (doc_a, doc_b, jaccard)."""
+    sh = _shingles(df, text_col, id_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # intersection sizes via a (shingle, doc) join restricted to the pairs
+    a_sh = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b_sh = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        pairs.join(a_sh, "doc_a").join(b_sh, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .na.fill({"n_inter": 0})
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    if threshold > 0.0:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SimHash (64-bit, pure Column expressions)
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """64-bit SimHash over tf-weighted token md5 bits -> (doc_id,
+    simhash:bigint as the signed 64-bit value, built bit by bit).
+
+    bit b of token hash = bit (3 - b%4) of hex nibble b//4 of md5(term).
+    The per-(doc, bit) vote is sum(tf * (2*bit - 1)); sign -> bit set.
+    All Column expressions (conv() for nibble value) — no UDF.
+    """
+    toks = _tokens(df, text_col, id_col).groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    h = toks.withColumn("h", F.md5("term"))
+    bit_ids = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    per_bit = h.select("doc_id", "tf", "h", bit_ids).withColumn(
+        "nibble",
+        F.conv(F.substring(F.col("h"), (F.col("bit") / 4).cast("int") + 1, 1), 16, 10).cast("int"),
+    ).withColumn(
+        # Python F.shiftright demands a literal int; the SQL form takes
+        # expressions for both operands
+        "bitval", F.expr("shiftright(nibble, 3 - CAST(bit % 4 AS INT)) % 2")
+    )
+    votes = per_bit.groupBy("doc_id", "bit").agg(
+        F.sum(F.col("tf") * (F.col("bitval") * 2 - 1)).alias("vote")
+    )
+    # assemble: sum of 2^(63-bit) for positive votes, as the SIGNED 64-bit
+    # value (bit 0 = sign bit): use a portable two-step — accumulate the
+    # low 63 bits as a bigint and subtract 2^63 when bit 0 is set.
+    out = votes.withColumn("set", (F.col("vote") > 0).cast("long")).groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("bit") > 0,
+                F.col("set")
+                * F.expr("shiftleft(CAST(1 AS BIGINT), CAST(63 - bit AS INT))"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("low63"),
+        F.max(F.when(F.col("bit") == 0, F.col("set")).otherwise(F.lit(0))).alias("sign"),
+    )
+    return out.select(
+        "doc_id",
+        (
+            F.col("low63")
+            + F.when(F.col("sign") == 1, F.lit(-(2**63)).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash"),
+    )

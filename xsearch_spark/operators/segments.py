@@ -90,6 +90,13 @@ def _pack_group(
 ) -> dict:
     """Encode one (seg_id, term) posting run. doc_ids pre-sorted unique."""
     n = doc_ids.size
+    if n > 1 and not np.all(doc_ids[1:] > doc_ids[:-1]):
+        # fail fast: duplicates here mean two documents share a doc_id
+        # (broken S2 assignment) — caught at pack time, not query time
+        raise ValueError(
+            f"pack invariant violated: duplicate doc_id in run for term={term!r} "
+            f"seg={seg_id} (doc_id assignment is not injective)"
+        )
     factors = _bm25_factor(tfs, dls, avgdl)
     starts = np.arange(0, n, BLOCK_SIZE)
     block_last = doc_ids[np.minimum(starts + BLOCK_SIZE - 1, n - 1)]
@@ -229,13 +236,24 @@ def _merge_frame(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
     for s, e in zip(starts, ends):
         g = pdf.iloc[s:e]
         doc_ids = np.concatenate([codec.decode_doc_ids(b) for b in g["doc_ids"]])
-        if not np.all(doc_ids[1:] > doc_ids[:-1]):
-            raise ValueError(
-                f"merge invariant violated: doc_ids not strictly increasing "
-                f"for term={g['term'].iloc[0]!r} shard={g['shard'].iloc[0]}"
-            )
         tfs = np.concatenate([codec.decode_tfs(b) for b in g["tfs"]])
         dls = np.concatenate([codec.decode_tfs(b) for b in g["dls"]])
+        if not np.all(doc_ids[1:] > doc_ids[:-1]):
+            # batch builds produce disjoint presorted ranges (pure concat);
+            # streaming epochs may interleave ranges -> k-way sort-merge
+            order = np.argsort(doc_ids, kind="mergesort")
+            doc_ids, tfs, dls = doc_ids[order], tfs[order], dls[order]
+            if not np.all(doc_ids[1:] > doc_ids[:-1]):
+                pos = int(np.nonzero(~(doc_ids[1:] > doc_ids[:-1]))[0][0])
+                meta = g[
+                    [c for c in ("seg_id", "shard", "first_doc_id", "last_doc_id", "n_docs") if c in g.columns]
+                ].to_dict("records")
+                raise ValueError(
+                    f"merge invariant violated: duplicate doc_id for "
+                    f"term={g['term'].iloc[0]!r} shard={g['shard'].iloc[0]} "
+                    f"at pos {pos}: {doc_ids[max(0,pos-2):pos+3].tolist()}; runs={meta} "
+                    f"(same doc indexed twice? apply S4 upsert/dedup first)"
+                )
         n = doc_ids.size
         block_starts = np.arange(0, n, BLOCK_SIZE)
         # re-blocking shifts block boundaries, so per-run block maxima are

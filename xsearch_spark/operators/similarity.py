@@ -1,0 +1,193 @@
+"""Similarity search over an embedding column (array<float>).
+
+Beyond the reference capability set (xsearch is term-based only [R]);
+required of a training-data engine. Two paths:
+
+  * ``cosine_topk`` — brute-force exact top-k against a query vector,
+    pure Column expressions (zip_with + aggregate — JVM higher-order
+    functions, no UDF, whole-stage codegen'd). The correctness baseline
+    and perfectly scalable as a single scan + TakeOrderedAndProject.
+  * ``lsh_buckets`` / ``lsh_candidate_pairs`` — signed-random-projection
+    LSH: P hyperplanes with deterministic ±1 components derived from
+    md5(plane:dim) (bit-identical in DuckDB SQL, so the bucketing is
+    oracle-checkable); bucket = the P sign bits. Near-dup candidates
+    only join within buckets. This is the scale path: the full
+    pairwise cosine is O(n²); bucketed is O(n·avg_bucket).
+  * ``ivf_topk`` — IVF-style probe: rank buckets by the query's own
+    bucket Hamming distance... kept simple: probe the query's bucket
+    plus optional Hamming-1 neighbors, exact-rescore inside the probe
+    set. Recall/latency trade-off is explicit and measured in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k: one scan, no shuffle beyond the
+    TakeOrderedAndProject heap merge. (vec_id, cos_sim)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = _dot(F.col(emb_col), q) / (_norm(F.col(emb_col)) * _norm(q))
+    return (
+        embeddings.select(F.col(id_col).alias("vec_id"), sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def lsh_buckets(
+    embeddings: DataFrame,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Signed-random-projection bucket per vector -> (vec_id, bucket).
+
+    Hyperplane component (p, d) = +1 if the first hex nibble of
+    md5('p:d') >= 8 else -1 — deterministic and reproducible in ANSI
+    SQL. bucket = Σ_p [dot_p >= 0] · 2^p.
+    """
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.posexplode(emb_col).alias("dim", "val")
+    )
+    planes = F.explode(F.sequence(F.lit(0), F.lit(num_planes - 1))).alias("plane")
+    expanded = e.select("vec_id", "dim", "val", planes)
+    signed = expanded.withColumn(
+        "sign",
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.col("plane").cast("string"), F.col("dim").cast("string")
+                        )
+                    ),
+                    1,
+                    1,
+                ),
+                16,
+                10,
+            ).cast("int")
+            >= 8,
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0)),
+    )
+    dots = signed.groupBy("vec_id", "plane").agg(
+        F.sum(F.col("val").cast("double") * F.col("sign")).alias("dot")
+    )
+    return (
+        dots.withColumn(
+            "bit", (F.round(F.col("dot"), 6) >= 0).cast("long")
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.sum(
+                F.col("bit")
+                * F.expr("shiftleft(CAST(1 AS BIGINT), CAST(plane AS INT))")
+            ).alias("bucket")
+        )
+    )
+
+
+def lsh_candidate_pairs(
+    embeddings: DataFrame, num_planes: int = 8, id_col: str = "vec_id", emb_col: str = "embedding"
+) -> DataFrame:
+    """Near-dup candidates: pairs sharing an LSH bucket (vec_a < vec_b)."""
+    b = lsh_buckets(embeddings, num_planes, id_col, emb_col)
+    a = b.select(F.col("bucket"), F.col("vec_id").alias("vec_a"))
+    c = b.select(F.col("bucket"), F.col("vec_id").alias("vec_b"))
+    return a.join(c, "bucket").filter(F.col("vec_a") < F.col("vec_b")).select(
+        "vec_a", "vec_b"
+    )
+
+
+def embedding_cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup: exact cosine on LSH-bucketed candidate
+    pairs -> (vec_a, vec_b, cos_sim >= threshold)."""
+    pairs = lsh_candidate_pairs(embeddings, num_planes, id_col, emb_col)
+    ea = embeddings.select(F.col(id_col).alias("vec_a"), F.col(emb_col).alias("emb_a"))
+    eb = embeddings.select(F.col(id_col).alias("vec_b"), F.col(emb_col).alias("emb_b"))
+    joined = pairs.join(ea, "vec_a").join(eb, "vec_b")
+    sim = _dot(F.col("emb_a"), F.col("emb_b")) / (
+        _norm(F.col("emb_a")) * _norm(F.col("emb_b"))
+    )
+    return (
+        joined.select("vec_a", "vec_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    num_planes: int = 8,
+    probe_hamming: int = 1,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: exact rescore inside the query's LSH bucket
+    plus all buckets within ``probe_hamming`` bit flips. At scale the
+    bucketed table is written partitioned by bucket, so a probe reads
+    only probed partitions."""
+    import hashlib
+
+    # driver-side query bucket (same md5 plane construction)
+    import numpy as np
+
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qbucket = 0
+    for p in range(num_planes):
+        signs = np.array(
+            [
+                1.0
+                if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0], 16) >= 8
+                else -1.0
+                for d in range(len(query_vec))
+            ]
+        )
+        if round(float(qv @ signs), 6) >= 0:
+            qbucket |= 1 << p
+    probes = {qbucket}
+    if probe_hamming >= 1:
+        probes |= {qbucket ^ (1 << p) for p in range(num_planes)}
+    b = lsh_buckets(embeddings, num_planes, id_col, emb_col)
+    probe_ids = b.filter(F.col("bucket").isin(sorted(probes))).select(
+        F.col("vec_id").alias("_probe_id")
+    )
+    cand = embeddings.join(
+        probe_ids, F.col(id_col) == F.col("_probe_id"), "left_semi"
+    )
+    return cosine_topk(cand, query_vec, k, id_col, emb_col)

@@ -1,0 +1,260 @@
+"""DuckDB oracle SQL for the training-data pipeline operators (dedup,
+similarity, text analysis). Generated from the same constants/word lists
+the Spark operators use — parity by construction, like oracles.py.
+
+Engine-vs-oracle float discipline: every float output is round(x, 6) on
+both sides; hash/count outputs are exact.
+"""
+
+from __future__ import annotations
+
+from xsearch_spark.constants import TOKEN_SPLIT_REGEX
+from xsearch_spark.functions.textops import (
+    BPE_ISH_REGEX,
+    FINGERPRINT_SHINGLE,
+    LANG_MARKERS,
+    STOPWORDS,
+)
+
+RGX = "'" + TOKEN_SPLIT_REGEX.replace("'", "''") + "'"
+
+_TOK = (
+    "tok AS (SELECT doc_id, u AS term FROM (SELECT doc_id, "
+    f"unnest(string_split_regex(lower(text), {RGX})) AS u FROM documents) "
+    "WHERE u <> '')"
+)
+_TOKS_ARR = (
+    f"toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), {RGX}), "
+    "x -> x <> '') AS t FROM documents)"
+)
+
+
+def dedup_exact_sql() -> str:
+    return """
+SELECT md5(text) AS content_hash, count(*) AS dup_count, min(doc_id) AS keeper_doc_id
+FROM documents GROUP BY md5(text) HAVING count(*) > 1
+"""
+
+
+def _shingle_cte(n: int) -> str:
+    idx = " || ' ' || ".join(f"t[i + {j}]" for j in range(n))
+    return f"""{_TOKS_ARR},
+sh AS (
+  SELECT DISTINCT doc_id, unnest(
+    CASE WHEN len(t) >= {n}
+         THEN list_transform(generate_series(1, len(t) - {n - 1}), i -> {idx})
+         ELSE [] END) AS shingle
+  FROM toks
+)"""
+
+
+def minhash_sql(num_hashes: int = 16, shingle_n: int = 3) -> str:
+    return f"""
+WITH {_shingle_cte(shingle_n)},
+seeds AS (SELECT unnest(generate_series(0, {num_hashes - 1})) AS seed)
+SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || shingle)) AS minhash
+FROM sh CROSS JOIN seeds GROUP BY doc_id, seed
+"""
+
+
+def _lsh_pairs_cte(num_hashes: int, bands: int, shingle_n: int = 3) -> str:
+    rpb = num_hashes // bands
+    return f"""
+{_shingle_cte(shingle_n)},
+seeds AS (SELECT unnest(generate_series(0, {num_hashes - 1})) AS seed),
+sigs AS (
+  SELECT doc_id, seed, seed // {rpb} AS band,
+         min(md5(seed::VARCHAR || ':' || shingle)) AS minhash
+  FROM sh CROSS JOIN seeds GROUP BY doc_id, seed
+),
+bandkeys AS (
+  SELECT doc_id, band, md5(string_agg(minhash, '|' ORDER BY seed)) AS bucket
+  FROM sigs GROUP BY doc_id, band
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bandkeys a JOIN bandkeys b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)"""
+
+
+def lsh_pairs_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    return f"WITH {_lsh_pairs_cte(num_hashes, bands)} SELECT doc_a, doc_b FROM pairs"
+
+
+def ngram_jaccard_sql(num_hashes: int = 16, bands: int = 4, n: int = 3) -> str:
+    # the LSH CTE's shingle set (same n) is reused for the exact Jaccard
+    return f"""
+WITH {_lsh_pairs_cte(num_hashes, bands, n)},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+  FROM pairs p
+  JOIN sh a ON a.doc_id = p.doc_a
+  JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT p.doc_a, p.doc_b,
+       round(coalesce(i.n_inter, 0)::DOUBLE
+             / (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)), 6) AS jaccard
+FROM pairs p
+LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+"""
+
+
+def simhash_sql(bits: int = 64) -> str:
+    return f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+bitids AS (SELECT unnest(generate_series(0, {bits - 1})) AS bit),
+perbit AS (
+  SELECT doc_id, bit,
+         sum(tf * (2 * (((instr('0123456789abcdef',
+                                substr(md5(term), bit // 4 + 1, 1)) - 1)
+                         >> (3 - bit % 4)) % 2) - 1)) AS vote
+  FROM tf CROSS JOIN bitids GROUP BY doc_id, bit
+)
+SELECT doc_id,
+       (sum(CASE WHEN bit > 0 AND vote > 0
+                 THEN (1::BIGINT << (63 - bit)) ELSE 0 END)
+        + CASE WHEN max(CASE WHEN bit = 0 AND vote > 0 THEN 1 ELSE 0 END) = 1
+               THEN (-9223372036854775807 - 1) ELSE 0 END)::BIGINT AS simhash
+FROM perbit GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity (embeddings table)
+
+_EMB_EXPLODE = (
+    "e AS (SELECT vec_id, unnest(embedding) AS val, "
+    "unnest(generate_series(0, len(embedding) - 1)) AS dim FROM embeddings)"
+)
+
+
+def cosine_topk_sql(query_vec_id: int = 0, k: int = 10) -> str:
+    return f"""
+WITH q AS (SELECT unnest(embedding) AS qval,
+                  unnest(generate_series(0, len(embedding) - 1)) AS dim
+           FROM embeddings WHERE vec_id = {query_vec_id}),
+{_EMB_EXPLODE},
+dots AS (
+  SELECT e.vec_id,
+         sum(e.val::DOUBLE * q.qval::DOUBLE) AS dot,
+         sum(e.val::DOUBLE * e.val::DOUBLE) AS nrm2
+  FROM e JOIN q USING (dim) GROUP BY e.vec_id
+),
+qn AS (SELECT sum(qval::DOUBLE * qval::DOUBLE) AS qnrm2 FROM q)
+SELECT vec_id, round(dot / (sqrt(nrm2) * sqrt(qnrm2)), 6) AS cos_sim
+FROM dots CROSS JOIN qn
+ORDER BY dot / (sqrt(nrm2) * sqrt(qnrm2)) DESC, vec_id ASC LIMIT {k}
+"""
+
+
+def lsh_buckets_sql(num_planes: int = 8) -> str:
+    return f"""
+WITH {_EMB_EXPLODE},
+planes AS (SELECT unnest(generate_series(0, {num_planes - 1})) AS plane),
+signed AS (
+  SELECT vec_id, plane,
+         val::DOUBLE * (CASE WHEN instr('0123456789abcdef',
+                    substr(md5(plane::VARCHAR || ':' || dim::VARCHAR), 1, 1)) - 1 >= 8
+                THEN 1.0 ELSE -1.0 END) AS sv
+  FROM e CROSS JOIN planes
+),
+dots AS (SELECT vec_id, plane, sum(sv) AS dot FROM signed GROUP BY vec_id, plane)
+SELECT vec_id,
+       sum(CASE WHEN round(dot, 6) >= 0 THEN (1::BIGINT << plane) ELSE 0 END)::BIGINT AS bucket
+FROM dots GROUP BY vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis (documents table)
+
+
+def _markers_in(markers: list[str]) -> str:
+    return ", ".join("'" + m + "'" for m in markers)
+
+
+def lang_id_sql() -> str:
+    score_exprs = {
+        lang: (
+            f"len(list_filter(t, x -> x IN ({_markers_in(m)})))::DOUBLE"
+            f" / greatest(len(t), 1)::DOUBLE"
+        )
+        for lang, m in LANG_MARKERS.items()
+    }
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in LANG_MARKERS) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN s_{lang} = best THEN '{lang}'" for lang in sorted(LANG_MARKERS)
+    ) + " END"
+    selects = ", ".join(f"{e} AS s_{lang}" for lang, e in score_exprs.items())
+    return f"""
+WITH {_TOKS_ARR},
+scored AS (SELECT doc_id, {selects} FROM toks),
+withbest AS (SELECT *, {best} AS best FROM scored)
+SELECT doc_id, {case} AS pred_lang, round(best, 6) AS lang_score FROM withbest
+"""
+
+
+def quality_features_sql() -> str:
+    stop = _markers_in(STOPWORDS)
+    return f"""
+WITH {_TOKS_ARR},
+base AS (
+  SELECT d.doc_id, d.text, t.t,
+         length(d.text) AS n_chars, len(t.t) AS n_tok
+  FROM documents d JOIN toks t USING (doc_id)
+)
+SELECT doc_id,
+  n_chars::BIGINT AS n_chars,
+  n_tok::BIGINT AS n_tokens,
+  round(list_aggregate(list_transform(t, x -> length(x)::DOUBLE), 'sum')
+        / greatest(n_tok, 1)::DOUBLE, 6) AS mean_tok_len,
+  round(len(list_filter(t, x -> x IN ({stop})))::DOUBLE
+        / greatest(n_tok, 1)::DOUBLE, 6) AS stopword_ratio,
+  round((n_chars - length(regexp_replace(text, '[^A-Za-z0-9_\\s]', '', 'g')))::DOUBLE
+        / greatest(n_chars, 1)::DOUBLE, 6) AS punct_ratio,
+  round((n_chars - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+        / greatest(n_chars, 1)::DOUBLE, 6) AS digit_ratio,
+  round((n_chars - length(regexp_replace(text, '[A-Z]', '', 'g')))::DOUBLE
+        / greatest(n_chars, 1)::DOUBLE, 6) AS upper_ratio
+FROM base
+"""
+
+
+def quality_score_sql() -> str:
+    return f"""
+WITH feat AS ({quality_features_sql()})
+SELECT doc_id,
+  round((1.0 - least(punct_ratio * 2.0, 0.5) - least(digit_ratio, 0.3))
+        * least(n_tokens::DOUBLE / 64.0, 1.0), 6) AS quality
+FROM feat
+"""
+
+
+def token_counts_sql() -> str:
+    # DuckDB string literals are standard-SQL (no backslash escapes):
+    # the regex goes in verbatim, only quotes need doubling
+    bpe = BPE_ISH_REGEX.replace("'", "''")
+    return f"""
+SELECT doc_id,
+  len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::BIGINT AS ws_tokens,
+  len(regexp_extract_all(text, '{bpe}'))::BIGINT AS bpe_ish_tokens
+FROM documents
+"""
+
+
+def doc_fingerprint_sql() -> str:
+    w = FINGERPRINT_SHINGLE
+    return f"""
+SELECT doc_id,
+  list_aggregate(
+    list_transform(generate_series(1, greatest(length(text) - {w - 1}, 1)),
+                   i -> md5(substr(text, i, {w}))),
+    'min') AS fingerprint
+FROM documents
+"""
