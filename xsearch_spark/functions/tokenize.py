@@ -74,26 +74,38 @@ def tokenize_code_py(text: str) -> list[str]:
 
 def _code_tokenize_series(s: pd.Series) -> pd.Series:
     # Vectorized over the Arrow batch: one pass of pandas str ops to find
-    # raw tokens, then a list-comprehension over *tokens* (not rows x chars)
-    # for the compound expansion. The per-token work is tiny and bounded;
-    # the heavy lifting (regex scan of content) is vectorized.
+    # raw tokens; compound expansion is memoized per DISTINCT raw token
+    # (worker-lifetime cache) — source code repeats identifiers heavily
+    # (Zipf), so per-token Python work amortizes to ~zero on the hot path.
     raw_lists = s.fillna("").str.findall(r"[A-Za-z0-9_]+")
-    return raw_lists.map(_expand_raw_tokens)
+    cache = _EXPAND_CACHE
+    expand = _expand_one
+    return raw_lists.map(
+        lambda raws: [
+            t for raw in raws for t in (cache.get(raw) or expand(raw))
+        ]
+    )
+
+
+_EXPAND_CACHE: dict[str, tuple[str, ...]] = {}
+_EXPAND_CACHE_MAX = 1_000_000  # bound worker memory on adversarial vocab
+
+
+def _expand_one(raw: str) -> tuple[str, ...]:
+    low = raw.lower()
+    if "_" in raw:
+        parts = [p for p in raw.split("_") if p]
+    else:
+        parts = [raw]
+    subs = [s.lower() for p in parts for s in _CAMEL_RE.split(p) if s]
+    out = (low, *subs) if subs != [low] else (low,)
+    if len(_EXPAND_CACHE) < _EXPAND_CACHE_MAX:
+        _EXPAND_CACHE[raw] = out
+    return out
 
 
 def _expand_raw_tokens(raws: list[str]) -> list[str]:
-    out: list[str] = []
-    for raw in raws:
-        low = raw.lower()
-        out.append(low)
-        if "_" in raw:
-            parts = [p for p in raw.split("_") if p]
-        else:
-            parts = [raw]
-        subs = [s.lower() for p in parts for s in _CAMEL_RE.split(p) if s]
-        if subs != [low]:
-            out.extend(subs)
-    return out
+    return [t for raw in raws for t in (_EXPAND_CACHE.get(raw) or _expand_one(raw))]
 
 
 def make_code_tokenizer_udf():

@@ -227,9 +227,6 @@ def search_wand(
     }
     idfs = {t: idf_py(built.n_docs, stats[t]) for t in parsed.terms if t in stats}
     avgdl = built.avgdl
-    n_docs = built.n_docs
-    parsed_b = parsed
-    k_b = k
     exclude_terms = set(parsed.exclude)
     allowed_b = None
     if parsed.lang is not None:
@@ -275,7 +272,7 @@ def search_wand(
                     np.asarray(r.block_max, dtype=np.float64),
                 )
             ids_out, scores_out = score_shard(
-                lists, blocks, idfs, avgdl, parsed_b, k_b, ex_lists, allowed_b
+                lists, blocks, idfs, avgdl, parsed, k, ex_lists, allowed_b
             )
             yield pd.DataFrame({"doc_id": ids_out, "score": scores_out})
 

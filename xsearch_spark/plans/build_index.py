@@ -96,8 +96,11 @@ def build_index(
     m1 = ckpt.stage_done(out_dir, "postings", fp1)
     if m1 is None:
         with ckpt.StageTimer() as t:
-            tok = b.with_tokens(source_df, text_col, variant)
-            post = b.postings_with_dl(tok, doc_id_col).withColumn(
+            # fused tokenize+count (B1+B2 in the Arrow UDF): no explode,
+            # no shuffle — see postings_with_dl_fused
+            post = b.postings_with_dl_fused(
+                source_df, text_col, doc_id_col, variant
+            ).withColumn(
                 "seg_group",
                 (F.col("doc_id") / F.lit(docs_per_segment * segs_per_group)).cast(
                     "long"
@@ -106,22 +109,30 @@ def build_index(
             post.write.mode("overwrite").partitionBy("seg_group").parquet(
                 paths["postings"]
             )
-            # N from a content-free source count; sum(dl over all docs) ==
-            # sum(tf over postings) — zero-token docs contribute 0 either
-            # way, so avgdl is exact without a second tokenizer pass.
+            # N from a content-free source count (parquet metadata);
+            # sum(dl over all docs) == sum(tf over postings) — zero-token
+            # docs contribute 0 either way, so avgdl is exact without a
+            # second tokenizer pass. One aggregation job yields both the
+            # global sum and the per-partition lineage rows.
             n_docs_l = source_df.count()
-            sum_dl = (
+            part_rows = (
                 spark.read.parquet(paths["postings"])
-                .agg(F.sum(F.col("tf").cast("long")).alias("s"))
-                .collect()[0]["s"]
+                .groupBy("seg_group")
+                .agg(
+                    F.count(F.lit(1)).alias("rows"),
+                    F.sum(F.col("tf").cast("long")).alias("s"),
+                )
+                .collect()
             )
-            avgdl_l = (int(sum_dl) / n_docs_l) if n_docs_l else 0.0
+            sum_dl = sum(int(r["s"]) for r in part_rows)
+            avgdl_l = (sum_dl / n_docs_l) if n_docs_l else 0.0
             with open(paths["stats"] + ".tmp", "w") as f:
                 json.dump({"n_docs": n_docs_l, "avgdl": avgdl_l}, f)
             os.replace(paths["stats"] + ".tmp", paths["stats"])
         m1 = ckpt.StageManifest("postings", fp1, "done", t.wall_ms)
-        post_df = spark.read.parquet(paths["postings"])
-        m1.partitions = _partition_rows(post_df, "seg_group")
+        m1.partitions = {
+            str(r["seg_group"]): {"rows": int(r["rows"])} for r in part_rows
+        }
         m1.rows_out = sum(p["rows"] for p in m1.partitions.values())
         m1.completed_at = time.time()
         ckpt.save_manifest(out_dir, m1)
@@ -133,9 +144,9 @@ def build_index(
     # ---- stage 2: packed segments (per-partition resume) -----------------
     fp2 = _fingerprint("segments", fp1)
     m2 = ckpt.load_manifest(out_dir, "segments")
-    all_groups = {
-        str(r["seg_group"]) for r in post_df.select("seg_group").distinct().collect()
-    }
+    # the seg_group universe is already in the stage-1 manifest — no
+    # extra distinct-scan job
+    all_groups = set(m1.partitions)
     done_groups = (
         set(m2.partitions) if m2 and m2.input_fingerprint == fp2 else set()
     )
@@ -152,10 +163,12 @@ def build_index(
                 (F.col("seg_id") / F.lit(segs_per_group)).cast("long"),
             )
             # dynamic overwrite: only the seg_group partitions in `packed`
-            # are replaced; completed ones stay untouched (resume unit)
-            packed.write.mode("overwrite").partitionBy("seg_group").parquet(
-                paths["segments"]
-            )
+            # are replaced; completed ones stay untouched (resume unit).
+            # one shuffle of the tiny packed rows -> one file per group
+            # (fast commit, no small-file storm at the sink)
+            packed.repartition("seg_group").write.mode("overwrite").partitionBy(
+                "seg_group"
+            ).parquet(paths["segments"])
         seg_df = spark.read.parquet(paths["segments"])
         parts = _partition_rows(seg_df.filter(F.col("seg_group").isin([int(g) for g in missing])), "seg_group")
         if m2 is None or m2.input_fingerprint != fp2:
@@ -181,9 +194,12 @@ def build_index(
                 "bucket",
                 F.pmod(F.xxhash64(F.col("term")), F.lit(num_buckets)).cast("int"),
             )
-            merged.write.mode("overwrite").partitionBy("bucket").parquet(
-                paths["index"]
-            )
+            # one file per bucket, term-sorted inside: Q2's pruned scan
+            # reads exactly one file per probed bucket and parquet
+            # row-group min/max stats on `term` skip within it
+            merged.repartition(num_buckets, "bucket").sortWithinPartitions(
+                "term", "shard"
+            ).write.mode("overwrite").partitionBy("bucket").parquet(paths["index"])
         m3 = ckpt.StageManifest("index", fp3, "done", t.wall_ms)
         m3.partitions = _partition_rows(spark.read.parquet(paths["index"]), "bucket")
         m3.rows_out = sum(p["rows"] for p in m3.partitions.values())

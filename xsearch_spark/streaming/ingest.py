@@ -55,8 +55,7 @@ def start_ingest(
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        tok = b.with_tokens(batch_df, text_col, variant)
-        post = b.postings_with_dl(tok)
+        post = b.postings_with_dl_fused(batch_df, text_col, "doc_id", variant)
         packed = seg.build_segments(post, avgdl_hint, docs_per_segment)
         # one directory per epoch: idempotent on redelivery (exactly-once)
         out = os.path.join(index_root, "segments", f"epoch={epoch_id}")
