@@ -88,6 +88,7 @@ def run_bench(sf_dir: str, cpus: int, emit_json: bool = True) -> dict:
             spark, docs, out,
             text_col="text", variant="base",
             docs_per_segment=4096, segs_per_shard=4, num_buckets=32,
+            n_docs=n_docs,
         )
         build_s = time.monotonic() - t0
         for _pass in range(2):  # second pass = warm
@@ -103,6 +104,7 @@ def run_bench(sf_dir: str, cpus: int, emit_json: bool = True) -> dict:
             spark, code_ids, out_code,
             text_col="content", variant="code",
             docs_per_segment=4096, segs_per_shard=4, num_buckets=64,
+            n_docs=n_code,
         )
         code_build_s = time.monotonic() - t0
         for _pass in range(2):

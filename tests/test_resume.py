@@ -15,6 +15,8 @@ from xsearch_spark.operators import segments as seg
 from xsearch_spark.plans.build_index import build_index
 from xsearch_spark.sources.io import read_documents
 
+STAGES = ["segments", "index", "term_stats"]
+
 
 def _index_snapshot(built) -> dict:
     rows = seg.decode_postings(built.index_df).collect()
@@ -47,7 +49,7 @@ def test_rerun_skips_completed_stages(spark, workdir):
     built1 = _build(spark, workdir)
     snap1 = _index_snapshot(built1)
     stamps1 = {}
-    for stage in ["postings", "segments", "index", "term_stats"]:
+    for stage in STAGES:
         with open(os.path.join(workdir, "manifests", f"{stage}.json")) as f:
             stamps1[stage] = json.load(f)["completed_at"]
     built2 = _build(spark, workdir)
@@ -68,21 +70,22 @@ def test_partial_segment_resume(spark, workdir):
     # simulate a crash that lost one partition: drop it from the manifest
     # and from disk, and invalidate downstream stages
     victim = sorted(m["partitions"])[0]
+    survivor = sorted(m["partitions"])[1]
+    survivor_row = m["partitions"][survivor]
     del m["partitions"][victim]
     with open(mpath, "w") as f:
         json.dump(m, f)
     shutil.rmtree(os.path.join(workdir, "segments", f"seg_group={victim}"))
     for stage in ["index", "term_stats"]:
         os.remove(os.path.join(workdir, "manifests", f"{stage}.json"))
-    with open(os.path.join(workdir, "manifests", "postings.json")) as f:
-        postings_stamp = json.load(f)["completed_at"]
 
     built2 = _build(spark, workdir)
-    # postings stage untouched (still checkpointed) ...
-    with open(os.path.join(workdir, "manifests", "postings.json")) as f:
-        assert json.load(f)["completed_at"] == postings_stamp
-    # ... the lost partition was rebuilt, and the index is identical
     with open(mpath) as f:
         m2 = json.load(f)
+    # the lost partition was rebuilt ...
     assert victim in m2["partitions"]
+    # ... untouched partitions kept their original lineage rows (i.e.
+    # were NOT recomputed) ...
+    assert m2["partitions"][survivor] == survivor_row
+    # ... and the index is identical
     assert _index_snapshot(built2) == snap1

@@ -1,0 +1,103 @@
+"""Property test (SURVEY.md §5.4): block-max WAND pruning must be
+invisible — score_shard == naive full evaluation on random mini-corpora,
+including boundary ties at the pruning threshold. Pure NumPy, no Spark."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from xsearch_spark.constants import B, BLOCK_SIZE, K1
+from xsearch_spark.operators.wand import score_shard
+from xsearch_spark.plans.query import ParsedQuery
+
+
+def _mk_lists(rng: np.random.Generator, n_terms: int, n_docs: int):
+    lists, blocks = {}, {}
+    avgdl = 0.0
+    dls_by_doc = rng.integers(1, 50, size=n_docs)
+    avgdl = float(dls_by_doc.mean())
+    for t in range(n_terms):
+        df = int(rng.integers(1, n_docs + 1))
+        ids = np.sort(rng.choice(n_docs, size=df, replace=False)).astype(np.int64)
+        tfs = rng.integers(1, 6, size=df).astype(np.int64)
+        dls = dls_by_doc[ids].astype(np.int64)
+        term = f"t{t}"
+        lists[term] = (ids, tfs, dls)
+        starts = np.arange(0, df, BLOCK_SIZE)
+        fac = tfs * (K1 + 1.0) / (tfs + K1 * (1 - B + B * dls / avgdl))
+        blocks[term] = (
+            ids[np.minimum(starts + BLOCK_SIZE - 1, df - 1)],
+            np.maximum.reduceat(fac, starts),
+        )
+    return lists, blocks, avgdl
+
+
+def _naive(lists, idfs, avgdl, parsed, k):
+    scores: dict[int, float] = {}
+    hits: dict[int, int] = {}
+    for t in parsed.terms:
+        if t not in lists:
+            if parsed.connective == "AND":
+                return []
+            continue
+        ids, tfs, dls = lists[t]
+        for d, tf, dl in zip(ids.tolist(), tfs.tolist(), dls.tolist()):
+            w = idfs[t] * tf * (K1 + 1.0) / (tf + K1 * (1 - B + B * dl / avgdl))
+            scores[d] = scores.get(d, 0.0) + w
+            hits[d] = hits.get(d, 0) + 1
+    cand = scores
+    if parsed.connective == "AND":
+        cand = {d: s for d, s in scores.items() if hits[d] == len(parsed.terms)}
+    ranked = sorted(cand, key=lambda d: (-cand[d], d))[:k]
+    return [(d, cand[d]) for d in ranked]
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    n_terms=st.integers(1, 4),
+    n_docs=st.integers(1, 600),
+    k=st.integers(1, 15),
+    conn=st.sampled_from(["AND", "OR"]),
+)
+def test_wand_equals_naive(seed, n_terms, n_docs, k, conn):
+    rng = np.random.default_rng(seed)
+    lists, blocks, avgdl = _mk_lists(rng, n_terms, n_docs)
+    n_corpus = n_docs
+    idfs = {
+        t: math.log(1 + (n_corpus - len(v[0]) + 0.5) / (len(v[0]) + 0.5))
+        for t, v in lists.items()
+    }
+    parsed = ParsedQuery(terms=tuple(lists.keys()), connective=conn)
+    got_ids, got_scores = score_shard(lists, blocks, idfs, avgdl, parsed, k)
+    want = _naive(lists, idfs, avgdl, parsed, k)
+    assert [int(i) for i in got_ids] == [d for d, _ in want]
+    for g, (_, w) in zip(got_scores.tolist(), want):
+        assert abs(g - w) < 1e-9
+
+
+@settings(max_examples=50, deadline=None)
+@given(seed=st.integers(0, 10_000))
+def test_wand_tie_boundary(seed):
+    """Force many equal scores (same tf/dl everywhere) so the k-th score
+    ties across blocks — pruning with strict < must keep all tied docs
+    reachable and the doc_id tie-break exact."""
+    rng = np.random.default_rng(seed)
+    n_docs = 400
+    ids = np.arange(n_docs, dtype=np.int64)
+    tfs = np.ones(n_docs, dtype=np.int64)
+    dls = np.full(n_docs, 10, dtype=np.int64)
+    lists = {"t0": (ids, tfs, dls)}
+    starts = np.arange(0, n_docs, BLOCK_SIZE)
+    fac = tfs * (K1 + 1.0) / (tfs + K1 * (1 - B + B * dls / 10.0))
+    blocks = {"t0": (ids[np.minimum(starts + BLOCK_SIZE - 1, n_docs - 1)],
+                     np.maximum.reduceat(fac, starts))}
+    idfs = {"t0": 1.0}
+    parsed = ParsedQuery(terms=("t0",), connective="OR")
+    k = int(rng.integers(1, 20))
+    got_ids, _ = score_shard(lists, blocks, idfs, 10.0, parsed, k)
+    assert [int(i) for i in got_ids] == list(range(k))  # pure doc_id order

@@ -61,6 +61,46 @@ def postings_with_dl(tokenized: DataFrame, doc_id_col: str = "doc_id") -> DataFr
     )
 
 
+def count_batch(texts, ids, variant: str):
+    """Tokenize+count one Arrow batch -> (terms, doc_ids, tfs, dls) numpy
+    arrays sorted by doc_id. Shared by the fused postings UDF and the
+    one-pass segment packer. Returns None for an all-empty batch."""
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+
+    from xsearch_spark.functions.tokenize import _code_tokenize_series
+
+    if variant == "base":
+        token_lists = texts.fillna("").str.lower().str.findall(r"[a-z0-9_]+")
+    else:
+        token_lists = _code_tokenize_series(texts)
+    lens = token_lists.map(len).to_numpy(np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return None
+    row_idx = np.repeat(np.arange(len(ids)), lens)
+    all_tok = np.fromiter(
+        itertools.chain.from_iterable(token_lists), dtype=object, count=total
+    )
+    # count (row, term) pairs on INTEGER keys: factorize terms to codes
+    # (C-speed hash) and unique the combined int64 key — avoids an
+    # O(n log n) Python-string comparison sort
+    codes, uniques = pd.factorize(all_tok)
+    n_codes = len(uniques)
+    combined = row_idx * np.int64(n_codes) + codes
+    u, counts = np.unique(combined, return_counts=True)
+    r = (u // n_codes).astype(np.int64)
+    c = (u % n_codes).astype(np.int64)
+    return (
+        np.asarray(uniques, dtype=object)[c],
+        ids[r],
+        counts.astype(np.int64),
+        lens[r],
+    )
+
+
 def postings_with_dl_fused(
     source_df: DataFrame,
     text_col: str,
@@ -82,8 +122,6 @@ def postings_with_dl_fused(
 
     Must produce exactly the rows of :func:`postings_with_dl` (tested).
     """
-    import itertools
-
     import numpy as np
     import pandas as pd
 
@@ -94,8 +132,6 @@ def postings_with_dl_fused(
         StructField,
         StructType,
     )
-
-    from xsearch_spark.functions.tokenize import _code_tokenize_series
 
     schema = StructType(
         [
@@ -110,38 +146,18 @@ def postings_with_dl_fused(
         for pdf in batches:
             if pdf.empty:
                 continue
-            ids = pdf[doc_id_col].to_numpy(np.int64)
-            if variant == "base":
-                # findall of allowed runs on lowered text == frozen base
-                # tokenizer (split on [^a-z0-9_]+, drop empties)
-                token_lists = pdf[text_col].fillna("").str.lower().str.findall(r"[a-z0-9_]+")
-            else:
-                token_lists = _code_tokenize_series(pdf[text_col])
-            lens = token_lists.map(len).to_numpy(np.int64)
-            n_rows = len(pdf)
-            total = int(lens.sum())
-            if total == 0:
-                continue
-            row_idx = np.repeat(np.arange(n_rows), lens)
-            all_tok = np.fromiter(
-                itertools.chain.from_iterable(token_lists), dtype=object, count=total
+            res = count_batch(
+                pdf[text_col], pdf[doc_id_col].to_numpy(np.int64), variant
             )
-            # count (row, term) pairs on INTEGER keys: factorize terms to
-            # codes (C-speed hash) and unique the combined int64 key —
-            # avoids an O(n log n) Python-string comparison sort, which
-            # dominated this UDF's profile
-            codes, uniques = pd.factorize(all_tok)
-            n_codes = len(uniques)
-            combined = row_idx * np.int64(n_codes) + codes
-            u, counts = np.unique(combined, return_counts=True)
-            r = (u // n_codes).astype(np.int64)
-            c = (u % n_codes).astype(np.int64)
+            if res is None:
+                continue
+            terms, doc_ids, tfs, dls = res
             yield pd.DataFrame(
                 {
-                    "term": np.asarray(uniques, dtype=object)[c],
-                    "doc_id": ids[r],
-                    "tf": counts.astype(np.int32),
-                    "dl": lens[r].astype(np.int32),
+                    "term": terms,
+                    "doc_id": doc_ids,
+                    "tf": tfs.astype(np.int32),
+                    "dl": dls.astype(np.int32),
                 }
             )
 

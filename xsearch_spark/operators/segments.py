@@ -60,11 +60,15 @@ PACKED_SCHEMA = StructType(
         StructField("term", StringType(), False),
         StructField("seg_id", LongType(), False),
         StructField("n_docs", LongType(), False),
+        StructField("sum_tf", LongType(), False),  # Σtf: avgdl input w/o decode
         StructField("first_doc_id", LongType(), False),
         StructField("last_doc_id", LongType(), False),
         StructField("doc_ids", BinaryType(), False),
         StructField("tfs", BinaryType(), False),
         StructField("dls", BinaryType(), False),
+        # segment-level block_max is PROVISIONAL (zeros when packed before
+        # avgdl is known — the one-pass build); the merge recomputes real
+        # block maxima and only the MERGED index is WAND-queried
         StructField("block_last", ArrayType(LongType()), False),
         StructField("block_max", ArrayType(DoubleType()), False),
     ]
@@ -86,9 +90,10 @@ def _pack_group(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
     dls: np.ndarray,
-    avgdl: float,
+    avgdl: float | None,
 ) -> dict:
-    """Encode one (seg_id, term) posting run. doc_ids pre-sorted unique."""
+    """Encode one (seg_id, term) posting run. doc_ids pre-sorted unique.
+    avgdl=None -> provisional zero block maxima (merge recomputes)."""
     n = doc_ids.size
     if n > 1 and not np.all(doc_ids[1:] > doc_ids[:-1]):
         # fail fast: duplicates here mean two documents share a doc_id
@@ -97,14 +102,17 @@ def _pack_group(
             f"pack invariant violated: duplicate doc_id in run for term={term!r} "
             f"seg={seg_id} (doc_id assignment is not injective)"
         )
-    factors = _bm25_factor(tfs, dls, avgdl)
     starts = np.arange(0, n, BLOCK_SIZE)
     block_last = doc_ids[np.minimum(starts + BLOCK_SIZE - 1, n - 1)]
-    block_max = np.maximum.reduceat(factors, starts)
+    if avgdl is None:
+        block_max = np.zeros(starts.size, dtype=np.float64)
+    else:
+        block_max = np.maximum.reduceat(_bm25_factor(tfs, dls, avgdl), starts)
     return {
         "term": term,
         "seg_id": int(seg_id),
         "n_docs": int(n),
+        "sum_tf": int(tfs.sum()),
         "first_doc_id": int(doc_ids[0]),
         "last_doc_id": int(doc_ids[-1]),
         "doc_ids": codec.encode_doc_ids(doc_ids),
@@ -330,6 +338,91 @@ LONG_SCHEMA = StructType(
         StructField("dl", LongType(), False),
     ]
 )
+
+
+def pack_from_source(
+    source_df: DataFrame,
+    text_col: str,
+    doc_id_col: str = "doc_id",
+    variant: str = "base",
+    docs_per_segment: int = DEFAULT_DOCS_PER_SEGMENT,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """ONE-PASS segment build: docs -> packed runs, no intermediate
+    postings materialization (the shape xsearch itself uses — a shard
+    tokenizes into its in-memory segment map and flushes packed; [R],
+    SURVEY.md §3.1).
+
+    Topology: shuffle the (doc_id, text) pairs once by seg_group, sort
+    within partitions by doc_id (segments become contiguous), then a
+    single Arrow UDF tokenizes, counts, accumulates a segment's postings
+    and packs it when the doc stream crosses the segment boundary.
+    Versus the two-stage path this removes: the 33M-row postings
+    write+read, its shuffle, and a stage of manifests — the dominant
+    fixed cost at high parallelism.
+
+    Block maxima are emitted provisionally (zeros): they need the global
+    avgdl, which isn't known until all documents are tokenized; the B5
+    merge recomputes them (it always does) and only the merged index
+    serves WAND queries. avgdl itself is recovered from the packed runs'
+    ``sum_tf`` column without any decode.
+    """
+    n = num_partitions or source_df.sparkSession.sparkContext.defaultParallelism * 2
+
+    def pack_docs_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from xsearch_spark.operators.build import count_batch
+
+        acc: dict[str, list] = {"terms": [], "ids": [], "tfs": [], "dls": []}
+        cur_seg: int | None = None
+
+        def flush() -> pd.DataFrame:
+            terms = np.concatenate(acc["terms"])
+            ids = np.concatenate(acc["ids"])
+            tfs = np.concatenate(acc["tfs"])
+            dls = np.concatenate(acc["dls"])
+            acc["terms"], acc["ids"], acc["tfs"], acc["dls"] = [], [], [], []
+            # group by term WITHOUT a string sort: factorize to codes and
+            # lexsort ints; group order inside a file is irrelevant (the
+            # merge re-sorts), parquet stats come from the merged index
+            codes, uniques = pd.factorize(terms)
+            order = np.lexsort((ids, codes))
+            codes, ids_s, tfs_s, dls_s = codes[order], ids[order], tfs[order], dls[order]
+            starts = _group_bounds(codes)
+            ends = np.append(starts[1:], codes.size)
+            uniq = np.asarray(uniques, dtype=object)
+            rows = [
+                _pack_group(cur_seg, uniq[codes[s]], ids_s[s:e], tfs_s[s:e], dls_s[s:e], None)
+                for s, e in zip(starts, ends)
+            ]
+            return pd.DataFrame(rows, columns=[f.name for f in PACKED_SCHEMA.fields])
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            res = count_batch(pdf[text_col], pdf[doc_id_col].to_numpy(np.int64), variant)
+            if res is None:
+                continue
+            terms, ids, tfs, dls = res
+            segs = ids // docs_per_segment
+            bounds = _group_bounds(segs)
+            ends = np.append(bounds[1:], segs.size)
+            for s, e in zip(bounds, ends):
+                seg = int(segs[s])
+                if cur_seg is not None and seg != cur_seg and acc["terms"]:
+                    yield flush()
+                cur_seg = seg
+                acc["terms"].append(terms[s:e])
+                acc["ids"].append(ids[s:e])
+                acc["tfs"].append(tfs[s:e])
+                acc["dls"].append(dls[s:e])
+        if acc["terms"]:
+            yield flush()
+
+    docs = source_df.select(doc_id_col, text_col).withColumn(
+        "_seg_group", (F.col(doc_id_col) / F.lit(docs_per_segment)).cast("long")
+    )
+    docs = docs.repartition(n, "_seg_group").sortWithinPartitions(doc_id_col)
+    return docs.drop("_seg_group").mapInPandas(pack_docs_iter, PACKED_SCHEMA)
 
 
 def decode_postings(packed: DataFrame) -> DataFrame:

@@ -163,6 +163,13 @@ def _or_candidates(
     seed_scores, _ = _gather_scores(seed, {t: lists[t] for t in present}, idfs, avgdl)
     if seed.size >= k:
         theta = float(np.partition(-seed_scores, k - 1)[k - 1] * -1.0)
+        # the block bound (idf * max_factor summed per term) and the exact
+        # score (sum of idf*tf*(k1+1)/denom) associate float ops
+        # differently — a mathematically-equal bound can land 1 ulp below
+        # theta and prune the very document that set it (found by the
+        # Hypothesis sweep). Relax by a relative epsilon: pruning less is
+        # always exact, pruning on a hairline never is.
+        theta -= 1e-9 * max(1.0, abs(theta))
     else:
         theta = -np.inf
     keep_docs = []

@@ -4,15 +4,19 @@ checkpointed per stage with per-partition lineage (B8).
 Stages (each persisted + manifested; a re-run skips completed stages and
 rebuilds only missing segment partitions):
 
-  1. ``postings``  — tokenize (A1/A2), B1 tf, B2 dl -> long postings
-                     parquet partitioned by seg_group.
-  2. ``segments``  — B4/B6/B7 packed per-(seg_id, term) runs, written
-                     partitionBy(seg_group); resume = rebuild only
+  1. ``segments``  — ONE pass: tokenize (A1/A2) + B1 tf + B2 dl + B4/B6
+                     packing fused in a single Arrow UDF over doc-range
+                     partitions (see operators.segments.pack_from_source)
+                     -> packed per-(seg_id, term) runs written
+                     partitionBy(seg_group); resume = rebuild only the
                      seg_groups missing from the manifest (dynamic
-                     partition overwrite).
-  3. ``index``     — B5 salted merge -> (term, shard) runs + term-hash
-                     ``bucket`` partition column for query-time pruning.
-  4. ``stats``     — term df (sum of run n_docs — no postings re-scan),
+                     partition overwrite; the universe of groups derives
+                     from dense doc_ids, no scan). avgdl comes from the
+                     runs' sum_tf column.
+  2. ``index``     — B5 salted merge -> (term, shard) runs (+ real B7
+                     block maxima) + term-hash ``bucket`` partition
+                     column for query-time pruning.
+  3. ``stats``     — term df (sum of run n_docs — no postings re-scan),
                      N/avgdl sidecar JSON.
 
 Scale notes: every stage is one shuffle; nothing collects to the driver
@@ -33,12 +37,13 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from xsearch_spark.operators import build as b
 from xsearch_spark.operators import segments as seg
 from xsearch_spark.plans import checkpoints as ckpt
 
 DEFAULT_NUM_BUCKETS = 64
 SEGS_PER_GROUP = 8  # seg_group = seg_id // SEGS_PER_GROUP: resume + layout unit
+INDEX_FORMAT_VERSION = 2  # bump on any on-disk layout/codec change:
+# invalidates pre-existing checkpoints so a resume never mixes formats
 
 
 @dataclass
@@ -82,98 +87,82 @@ def build_index(
     num_buckets: int = DEFAULT_NUM_BUCKETS,
     segs_per_group: int = SEGS_PER_GROUP,
     source_fingerprint: str | None = None,
+    n_docs: int | None = None,
 ) -> BuiltIndex:
     paths = _paths(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    fp_base = source_fingerprint or _fingerprint(
-        text_col, variant, docs_per_segment, segs_per_shard, num_buckets, segs_per_group
+    fp_base = _fingerprint(
+        source_fingerprint
+        or _fingerprint(text_col, variant, docs_per_segment, segs_per_shard, num_buckets, segs_per_group),
+        INDEX_FORMAT_VERSION,
     )
     t_start = time.monotonic()
 
-    # ---- stage 1: postings (+ N/avgdl which need only doc stats) --------
-    fp1 = _fingerprint("postings", fp_base)
-    m1 = ckpt.stage_done(out_dir, "postings", fp1)
-    if m1 is None:
-        with ckpt.StageTimer() as t:
-            # fused tokenize+count (B1+B2 in the Arrow UDF): no explode,
-            # no shuffle — see postings_with_dl_fused
-            post = b.postings_with_dl_fused(
-                source_df, text_col, doc_id_col, variant
-            ).withColumn(
-                "seg_group",
-                (F.col("doc_id") / F.lit(docs_per_segment * segs_per_group)).cast(
-                    "long"
-                ),
-            )
-            post.write.mode("overwrite").partitionBy("seg_group").parquet(
-                paths["postings"]
-            )
-            # N from a content-free source count (parquet metadata);
-            # sum(dl over all docs) == sum(tf over postings) — zero-token
-            # docs contribute 0 either way, so avgdl is exact without a
-            # second tokenizer pass. One aggregation job yields both the
-            # global sum and the per-partition lineage rows.
-            n_docs_l = source_df.count()
-            part_rows = (
-                spark.read.parquet(paths["postings"])
-                .groupBy("seg_group")
-                .agg(
-                    F.count(F.lit(1)).alias("rows"),
-                    F.sum(F.col("tf").cast("long")).alias("s"),
-                )
-                .collect()
-            )
-            sum_dl = sum(int(r["s"]) for r in part_rows)
-            avgdl_l = (sum_dl / n_docs_l) if n_docs_l else 0.0
-            with open(paths["stats"] + ".tmp", "w") as f:
-                json.dump({"n_docs": n_docs_l, "avgdl": avgdl_l}, f)
-            os.replace(paths["stats"] + ".tmp", paths["stats"])
-        m1 = ckpt.StageManifest("postings", fp1, "done", t.wall_ms)
-        m1.partitions = {
-            str(r["seg_group"]): {"rows": int(r["rows"])} for r in part_rows
-        }
-        m1.rows_out = sum(p["rows"] for p in m1.partitions.values())
-        m1.completed_at = time.time()
-        ckpt.save_manifest(out_dir, m1)
-    with open(paths["stats"]) as f:
-        sidecar = json.load(f)
-    n_docs, avgdl = int(sidecar["n_docs"]), float(sidecar["avgdl"])
-    post_df = spark.read.parquet(paths["postings"])
-
-    # ---- stage 2: packed segments (per-partition resume) -----------------
-    fp2 = _fingerprint("segments", fp1)
+    # ---- stage 1+2 fused: docs -> packed segments in ONE pass ------------
+    # (xsearch's own topology: a shard tokenizes into its in-memory
+    # segment map and flushes packed — no long-postings materialization.)
+    # Resume unit: seg_group, derivable WITHOUT a data scan because
+    # doc_ids are dense 0..N-1 (S2 invariant).
+    fp2 = _fingerprint("segments", fp_base)
     m2 = ckpt.load_manifest(out_dir, "segments")
-    # the seg_group universe is already in the stage-1 manifest — no
-    # extra distinct-scan job
-    all_groups = set(m1.partitions)
-    done_groups = (
-        set(m2.partitions) if m2 and m2.input_fingerprint == fp2 else set()
-    )
+    if n_docs is None and (
+        m2 is not None
+        and m2.input_fingerprint == fp2
+        and m2.status == "done"
+        and os.path.exists(paths["stats"])
+    ):
+        with open(paths["stats"]) as f:
+            n_docs = int(json.load(f)["n_docs"])  # checkpointed: no job
+    if n_docs is None:
+        # callers that know the row count (parquet metadata) pass it in;
+        # otherwise this is the only full-input driver job
+        n_docs = source_df.count()
+    docs_per_group = docs_per_segment * segs_per_group
+    all_groups = {str(g) for g in range((n_docs + docs_per_group - 1) // docs_per_group)}
+    done_groups = set(m2.partitions) if m2 and m2.input_fingerprint == fp2 else set()
     missing = sorted(all_groups - done_groups, key=int)
     if missing:
         with ckpt.StageTimer() as t:
-            todo = post_df.filter(
-                F.col("seg_group").isin([int(g) for g in missing])
-            )
-            packed = seg.build_segments(
-                todo.select("term", "doc_id", "tf", "dl"), avgdl, docs_per_segment
+            todo = source_df
+            if done_groups:  # resume: re-tokenize only the lost doc ranges
+                todo = todo.filter(
+                    (F.col(doc_id_col) / F.lit(docs_per_group))
+                    .cast("long")
+                    .isin([int(g) for g in missing])
+                )
+            packed = seg.pack_from_source(
+                todo, text_col, doc_id_col, variant, docs_per_segment
             ).withColumn(
-                "seg_group",
-                (F.col("seg_id") / F.lit(segs_per_group)).cast("long"),
+                "seg_group", (F.col("seg_id") / F.lit(segs_per_group)).cast("long")
             )
             # dynamic overwrite: only the seg_group partitions in `packed`
             # are replaced; completed ones stay untouched (resume unit).
             # one shuffle of the tiny packed rows -> one file per group
-            # (fast commit, no small-file storm at the sink)
             packed.repartition("seg_group").write.mode("overwrite").partitionBy(
                 "seg_group"
             ).parquet(paths["segments"])
         seg_df = spark.read.parquet(paths["segments"])
-        parts = _partition_rows(seg_df.filter(F.col("seg_group").isin([int(g) for g in missing])), "seg_group")
+        # one small-table agg yields lineage rows AND the avgdl input
+        parts = {
+            str(r["seg_group"]): {
+                "rows": int(r["rows"]),
+                "postings": int(r["postings"]),
+                "sum_tf": int(r["s"]),
+            }
+            for r in seg_df.groupBy("seg_group")
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.sum("n_docs").alias("postings"),
+                F.sum("sum_tf").alias("s"),
+            )
+            .collect()
+        }
         if m2 is None or m2.input_fingerprint != fp2:
             m2 = ckpt.StageManifest("segments", fp2)
         for k, v in parts.items():
+            if k in m2.partitions and k not in missing:
+                continue  # untouched group: keep its original lineage row
             v["wall_ms_batch"] = t.wall_ms
             m2.partitions[k] = v
         m2.wall_ms += t.wall_ms
@@ -181,6 +170,16 @@ def build_index(
         m2.status = "done"
         m2.completed_at = time.time()
         ckpt.save_manifest(out_dir, m2)
+        # sum(dl over all docs) == sum(tf over postings): avgdl is exact
+        # with no second tokenizer pass and no decode
+        sum_dl = sum(p["sum_tf"] for p in m2.partitions.values())
+        avgdl_l = (sum_dl / n_docs) if n_docs else 0.0
+        with open(paths["stats"] + ".tmp", "w") as f:
+            json.dump({"n_docs": n_docs, "avgdl": avgdl_l}, f)
+        os.replace(paths["stats"] + ".tmp", paths["stats"])
+    with open(paths["stats"]) as f:
+        sidecar = json.load(f)
+    n_docs, avgdl = int(sidecar["n_docs"]), float(sidecar["avgdl"])
     seg_df = spark.read.parquet(paths["segments"])
 
     # ---- stage 3: salted merge -> final index ----------------------------
