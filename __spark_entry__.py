@@ -235,6 +235,29 @@ def _q_fingerprint(spark, sf_dir):
     return doc_fingerprint(_docs(spark, sf_dir), "text")
 
 
+def _q_dedup_keep(spark, sf_dir):
+    """S4-style exact dedup keep-set: min-doc_id row per content hash."""
+    from xsearch_spark.operators.dedup import dedup_exact
+
+    out = dedup_exact(_docs(spark, sf_dir), "text")
+    return out.select("doc_id", "text", "lang", "source", "n_chars")
+
+
+def _q_events_latest(spark, sf_dir):
+    """S4 upsert demonstrated on the events stream table: latest event
+    per user (ts desc, event_id desc tie-break) — window row_number."""
+    from xsearch_spark.plans.admin import upsert_latest
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    latest = upsert_latest(ev, key=["user_id"], version_col="ts", tiebreak_cols=["event_id"])
+    return latest.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.round(F.col("value"), SCORE_ROUND_DECIMALS).alias("value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "tokens_tf": _q_tf,
@@ -254,6 +277,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_score": _q_quality,
         "text_token_counts": _q_token_counts,
         "text_fingerprint": _q_fingerprint,
+        "dedup_exact_keep": _q_dedup_keep,
+        "events_latest_per_user": _q_events_latest,
     }
     for name, qstr in _QUERY_SET.items():
         q[name] = _make_bm25_query(qstr)
@@ -296,6 +321,17 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_score": op.quality_score_sql(),
         "text_token_counts": op.token_counts_sql(),
         "text_fingerprint": op.doc_fingerprint_sql(),
+        "dedup_exact_keep": """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+""",
+        "events_latest_per_user": """
+SELECT user_id, event_id, event_type, round(value, 6) AS value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+""",
     }
     for name, qstr in _QUERY_SET.items():
         o[name] = oracles.bm25_sql(parse(qstr))

@@ -124,6 +124,26 @@ def test_engine_rank_identical_to_pyref(spark, built, source, ref_index, q):
     assert idx_rel == expected, f"index-relational vs pyref for {q!r}"
 
 
+def test_hot_term_merge_spread(built):
+    """Skew handling (SURVEY.md §5.4 scale/skew row): the hottest code
+    keyword must NOT funnel into one merge task/row — its postings stay
+    range-salted across multiple (term, shard) rows, each bounded by the
+    shard width, so no single task ever holds the full posting list."""
+    import pyspark.sql.functions as F
+
+    rows = built.index_df.filter(F.col("term") == "def").select(
+        "shard", "n_docs"
+    ).collect()
+    assert len(rows) >= 2, "hot term collapsed into a single merge row"
+    shard_width = 128 * 2  # docs_per_segment * segs_per_shard (fixture)
+    for r in rows:
+        assert r["n_docs"] <= shard_width
+    # and the spread is balanced: no shard holds >2x the median
+    sizes = sorted(r["n_docs"] for r in rows)
+    median = sizes[len(sizes) // 2]
+    assert sizes[-1] <= 2 * median
+
+
 def test_random_query_sweep(spark, built, source, ref_index):
     """FIXTURES q14: 20 random 1–3-term queries, default_rng(4242)."""
     rng = np.random.default_rng(4242)

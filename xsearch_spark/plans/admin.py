@@ -25,10 +25,20 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
-def upsert_latest(df: DataFrame, key: list[str] | None = None, version_col: str = "commit") -> DataFrame:
-    """S4: one row per key, newest version wins (ties by version desc)."""
+def upsert_latest(
+    df: DataFrame,
+    key: list[str] | None = None,
+    version_col: str = "commit",
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """S4: one row per key, newest version wins; optional extra
+    descending tie-break columns make the winner deterministic when the
+    version column isn't unique per key."""
     key = key or ["repo", "path"]
-    w = Window.partitionBy(*key).orderBy(F.col(version_col).desc())
+    order = [F.col(version_col).desc()] + [
+        F.col(c).desc() for c in (tiebreak_cols or [])
+    ]
+    w = Window.partitionBy(*key).orderBy(*order)
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
