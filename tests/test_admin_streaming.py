@@ -56,16 +56,31 @@ def test_tombstone_then_compact(spark, built):
     after_ids = [r["doc_id"] for r in filtered]
     assert not set(victims) & set(after_ids)
 
-    # compaction folds tombstones in; now the raw query excludes them too
-    admin.compact(spark, built, segs_per_shard=2)
+    # compaction folds tombstones in; geometry comes from the persisted
+    # build-time values (docs_per_segment=128, segs_per_shard=2) — passing
+    # nothing here is the round-1-advisor regression test
+    admin.compact(spark, built)
     assert admin.load_tombstones(spark, built.root) is None
     post = [r["doc_id"] for r in search_wand(built, parsed, k=10, source_df=docs).collect()]
     assert not set(victims) & set(post)
-    # and the compacted index equals a fresh build over the doc set minus victims
-    fresh = engine.corpus_from_df(
-        docs.filter(~F.col("doc_id").isin(victims)), "text"
-    )
-    # compare df stats for the query terms (compaction preserves stats)
+    # the compacted index + refreshed stats must equal a FRESH build over
+    # source-minus-victims: full top-k oracle comparison (ids AND scores),
+    # not just victim absence
+    remaining = docs.filter(~F.col("doc_id").isin([int(v) for v in victims]))
+    fresh = engine.corpus_from_df(remaining, "text")
+    assert built.n_docs == fresh.stats.n_docs
+    assert abs(built.avgdl - fresh.stats.avgdl) < 1e-12
+    for q in ("hash join", "hash OR join", "the"):
+        p = parse(q)
+        got = [
+            (r["doc_id"], round(r["score"], 6))
+            for r in search_wand(built, p, k=10, source_df=remaining).collect()
+        ]
+        want = [
+            (r["doc_id"], r["score"])
+            for r in engine.run_query(fresh, p, k=10).collect()
+        ]
+        assert got == want, q
     fresh_df = {r["term"]: r["df"] for r in fresh.term_stats.filter(F.col("term").isin(["hash", "join"])).collect()}
     built_df = {r["term"]: r["df"] for r in built.term_stats.filter(F.col("term").isin(["hash", "join"])).collect()}
     assert fresh_df == built_df
@@ -82,16 +97,21 @@ def test_streaming_ingest_matches_batch(spark, tmp_path):
     docs.repartition(6).write.parquet(staging)
     root = str(tmp_path / "stream_idx")
 
-    stats = engine.corpus_from_documents(spark, SF_DIR).stats
-    q = start_ingest(spark, staging, root, avgdl_hint=stats.avgdl, docs_per_segment=128)
+    corpus = engine.corpus_from_documents(spark, SF_DIR)
+    # deliberately WRONG hint: compaction must recompute the true global
+    # avgdl from the per-epoch stats sidecars (round-1 advisor: drift)
+    q = start_ingest(spark, staging, root, avgdl_hint=1.0, docs_per_segment=128)
     q.awaitTermination(120)
 
-    merged = compact_segments(spark, root, stats.avgdl, segs_per_shard=2, num_buckets=8)
+    bi = compact_segments(
+        spark, root, avgdl=None, segs_per_shard=2, num_buckets=8, docs_per_segment=128
+    )
+    assert bi.n_docs == corpus.stats.n_docs
+    assert abs(bi.avgdl - corpus.stats.avgdl) < 1e-12
     via_stream = {
         (r["term"], r["doc_id"]): (r["tf"], r["dl"])
-        for r in seg.decode_postings(merged).collect()
+        for r in seg.decode_postings(bi.index_df).collect()
     }
-    corpus = engine.corpus_from_documents(spark, SF_DIR)
     from xsearch_spark.operators.build import postings_with_dl
 
     direct = {
@@ -99,3 +119,17 @@ def test_streaming_ingest_matches_batch(spark, tmp_path):
         for r in postings_with_dl(corpus.tokenized).collect()
     }
     assert via_stream == direct
+
+    # post-compaction WAND over the streamed index == naive relational
+    # evaluation over the batch corpus (exact scores, recomputed avgdl)
+    docs2 = read_documents(spark, SF_DIR)
+    for qstr in ("hash join", "hash OR join"):
+        p = parse(qstr)
+        got = [
+            (r["doc_id"], round(r["score"], 6))
+            for r in search_wand(bi, p, source_df=docs2).collect()
+        ]
+        want = [
+            (r["doc_id"], r["score"]) for r in engine.run_query(corpus, p).collect()
+        ]
+        assert got == want, qstr

@@ -104,9 +104,39 @@ def test_postings_sorted_unique_invariant(built):
 
 
 def test_load_index_equivalent(spark, built):
-    li = load_index(spark, built.root, built.num_buckets)
+    li = load_index(spark, built.root)  # geometry comes from stats.json
     assert li.n_docs == built.n_docs and li.avgdl == built.avgdl
+    assert li.num_buckets == built.num_buckets
+    assert li.docs_per_segment == built.docs_per_segment
+    assert li.segs_per_shard == built.segs_per_shard
+    assert li.sum_dl == built.sum_dl
     assert li.index_df.count() == built.index_df.count()
+
+
+def test_bucket_python_twin_matches_jvm(spark, built):
+    """The Python bucket function must agree bit-for-bit with the JVM
+    write-path expression — this is what lets a warm query plan its
+    pruned scan with zero Spark jobs."""
+    from xsearch_spark.functions.buckets import bucket_col, bucket_of
+
+    rows = (
+        built.index_df.select("term", "bucket")
+        .distinct()
+        .limit(500)
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert bucket_of(r["term"], built.num_buckets) == r["bucket"], r["term"]
+    # and on adversarial strings (unicode, quotes, empty-adjacent)
+    weird = ["", "a", "naïve", "日本語", "x'y", "_", "0" * 64]
+    jvm = (
+        spark.createDataFrame([(t,) for t in weird], "term string")
+        .select("term", bucket_col(F.col("term"), 64).alias("b"))
+        .collect()
+    )
+    for r in jvm:
+        assert bucket_of(r["term"], 64) == r["b"], r["term"]
 
 
 def test_block_meta_consistent(built):

@@ -36,7 +36,7 @@ def _mk_lists(rng: np.random.Generator, n_terms: int, n_docs: int):
     return lists, blocks, avgdl
 
 
-def _naive(lists, idfs, avgdl, parsed, k):
+def _naive(lists, idfs, avgdl, parsed, k, exclude=None, allowed=None):
     scores: dict[int, float] = {}
     hits: dict[int, int] = {}
     for t in parsed.terms:
@@ -52,6 +52,14 @@ def _naive(lists, idfs, avgdl, parsed, k):
     cand = scores
     if parsed.connective == "AND":
         cand = {d: s for d, s in scores.items() if hits[d] == len(parsed.terms)}
+    if exclude is not None:
+        bad = set()
+        for ex in exclude:
+            bad |= set(ex.tolist())
+        cand = {d: s for d, s in cand.items() if d not in bad}
+    if allowed is not None:
+        ok = set(allowed.tolist())
+        cand = {d: s for d, s in cand.items() if d in ok}
     ranked = sorted(cand, key=lambda d: (-cand[d], d))[:k]
     return [(d, cand[d]) for d in ranked]
 
@@ -75,6 +83,46 @@ def test_wand_equals_naive(seed, n_terms, n_docs, k, conn):
     parsed = ParsedQuery(terms=tuple(lists.keys()), connective=conn)
     got_ids, got_scores = score_shard(lists, blocks, idfs, avgdl, parsed, k)
     want = _naive(lists, idfs, avgdl, parsed, k)
+    assert [int(i) for i in got_ids] == [d for d, _ in want]
+    for g, (_, w) in zip(got_scores.tolist(), want):
+        assert abs(g - w) < 1e-9
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    n_terms=st.integers(1, 4),
+    n_docs=st.integers(1, 600),
+    k=st.integers(1, 15),
+    conn=st.sampled_from(["AND", "OR"]),
+    use_exclude=st.booleans(),
+    use_allowed=st.booleans(),
+)
+def test_wand_equals_naive_with_filters(
+    seed, n_terms, n_docs, k, conn, use_exclude, use_allowed
+):
+    """OR + exclude/lang filters: theta must be computed over the
+    POST-filter seed set, or pruning can drop true top-k docs (round-1
+    advisor finding — the unfiltered sweep above never triggers it)."""
+    rng = np.random.default_rng(seed + 31337)
+    lists, blocks, avgdl = _mk_lists(rng, n_terms, n_docs)
+    idfs = {
+        t: math.log(1 + (n_docs - len(v[0]) + 0.5) / (len(v[0]) + 0.5))
+        for t, v in lists.items()
+    }
+    exclude = None
+    if use_exclude:
+        sz = int(rng.integers(0, max(1, n_docs // 2)))
+        exclude = [np.sort(rng.choice(n_docs, size=sz, replace=False)).astype(np.int64)]
+    allowed = None
+    if use_allowed:
+        sz = int(rng.integers(0, n_docs + 1))
+        allowed = np.sort(rng.choice(n_docs, size=sz, replace=False)).astype(np.int64)
+    parsed = ParsedQuery(terms=tuple(lists.keys()), connective=conn)
+    got_ids, got_scores = score_shard(
+        lists, blocks, idfs, avgdl, parsed, k, exclude, allowed
+    )
+    want = _naive(lists, idfs, avgdl, parsed, k, exclude, allowed)
     assert [int(i) for i in got_ids] == [d for d, _ in want]
     for g, (_, w) in zip(got_scores.tolist(), want):
         assert abs(g - w) < 1e-9

@@ -347,6 +347,7 @@ def pack_from_source(
     variant: str = "base",
     docs_per_segment: int = DEFAULT_DOCS_PER_SEGMENT,
     num_partitions: int | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """ONE-PASS segment build: docs -> packed runs, no intermediate
     postings materialization (the shape xsearch itself uses — a shard
@@ -366,8 +367,22 @@ def pack_from_source(
     merge recomputes them (it always does) and only the merged index
     serves WAND queries. avgdl itself is recovered from the packed runs'
     ``sum_tf`` column without any decode.
+
+    Parallelism note (round-2 fix): partitioning by ``doc_id //
+    docs_per_segment`` caps the tokenize stage at n_docs/docs_per_segment
+    tasks — at sf0.1 that was 25 tasks on 32 cores, the measured cause of
+    the local[32] throughput regression. The partition key is therefore a
+    finer doc-range *chunk* (>= 2 chunks per target partition, never
+    coarser than a segment). A segment split across chunks simply yields
+    several partial runs per (term, seg_id); the B5 merge concatenates
+    disjoint presorted runs anyway, so the merged index is byte-identical.
     """
     n = num_partitions or source_df.sparkSession.sparkContext.defaultParallelism * 2
+    chunk = docs_per_segment
+    if n_docs:
+        # ~4 chunk keys per partition smooths hash-bucket collisions;
+        # floor of 256 docs bounds per-run row overhead in the merge
+        chunk = max(256, min(docs_per_segment, -(-n_docs // (4 * n))))
 
     def pack_docs_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from xsearch_spark.operators.build import count_batch
@@ -419,10 +434,10 @@ def pack_from_source(
             yield flush()
 
     docs = source_df.select(doc_id_col, text_col).withColumn(
-        "_seg_group", (F.col(doc_id_col) / F.lit(docs_per_segment)).cast("long")
+        "_chunk", (F.col(doc_id_col) / F.lit(chunk)).cast("long")
     )
-    docs = docs.repartition(n, "_seg_group").sortWithinPartitions(doc_id_col)
-    return docs.drop("_seg_group").mapInPandas(pack_docs_iter, PACKED_SCHEMA)
+    docs = docs.repartition(n, "_chunk").sortWithinPartitions(doc_id_col)
+    return docs.drop("_chunk").mapInPandas(pack_docs_iter, PACKED_SCHEMA)
 
 
 def decode_postings(packed: DataFrame) -> DataFrame:

@@ -42,6 +42,8 @@ from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 from xsearch_spark.constants import B, BLOCK_SIZE, DEFAULT_TOP_K, K1, idf as idf_py
 from xsearch_spark.functions import codec
+from xsearch_spark.functions.buckets import buckets_of
+from xsearch_spark.operators.segments import _bm25_factor
 from xsearch_spark.plans.query import ParsedQuery
 
 TOPK_SCHEMA = StructType(
@@ -116,7 +118,9 @@ def score_shard(
             if cand.size == 0:
                 return np.empty(0, np.int64), np.empty(0, np.float64)
     else:
-        cand = _or_candidates(present, lists, blocks, idfs, avgdl, k)
+        cand = _or_candidates(
+            present, lists, blocks, idfs, avgdl, k, exclude_lists, allowed
+        )
     cand = _apply_filters(cand, exclude_lists, allowed)
     if cand.size == 0:
         return np.empty(0, np.int64), np.empty(0, np.float64)
@@ -136,6 +140,8 @@ def _apply_filters(
                 idx_c = np.minimum(idx, ex.size - 1)
                 cand = cand[~((idx < ex.size) & (ex[idx_c] == cand))]
     if allowed is not None:
+        if allowed.size == 0:
+            return np.empty(0, dtype=cand.dtype)
         idx = np.searchsorted(allowed, cand)
         idx_c = np.minimum(idx, allowed.size - 1)
         cand = cand[(idx < allowed.size) & (allowed[idx_c] == cand)]
@@ -149,6 +155,8 @@ def _or_candidates(
     idfs: dict[str, float],
     avgdl: float,
     k: int,
+    exclude_lists: list[np.ndarray] | None = None,
+    allowed: np.ndarray | None = None,
 ) -> np.ndarray:
     """Block-max pruned OR candidate set (superset of true top-k docs)."""
     total = sum(lists[t][0].size for t in present)
@@ -157,9 +165,14 @@ def _or_candidates(
     # global per-term upper bound = idf * max block factor
     ub = {t: idfs[t] * float(np.max(blocks[t][1])) for t in present}
     # initial theta: exact k-th score over the postings of the highest-ub
-    # term (full scoring of that term's doc set against all terms)
+    # term (full scoring of that term's doc set against all terms).
+    # The seed must see the SAME exclude/lang filters the final scoring
+    # applies: an excluded seed doc could otherwise inflate theta above
+    # the true post-filter k-th score and prune blocks holding genuine
+    # top-k docs (round-1 advisor finding). theta from a filtered SUBSET
+    # is always <= the true k-th score, so pruning stays exact.
     seed_term = max(present, key=lambda t: ub[t])
-    seed = lists[seed_term][0]
+    seed = _apply_filters(lists[seed_term][0], exclude_lists, allowed)
     seed_scores, _ = _gather_scores(seed, {t: lists[t] for t in present}, idfs, avgdl)
     if seed.size >= k:
         theta = float(np.partition(-seed_scores, k - 1)[k - 1] * -1.0)
@@ -195,25 +208,73 @@ def _or_candidates(
 # Spark-side wiring
 
 
-def _term_buckets(spark, terms: list[str], num_buckets: int) -> list[int]:
-    """Compute the term-hash buckets JVM-side (xxhash64 must match the
-    write path exactly)."""
-    exprs = [
-        F.pmod(F.xxhash64(F.lit(t)), F.lit(num_buckets)).cast("int").alias(f"b{i}")
-        for i, t in enumerate(terms)
-    ]
-    row = spark.range(1).select(*exprs).collect()[0]
-    return sorted({row[f"b{i}"] for i in range(len(terms))})
-
-
-def pruned_index_scan(index_df: DataFrame, spark, terms: list[str], num_buckets: int) -> DataFrame:
-    """Q2: dictionary lookup = bucket-pruned + term-filtered scan."""
+def pruned_index_scan(index_df: DataFrame, terms: list[str], num_buckets: int) -> DataFrame:
+    """Q2: dictionary lookup = bucket-pruned + term-filtered scan. The
+    bucket ids come from the Python twin of the write-path hash
+    (functions.buckets) — no Spark job is spent on query planning."""
     if not terms:
         return index_df.limit(0)
-    buckets = _term_buckets(spark, terms, num_buckets)
+    buckets = buckets_of(terms, num_buckets)
     return index_df.filter(
         F.col("bucket").isin(buckets) & F.col("term").isin(terms)
     )
+
+
+def _assemble_shard(
+    g: pd.DataFrame, exclude_terms: set[str], avgdl: float
+) -> tuple[dict, dict, list[np.ndarray]]:
+    """Decode one shard's index rows into per-term posting arrays.
+
+    A (term, shard) key is unique in a freshly merged index, but unions
+    of independently built indexes (streamed epochs queried pre-compact,
+    test fixtures) can legally repeat it. Repeated runs are disjoint
+    doc-id ranges — k-way merged here, with block metadata recomputed;
+    a true duplicate doc_id raises instead of silently dropping a run
+    (round-1 advisor: the old dict assignment overwrote prior runs).
+    """
+    acc: dict[str, list[tuple]] = {}
+    ex_lists: list[np.ndarray] = []
+    for r in g.itertuples(index=False):
+        ids = codec.decode_doc_ids(r.doc_ids).astype(np.int64)
+        if r.term in exclude_terms:
+            ex_lists.append(ids)
+            continue
+        acc.setdefault(r.term, []).append(
+            (
+                ids,
+                codec.decode_tfs(r.tfs).astype(np.int64),
+                codec.decode_tfs(r.dls).astype(np.int64),
+                np.asarray(r.block_last, dtype=np.int64),
+                np.asarray(r.block_max, dtype=np.float64),
+            )
+        )
+    lists: dict[str, tuple] = {}
+    blocks: dict[str, tuple] = {}
+    for t, runs in acc.items():
+        if len(runs) == 1:
+            ids, tfs, dls, bl, bm = runs[0]
+        else:
+            runs.sort(key=lambda r: int(r[0][0]) if r[0].size else -1)
+            ids = np.concatenate([r[0] for r in runs])
+            tfs = np.concatenate([r[1] for r in runs])
+            dls = np.concatenate([r[2] for r in runs])
+            if not np.all(ids[1:] > ids[:-1]):
+                order = np.argsort(ids, kind="mergesort")
+                ids, tfs, dls = ids[order], tfs[order], dls[order]
+                if not np.all(ids[1:] > ids[:-1]):
+                    raise ValueError(
+                        f"duplicate doc_id across index runs for term={t!r} "
+                        f"shard={int(g['shard'].iloc[0])} — apply S4 dedup/compaction"
+                    )
+            starts = np.arange(0, ids.size, BLOCK_SIZE)
+            bl = ids[np.minimum(starts + BLOCK_SIZE - 1, ids.size - 1)]
+            bm = np.maximum.reduceat(_bm25_factor(tfs, dls, avgdl), starts)
+        lists[t] = (ids, tfs, dls)
+        blocks[t] = (bl, bm)
+    return lists, blocks, ex_lists
+
+
+_EMPTY_TOPK = {"doc_id": np.empty(0, np.int64), "score": np.empty(0, np.float64)}
 
 
 def search_wand(
@@ -223,68 +284,68 @@ def search_wand(
     source_df: DataFrame | None = None,
 ) -> DataFrame:
     """Engine-path search over the packed index -> (doc_id, score) exact
-    top-k (raw scores; caller rounds for presentation)."""
-    spark = built.index_df.sparkSession
+    top-k (raw scores; caller rounds for presentation).
+
+    A warm query is ONE Spark job: bucket ids and per-term df come from
+    driver-side Python (functions.buckets, BuiltIndex.df_of), the pruned
+    scan shuffles only the query terms' rows by shard, the Arrow scorer
+    emits per-shard exact top-k, and TakeOrderedAndProject merges.
+
+    ``lang:`` filtering is fully distributed (round-2 fix — the round-1
+    path collected a doc-id allowlist to the driver, a scale-killer at
+    billions of matching docs): the filtered doc_ids are co-shuffled with
+    the index rows on the shard key (shard = doc_id // docs_per_shard is
+    a doc-range, so each shard's allowlist lands exactly with its
+    postings) and applied inside the scorer via a cogrouped Arrow UDF.
+    """
     all_terms = list(parsed.terms) + list(parsed.exclude)
-    rows = pruned_index_scan(built.index_df, spark, all_terms, built.num_buckets)
-    # per-term idf from the merged term stats (tiny collect: |terms| rows)
-    stats = {
-        r["term"]: int(r["df"])
-        for r in built.term_stats.filter(F.col("term").isin(all_terms)).collect()
-    }
+    rows = pruned_index_scan(built.index_df, all_terms, built.num_buckets)
+    stats = built.df_of(all_terms)
     idfs = {t: idf_py(built.n_docs, stats[t]) for t in parsed.terms if t in stats}
     avgdl = built.avgdl
     exclude_terms = set(parsed.exclude)
-    allowed_b = None
+
+    def score_group(g: pd.DataFrame, allowed: np.ndarray | None) -> pd.DataFrame:
+        lists, blocks, ex_lists = _assemble_shard(g, exclude_terms, avgdl)
+        ids_out, scores_out = score_shard(
+            lists, blocks, idfs, avgdl, parsed, k, ex_lists, allowed
+        )
+        return pd.DataFrame({"doc_id": ids_out, "score": scores_out})
+
     if parsed.lang is not None:
         if source_df is None:
             raise ValueError("lang: filter requires source_df")
-        allowed_b = np.sort(
-            np.array(
-                [
-                    r["doc_id"]
-                    for r in source_df.filter(F.col("lang") == parsed.lang)
-                    .select("doc_id")
-                    .collect()
-                ],
-                dtype=np.int64,
-            )
+        allowed_df = source_df.filter(F.col("lang") == parsed.lang).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            (F.col("doc_id") / F.lit(built.docs_per_shard))
+            .cast("long")
+            .alias("shard"),
         )
-        # NOTE: collected doc-id allowlist is fine at test scale; at 100 TB
-        # the lang filter runs on the relational path (semi-join) instead.
 
-    def wand_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # group rows by shard within the partition; shards are small
-        # (query terms only), so concat-then-group is safe here.
-        frames = [f for f in batches if not f.empty]
-        if not frames:
-            return
-        pdf = pd.concat(frames, ignore_index=True)
-        for _, g in pdf.groupby("shard", sort=False):
-            lists: dict[str, tuple] = {}
-            blocks: dict[str, tuple] = {}
-            ex_lists: list[np.ndarray] = []
-            for r in g.itertuples(index=False):
-                ids = codec.decode_doc_ids(r.doc_ids).astype(np.int64)
-                if r.term in exclude_terms:
-                    ex_lists.append(ids)
-                    continue
-                lists[r.term] = (
-                    ids,
-                    codec.decode_tfs(r.tfs).astype(np.int64),
-                    codec.decode_tfs(r.dls).astype(np.int64),
-                )
-                blocks[r.term] = (
-                    np.asarray(r.block_last, dtype=np.int64),
-                    np.asarray(r.block_max, dtype=np.float64),
-                )
-            ids_out, scores_out = score_shard(
-                lists, blocks, idfs, avgdl, parsed, k, ex_lists, allowed_b
-            )
-            yield pd.DataFrame({"doc_id": ids_out, "score": scores_out})
+        def cogroup_fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            if left.empty:
+                return pd.DataFrame(_EMPTY_TOPK)
+            allowed = np.sort(right["doc_id"].to_numpy(np.int64))
+            return score_group(left, allowed)
 
-    shards = rows.repartition("shard")
-    local = shards.mapInPandas(wand_iter, TOPK_SCHEMA)
+        local = (
+            rows.groupBy("shard")
+            .cogroup(allowed_df.groupBy("shard"))
+            .applyInPandas(cogroup_fn, TOPK_SCHEMA)
+        )
+    else:
+
+        def wand_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # group rows by shard within the partition; shards are small
+            # (query terms only), so concat-then-group is safe here.
+            frames = [f for f in batches if not f.empty]
+            if not frames:
+                return
+            pdf = pd.concat(frames, ignore_index=True)
+            for _, g in pdf.groupby("shard", sort=False):
+                yield score_group(g, None)
+
+        local = rows.repartition("shard").mapInPandas(wand_iter, TOPK_SCHEMA)
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
@@ -301,9 +362,8 @@ def search_index_relational(
     from xsearch_spark.operators import segments as seg
     from xsearch_spark.operators.build import CollectionStats
 
-    spark = built.index_df.sparkSession
     all_terms = list(parsed.terms) + list(parsed.exclude)
-    rows = pruned_index_scan(built.index_df, spark, all_terms, built.num_buckets)
+    rows = pruned_index_scan(built.index_df, all_terms, built.num_buckets)
     long_postings = seg.decode_postings(rows)
     stats = CollectionStats(built.n_docs, built.avgdl)
     scored = rel.score_postings(long_postings, built.term_stats, None, stats, parsed)

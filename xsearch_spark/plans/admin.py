@@ -69,54 +69,110 @@ def apply_tombstones(result: DataFrame, tombstones: DataFrame | None) -> DataFra
     return result.join(F.broadcast(tombstones.select("doc_id")), "doc_id", "left_anti")
 
 
-def compact(spark: SparkSession, built, segs_per_shard: int = 4) -> None:
-    """Fold tombstones into the packed index: decode -> anti-join ->
-    re-pack -> overwrite index + term stats; clear tombstones.
+def compact(
+    spark: SparkSession,
+    built,
+    segs_per_shard: int | None = None,
+    docs_per_segment: int | None = None,
+) -> None:
+    """Fold tombstones into the packed index and refresh the collection
+    statistics. Semantics: the compacted index + stats equal a FRESH
+    build over the source minus the deleted docs (same doc_ids, same
+    geometry) — that equivalence is what the post-compact oracle test
+    asserts.
 
-    Only rows whose [first_doc_id, last_doc_id] range intersects a
-    tombstone need rewriting; untouched rows are unioned through as-is.
+    Geometry: the rebuild uses the BUILD-TIME docs_per_segment /
+    segs_per_shard persisted in stats.json (round-1 advisor: repacking
+    with a different geometry scatters a doc's terms across different
+    shard groups than its kept rows — silent top-k corruption).
+
+    Stats: N and avgdl are recomputed over the surviving docs. Because
+    avgdl changes, EVERY row's block maxima must be recomputed (a stale
+    upper bound computed under a smaller avgdl can under-estimate and
+    make WAND prune a true top-k doc), so compaction rewrites the whole
+    index rather than only tombstone-overlapping rows — the same choice
+    Lucene makes for the segments it folds. The deleted docs' dl mass is
+    measured from only the range-overlapping rows (cheap pruned decode).
+
+    Caveat: a doc that tokenized to zero terms has no postings, so its
+    deletion cannot adjust (N, avgdl); fresh-build parity holds for any
+    doc with at least one token.
+
+    The final write is an atomic directory swap (write temp -> rename),
+    immune to the session's dynamic partitionOverwriteMode: a bucket
+    whose rows all died must disappear, not survive as a stale partition
+    (round-1 advisor).
     """
+    import shutil
+
+    from xsearch_spark.functions.buckets import bucket_col
     from xsearch_spark.operators import segments as seg
     from xsearch_spark.plans.build_index import _paths
 
     tomb = load_tombstones(spark, built.root)
-    if tomb is None or tomb.count() == 0:
+    if tomb is None or tomb.isEmpty():
         return
+    dps = docs_per_segment or built.docs_per_segment
+    sps = segs_per_shard or built.segs_per_shard
     idx = built.index_df
-    t = F.broadcast(tomb.select("doc_id"))
-    # rows possibly containing a tombstoned doc (range overlap)
-    hit_terms = (
-        idx.join(
-            t,
-            (F.col("doc_id") >= F.col("first_doc_id"))
-            & (F.col("doc_id") <= F.col("last_doc_id")),
-        )
-        .select("term", "shard")
-        .distinct()
+    t = F.broadcast(tomb.select("doc_id").distinct())
+
+    # --- new collection stats from the deleted docs' (doc_id, dl) -------
+    # only rows whose doc-id range overlaps a tombstone can contain one
+    hit = idx.join(
+        t.withColumnRenamed("doc_id", "_td"),
+        (F.col("_td") >= F.col("first_doc_id")) & (F.col("_td") <= F.col("last_doc_id")),
+        "left_semi",
     )
-    hit = idx.join(hit_terms, ["term", "shard"], "left_semi")
-    keep = idx.join(hit_terms, ["term", "shard"], "left_anti")
-    # rewrite the hit rows through decode -> filter -> repack
-    long = seg.decode_postings(hit)
-    long = long.join(t, "doc_id", "left_anti")
+    deleted = (
+        seg.decode_postings(hit)
+        .join(t, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.max("dl").alias("dl"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s"))
+        .collect()[0]
+    )
+    n_deleted, dl_deleted = int(deleted["n"] or 0), int(deleted["s"] or 0)
+    n_docs_new = built.n_docs - n_deleted
+    sum_dl_new = built.sum_dl - dl_deleted
+    avgdl_new = (sum_dl_new / n_docs_new) if n_docs_new else 0.0
+
+    # --- full decode -> anti-join -> rebuild with original geometry -----
+    kept = seg.decode_postings(idx).join(t, "doc_id", "left_anti")
     repacked = seg.merge_segments(
-        seg.build_segments(long, built.avgdl), built.avgdl, segs_per_shard
+        seg.build_segments(kept, avgdl_new, dps), avgdl_new, sps
     )
-    new_idx = keep.select(repacked.columns).unionByName(repacked)
-    new_idx = new_idx.withColumn(
-        "bucket", F.pmod(F.xxhash64(F.col("term")), F.lit(built.num_buckets)).cast("int")
-    )
+    new_idx = repacked.withColumn("bucket", bucket_col(F.col("term"), built.num_buckets))
+
     paths = _paths(built.root)
     tmp = paths["index"] + "_compacting"
-    new_idx.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
-    final = spark.read.parquet(tmp)
-    final.write.mode("overwrite").partitionBy("bucket").parquet(paths["index"])
-    ts = final.groupBy("term").agg(F.sum("n_docs").alias("df"))
-    ts.write.mode("overwrite").parquet(paths["term_stats"])
-    # clear applied tombstones + refresh the in-memory handle
-    import shutil
-
     shutil.rmtree(tmp, ignore_errors=True)
+    new_idx.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    shutil.rmtree(paths["index"], ignore_errors=True)
+    os.replace(tmp, paths["index"])
+    final = spark.read.parquet(paths["index"])
+    ts = final.groupBy("term").agg(F.sum("n_docs").alias("df"))
+    ts_tmp = paths["term_stats"] + "_compacting"
+    shutil.rmtree(ts_tmp, ignore_errors=True)
+    ts.write.mode("overwrite").parquet(ts_tmp)
+    shutil.rmtree(paths["term_stats"], ignore_errors=True)
+    os.replace(ts_tmp, paths["term_stats"])
+
+    # --- refresh sidecar stats + the in-memory handle --------------------
+    import json
+
+    with open(paths["stats"]) as f:
+        sidecar = json.load(f)
+    sidecar.update(
+        {"n_docs": n_docs_new, "avgdl": avgdl_new, "sum_dl": sum_dl_new}
+    )
+    with open(paths["stats"] + ".tmp", "w") as f:
+        json.dump(sidecar, f)
+    os.replace(paths["stats"] + ".tmp", paths["stats"])
     shutil.rmtree(tombstone_path(built.root), ignore_errors=True)
-    built.index_df = spark.read.parquet(paths["index"])
+    built.index_df = final
     built.term_stats = spark.read.parquet(paths["term_stats"])
+    built.n_docs = n_docs_new
+    built.avgdl = avgdl_new
+    built.sum_dl = sum_dl_new
+    built.invalidate_stats_cache()

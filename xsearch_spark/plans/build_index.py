@@ -32,18 +32,20 @@ import hashlib
 import json
 import os
 import time
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from xsearch_spark.functions.buckets import bucket_col
 from xsearch_spark.operators import segments as seg
 from xsearch_spark.plans import checkpoints as ckpt
 
 DEFAULT_NUM_BUCKETS = 64
 SEGS_PER_GROUP = 8  # seg_group = seg_id // SEGS_PER_GROUP: resume + layout unit
-INDEX_FORMAT_VERSION = 2  # bump on any on-disk layout/codec change:
+INDEX_FORMAT_VERSION = 3  # bump on any on-disk layout/codec change:
 # invalidates pre-existing checkpoints so a resume never mixes formats
+# (v3: md5-based bucket layout — see functions/buckets.py)
 
 
 @dataclass
@@ -54,6 +56,38 @@ class BuiltIndex:
     n_docs: int
     avgdl: float
     num_buckets: int
+    # build-time geometry: doc-range mapping doc_id -> seg_id -> shard.
+    # compact() MUST rebuild with exactly these values or repacked rows
+    # land in different shard groups than kept rows (silent top-k
+    # corruption — found by the round-1 advisor).
+    docs_per_segment: int = seg.DEFAULT_DOCS_PER_SEGMENT
+    segs_per_shard: int = seg.DEFAULT_SEGS_PER_SHARD
+    sum_dl: int = 0  # exact Σdl over all docs (avgdl = sum_dl / n_docs)
+    _df_cache: dict | None = field(default=None, repr=False)
+
+    @property
+    def docs_per_shard(self) -> int:
+        return self.docs_per_segment * self.segs_per_shard
+
+    def df_of(self, terms: list[str]) -> dict[str, int]:
+        """Per-term document frequency for query scoring.
+
+        The term dictionary is collected ONCE per session and served from
+        a driver dict afterwards — a warm query must not pay a Spark job
+        for a |query-terms|-row lookup (measured: the stats job was half
+        of warm-query latency). The dictionary is O(distinct terms) ~
+        sublinear in corpus size; at the 10^12-doc regime swap this for a
+        broadcast variable or a pre-bucketed stats table probe, same
+        interface.
+        """
+        if self._df_cache is None:
+            self._df_cache = {
+                r["term"]: int(r["df"]) for r in self.term_stats.collect()
+            }
+        return {t: self._df_cache[t] for t in terms if t in self._df_cache}
+
+    def invalidate_stats_cache(self) -> None:
+        self._df_cache = None
 
 
 def _paths(root: str) -> dict[str, str]:
@@ -132,16 +166,21 @@ def build_index(
                     .isin([int(g) for g in missing])
                 )
             packed = seg.pack_from_source(
-                todo, text_col, doc_id_col, variant, docs_per_segment
+                todo, text_col, doc_id_col, variant, docs_per_segment,
+                n_docs=len(missing) * docs_per_group if done_groups else n_docs,
             ).withColumn(
                 "seg_group", (F.col("seg_id") / F.lit(segs_per_group)).cast("long")
             )
             # dynamic overwrite: only the seg_group partitions in `packed`
             # are replaced; completed ones stay untouched (resume unit).
-            # one shuffle of the tiny packed rows -> one file per group
-            packed.repartition("seg_group").write.mode("overwrite").partitionBy(
-                "seg_group"
-            ).parquet(paths["segments"])
+            # subsplit the write so a group isn't funneled through one
+            # task (at sf0.1 there are only ~4 groups but ~200 MB of
+            # packed runs; 8 files per group keeps the write parallel)
+            packed.repartition(
+                F.col("seg_group"), F.pmod(F.xxhash64("term"), F.lit(8))
+            ).write.mode("overwrite").partitionBy("seg_group").parquet(
+                paths["segments"]
+            )
         seg_df = spark.read.parquet(paths["segments"])
         # one small-table agg yields lineage rows AND the avgdl input
         parts = {
@@ -175,7 +214,20 @@ def build_index(
         sum_dl = sum(p["sum_tf"] for p in m2.partitions.values())
         avgdl_l = (sum_dl / n_docs) if n_docs else 0.0
         with open(paths["stats"] + ".tmp", "w") as f:
-            json.dump({"n_docs": n_docs, "avgdl": avgdl_l}, f)
+            json.dump(
+                {
+                    "n_docs": n_docs,
+                    "avgdl": avgdl_l,
+                    "sum_dl": sum_dl,
+                    # geometry persisted so compact()/load_index rebuild
+                    # with the exact build-time doc->seg->shard mapping
+                    "docs_per_segment": docs_per_segment,
+                    "segs_per_shard": segs_per_shard,
+                    "num_buckets": num_buckets,
+                    "format_version": INDEX_FORMAT_VERSION,
+                },
+                f,
+            )
         os.replace(paths["stats"] + ".tmp", paths["stats"])
     with open(paths["stats"]) as f:
         sidecar = json.load(f)
@@ -190,8 +242,7 @@ def build_index(
                 seg_df.drop("seg_group"), avgdl, segs_per_shard
             )
             merged = merged.withColumn(
-                "bucket",
-                F.pmod(F.xxhash64(F.col("term")), F.lit(num_buckets)).cast("int"),
+                "bucket", bucket_col(F.col("term"), num_buckets)
             )
             # one file per bucket, term-sorted inside: Q2's pruned scan
             # reads exactly one file per probed bucket and parquet
@@ -227,18 +278,35 @@ def build_index(
             "wall_s": time.monotonic() - t_start,
         },
     )
-    return BuiltIndex(out_dir, index_df, term_stats, n_docs, avgdl, num_buckets)
+    return BuiltIndex(
+        out_dir,
+        index_df,
+        term_stats,
+        n_docs,
+        avgdl,
+        num_buckets,
+        docs_per_segment=docs_per_segment,
+        segs_per_shard=segs_per_shard,
+        sum_dl=int(sidecar.get("sum_dl", round(avgdl * n_docs))),
+    )
 
 
-def load_index(spark: SparkSession, out_dir: str, num_buckets: int = DEFAULT_NUM_BUCKETS) -> BuiltIndex:
+def load_index(spark: SparkSession, out_dir: str, num_buckets: int | None = None) -> BuiltIndex:
     paths = _paths(out_dir)
     with open(paths["stats"]) as f:
         sidecar = json.load(f)
+    n_docs = int(sidecar["n_docs"])
+    avgdl = float(sidecar["avgdl"])
     return BuiltIndex(
         out_dir,
         spark.read.parquet(paths["index"]),
         spark.read.parquet(paths["term_stats"]),
-        int(sidecar["n_docs"]),
-        float(sidecar["avgdl"]),
-        num_buckets,
+        n_docs,
+        avgdl,
+        num_buckets or int(sidecar.get("num_buckets", DEFAULT_NUM_BUCKETS)),
+        docs_per_segment=int(
+            sidecar.get("docs_per_segment", seg.DEFAULT_DOCS_PER_SEGMENT)
+        ),
+        segs_per_shard=int(sidecar.get("segs_per_shard", seg.DEFAULT_SEGS_PER_SHARD)),
+        sum_dl=int(sidecar.get("sum_dl", round(avgdl * n_docs))),
     )

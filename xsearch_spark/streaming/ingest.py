@@ -13,11 +13,19 @@ equivalent:
     (A1 tokenize -> B1/B2 postings -> B4 pack) into new small segment
     runs appended under ``segments/`` — one segment per (epoch, doc
     slice), exactly xsearch's flush-small model,
-  * dedup on replay (S4 semantics): batch ids are offset by epoch so
-    re-delivery cannot collide; exactly-once comes from foreachBatch's
-    epoch id + the idempotent per-epoch output path,
+  * exactly-once: each epoch writes to its own ``epoch=N`` directory
+    with mode=overwrite, so foreachBatch re-delivery of an epoch
+    replaces its own output idempotently (doc_ids are NOT re-keyed by
+    epoch — a doc indexed in two different epochs is a genuine S4 dedup
+    violation and fails fast at merge time via the strictly-increasing
+    doc_id invariant),
   * periodic ``compact_segments`` = the B5 merge as a batch job (the
-    reference's background merge goroutine).
+    reference's background merge goroutine). BM25's avgdl is
+    collection-global, so each epoch records exact (n_docs, sum_dl) in a
+    tiny sidecar and compaction recomputes the TRUE global avgdl from
+    the sidecar sums — the merged index never scores with a drifted
+    hint (queries between compactions may still use a hint, the same
+    approximation any incremental engine makes between merges).
 
 No watermarks/session windows: the capability set has no event-time
 aggregation (SURVEY.md §2.5 streaming note).
@@ -25,6 +33,7 @@ aggregation (SURVEY.md §2.5 streaming note).
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -46,20 +55,32 @@ def start_ingest(
 ):
     """Start the streaming ingest; returns the StreamingQuery.
 
-    avgdl_hint: BM25's avgdl must be collection-global; streaming uses a
-    running hint (recomputed at each compaction) — same approximation
-    any incremental engine makes between merges.
+    avgdl_hint: used only for the provisional per-epoch block maxima;
+    ``compact_segments`` recomputes real maxima under the exact global
+    avgdl, and only the merged index serves WAND queries.
     """
     os.makedirs(os.path.join(index_root, "segments"), exist_ok=True)
+    os.makedirs(os.path.join(index_root, "epoch_stats"), exist_ok=True)
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        n_docs = batch_df.count()
         post = b.postings_with_dl_fused(batch_df, text_col, "doc_id", variant)
         packed = seg.build_segments(post, avgdl_hint, docs_per_segment)
         # one directory per epoch: idempotent on redelivery (exactly-once)
         out = os.path.join(index_root, "segments", f"epoch={epoch_id}")
         packed.write.mode("overwrite").parquet(out)
+        # exact epoch stats for the global-avgdl recompute at compaction:
+        # sum(dl over epoch docs) == sum(sum_tf over the packed runs)
+        sum_dl = (
+            spark.read.parquet(out).agg(F.sum("sum_tf")).collect()[0][0] or 0
+        )
+        stats = {"epoch": int(epoch_id), "n_docs": int(n_docs), "sum_dl": int(sum_dl)}
+        sp = os.path.join(index_root, "epoch_stats", f"epoch={epoch_id}.json")
+        with open(sp + ".tmp", "w") as f:
+            json.dump(stats, f)
+        os.replace(sp + ".tmp", sp)
 
     stream = (
         spark.readStream.schema(DOCUMENTS_SCHEMA)
@@ -74,20 +95,70 @@ def start_ingest(
     )
 
 
+def _epoch_totals(index_root: str) -> tuple[int, int]:
+    """(n_docs, sum_dl) summed over all delivered epochs."""
+    d = os.path.join(index_root, "epoch_stats")
+    n, s = 0, 0
+    for name in sorted(os.listdir(d)) if os.path.isdir(d) else []:
+        if not name.endswith(".json"):
+            continue
+        with open(os.path.join(d, name)) as f:
+            row = json.load(f)
+        n += int(row["n_docs"])
+        s += int(row["sum_dl"])
+    return n, s
+
+
 def compact_segments(
     spark: SparkSession,
     index_root: str,
-    avgdl: float,
+    avgdl: float | None = None,
     segs_per_shard: int = 4,
     num_buckets: int = 32,
-) -> DataFrame:
+    docs_per_segment: int = 4096,
+):
     """The background-merge analogue: fold all streamed epoch segments
-    into a queryable merged index (B5) and return it."""
+    into a queryable merged index (B5) and return a BuiltIndex.
+
+    ``avgdl=None`` (the default) recomputes the exact global avgdl from
+    the per-epoch stats sidecars — post-compaction scoring and block
+    maxima always reflect the full streamed collection, never the
+    start-time hint (round-1 advisor: avgdl drift).
+    """
+    from xsearch_spark.functions.buckets import bucket_col
+    from xsearch_spark.plans.build_index import BuiltIndex
+
+    n_docs, sum_dl = _epoch_totals(index_root)
+    if avgdl is None:
+        avgdl = (sum_dl / n_docs) if n_docs else 0.0
     runs = spark.read.parquet(os.path.join(index_root, "segments"))
     merged = seg.merge_segments(runs.drop("epoch"), avgdl, segs_per_shard)
-    merged = merged.withColumn(
-        "bucket", F.pmod(F.xxhash64(F.col("term")), F.lit(num_buckets)).cast("int")
-    )
+    merged = merged.withColumn("bucket", bucket_col(F.col("term"), num_buckets))
     out = os.path.join(index_root, "index")
     merged.write.mode("overwrite").partitionBy("bucket").parquet(out)
-    return spark.read.parquet(out)
+    index_df = spark.read.parquet(out)
+    ts = index_df.groupBy("term").agg(F.sum("n_docs").alias("df"))
+    ts.write.mode("overwrite").parquet(os.path.join(index_root, "term_stats"))
+    with open(os.path.join(index_root, "stats.json"), "w") as f:
+        json.dump(
+            {
+                "n_docs": n_docs,
+                "avgdl": avgdl,
+                "sum_dl": sum_dl,
+                "docs_per_segment": docs_per_segment,
+                "segs_per_shard": segs_per_shard,
+                "num_buckets": num_buckets,
+            },
+            f,
+        )
+    return BuiltIndex(
+        index_root,
+        index_df,
+        spark.read.parquet(os.path.join(index_root, "term_stats")),
+        n_docs,
+        avgdl,
+        num_buckets,
+        docs_per_segment=docs_per_segment,
+        segs_per_shard=segs_per_shard,
+        sum_dl=sum_dl,
+    )
