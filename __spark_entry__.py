@@ -243,6 +243,58 @@ def _q_dedup_keep(spark, sf_dir):
     return out.select("doc_id", "text", "lang", "source", "n_chars")
 
 
+def _q_sha256_invariant(spark, sf_dir):
+    """S3 + BASELINE.json:15's one per-row invariant: content sha256
+    equality between the raw source and the engine's doc-store
+    write+read roundtrip (S6 sink -> S1 scan -> built-in sha2)."""
+    from xsearch_spark.sources import io as xio
+
+    docs = _docs(spark, sf_dir)
+    out = os.path.join(
+        tempfile.gettempdir(), "xsearch_docstore" + sf_dir.replace("/", "_")
+    )
+    xio.write_table(docs, out)
+    back = xio.read_table(spark, out)
+    return back.select("doc_id", F.sha2(F.col("text"), 256).alias("content_sha256"))
+
+
+def _q_tombstone_topk(spark, sf_dir):
+    """S5 query-time deletes: BM25 top-k with a tombstone anti-join
+    applied BEFORE the top-k cut. Tombstones = every doc_id % 7 == 0 (a
+    deterministic set the oracle reproduces as a predicate)."""
+    from xsearch_spark.operators.wand import search_index_relational
+
+    built = _index(spark, sf_dir)
+    src = _corpus(spark, sf_dir).source
+    tomb = src.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+    topk = search_index_relational(
+        built, parse("hash join"), source_df=src, tombstones=tomb
+    )
+    return topk.select(
+        "doc_id", F.round(F.col("score"), SCORE_ROUND_DECIMALS).alias("score")
+    )
+
+
+def _q_ann_ivf(spark, sf_dir):
+    from xsearch_spark.operators.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    topk = ivf_topk(emb, qvec, k=10, num_planes=8, probe_hamming=1)
+    return topk.select(
+        "vec_id", F.round("cos_sim", SCORE_ROUND_DECIMALS).alias("cos_sim")
+    )
+
+
+def _q_emb_pairs(spark, sf_dir):
+    from xsearch_spark.operators.similarity import embedding_cosine_pairs
+
+    out = embedding_cosine_pairs(_emb(spark, sf_dir), threshold=0.2, num_planes=8)
+    return out.select(
+        "vec_a", "vec_b", F.round("cos_sim", SCORE_ROUND_DECIMALS).alias("cos_sim")
+    )
+
+
 def _q_events_latest(spark, sf_dir):
     """S4 upsert demonstrated on the events stream table: latest event
     per user (ts desc, event_id desc tie-break) — window row_number."""
@@ -279,6 +331,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_fingerprint,
         "dedup_exact_keep": _q_dedup_keep,
         "events_latest_per_user": _q_events_latest,
+        "content_sha256_invariant": _q_sha256_invariant,
+        "tombstone_filtered_topk": _q_tombstone_topk,
+        "ann_ivf_topk": _q_ann_ivf,
+        "emb_cosine_pairs": _q_emb_pairs,
     }
     for name, qstr in _QUERY_SET.items():
         q[name] = _make_bm25_query(qstr)
@@ -332,6 +388,12 @@ FROM (SELECT *, row_number() OVER (PARTITION BY user_id
       FROM events)
 WHERE rn = 1
 """,
+        "content_sha256_invariant": op.content_sha256_sql(),
+        "tombstone_filtered_topk": oracles.bm25_sql(
+            parse("hash join"), extra_doc_pred="tf.doc_id % 7 <> 0"
+        ),
+        "ann_ivf_topk": op.ivf_topk_sql(0, 10, 8, 1),
+        "emb_cosine_pairs": op.emb_cosine_pairs_sql(0.2, 8),
     }
     for name, qstr in _QUERY_SET.items():
         o[name] = oracles.bm25_sql(parse(qstr))

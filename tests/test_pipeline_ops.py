@@ -97,5 +97,65 @@ def test_ivf_topk_probe(emb):
 def test_embedding_cosine_pairs_threshold(emb):
     out = similarity.embedding_cosine_pairs(emb.limit(200), threshold=0.5).collect()
     for r in out:
-        assert r["cos_sim"] >= 0.5
+        assert round(r["cos_sim"], 6) >= 0.5  # threshold is at oracle precision
         assert r["vec_a"] < r["vec_b"]
+
+
+# ---------------------------------------------------------------------------
+# round-2 de-amplification: the pivoted-aggregate forms must equal the
+# declarative exploded forms row-for-row (the pattern the build path
+# already uses for fused postings — tests/test_fused_postings.py)
+
+
+def test_minhash_pivoted_equals_exploded(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {
+        (r["doc_id"], r["seed"]): r["minhash"]
+        for r in dedup.minhash_signatures(docs, "text", num_hashes=8).collect()
+    }
+    b = {
+        (r["doc_id"], r["seed"]): r["minhash"]
+        for r in dedup.minhash_signatures_exploded(docs, "text", num_hashes=8).collect()
+    }
+    assert a == b
+
+
+def test_simhash_pivoted_equals_exploded(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs, "text").collect()}
+    b = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash_exploded(docs, "text").collect()
+    }
+    assert a == b
+
+
+def test_lsh_bucket_cap_guards_mega_cluster(spark):
+    """Skew guard: 200 identical docs form one mega-bucket; without a cap
+    the self-join yields ~200²/2 pairs, with the cap those buckets are
+    dropped and only the small-cluster pairs survive."""
+    rows = [(i, "exactly the same boilerplate license text here") for i in range(200)]
+    rows += [(1000, "one unusual document alpha beta gamma delta epsilon zeta")]
+    rows += [(1001, "one unusual document alpha beta gamma delta epsilon zeta")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = dedup.lsh_candidate_pairs(docs, "text", num_hashes=8, bands=2).count()
+    assert uncapped >= 200 * 199 // 2
+    capped = dedup.lsh_candidate_pairs(
+        docs, "text", num_hashes=8, bands=2, max_bucket_size=10
+    ).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in capped}
+    assert pairs == {(1000, 1001)}
+
+
+def test_emb_lsh_bucket_cap(emb, spark):
+    import pyspark.sql.functions as SF
+
+    # duplicate one vector 50x -> a mega-bucket; cap drops it
+    v = emb.filter(SF.col("vec_id") == 3).select("embedding").collect()[0][0]
+    dup = spark.createDataFrame(
+        [(10_000 + i, v) for i in range(50)], "vec_id long, embedding array<float>"
+    )
+    both = emb.limit(20).select("vec_id", "embedding").unionByName(dup)
+    capped = similarity.lsh_candidate_pairs(both, num_planes=8, max_bucket_size=25)
+    big = {r for r in capped.collect() if r["vec_a"] >= 10_000}
+    assert not big  # the duplicated cluster's quadratic bucket is gone

@@ -30,6 +30,11 @@ BPE_ISH_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 STOPWORDS = LANG_MARKERS["en"] + ["a", "in", "on", "at", "as", "by", "an", "be"]
 
 FINGERPRINT_SHINGLE = 8  # char-level shingle width for winnowing-lite
+# cap on hashed shingle positions per doc: stride = ceil(positions/cap).
+# Without it a 100 KB doc costs ~100k md5 Column evals (round-1 advisor:
+# the fingerprint dwarfed tokenization at scale); with it the cost is
+# O(256) per doc regardless of length, deterministically.
+FINGERPRINT_MAX_POSITIONS = 256
 
 
 def lang_scores(text: Column) -> dict[str, Column]:
@@ -121,12 +126,19 @@ def token_counts(df: DataFrame, text_col: str, id_col: str = "doc_id") -> DataFr
 
 
 def doc_fingerprint(df: DataFrame, text_col: str, id_col: str = "doc_id") -> DataFrame:
-    """Winnowing-lite fingerprint: min over all char 8-gram shingles of
-    md5(shingle). Rolling-hash semantics (every window position hashed)
-    with a selection rule of global-min — near-identical docs collide."""
+    """Winnowing-lite fingerprint: min over strided char 8-gram shingles
+    of md5(shingle). Stride = ceil(positions / FINGERPRINT_MAX_POSITIONS)
+    — a deterministic function of doc length, so the oracle SQL computes
+    the identical shingle set — bounding per-doc hash cost at ~256 md5
+    evals whatever the doc size (bounded-stride winnowing; the every-
+    position variant cost O(doc_len) md5 Column evals per row).
+    Identical docs always collide; near-identical docs collide when the
+    edit does not disturb the minimal strided shingle."""
     t = F.col(text_col)
     w = FINGERPRINT_SHINGLE
-    positions = F.sequence(F.lit(1), F.greatest(F.length(t) - (w - 1), F.lit(1)))
+    p = F.greatest(F.length(t) - (w - 1), F.lit(1))
+    stride = ((p + F.lit(FINGERPRINT_MAX_POSITIONS - 1)) / F.lit(FINGERPRINT_MAX_POSITIONS)).cast("int")
+    positions = F.sequence(F.lit(1), p, stride)
     hashes = F.transform(positions, lambda i: F.md5(t.substr(i, F.lit(w))))
     return df.select(
         F.col(id_col).alias("doc_id"),

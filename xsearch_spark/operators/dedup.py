@@ -86,7 +86,53 @@ def minhash_signatures(
     word-``shingle_n``-gram set of md5(seed || ':' || shingle).
     String-min over a hash order is a valid MinHash permutation and is
     exactly reproducible in SQL. Shingles (not unigrams) so that word
-    ORDER matters — unigram sets degenerate on small vocabularies."""
+    ORDER matters — unigram sets degenerate on small vocabularies.
+
+    Shape (round-2 de-amplification): all ``num_hashes`` mins are
+    computed as SEPARATE AGGREGATE COLUMNS over one pass of the shingle
+    rows — map-side partial agg reduces each partition to one row per
+    doc BEFORE the shuffle, so the shuffle carries |docs| x num_hashes
+    hashes instead of |shingles| x num_hashes rows (the round-1 seed
+    explode amplified the shuffle 16x). The wide row is then unpivoted
+    with ``stack`` to keep the (doc_id, seed, minhash) contract. Still
+    zero UDFs; the declarative explode form lives on in the SQL oracle
+    and in ``minhash_signatures_exploded`` (parity-tested).
+    """
+    wide = _minhash_wide(df, text_col, id_col, num_hashes, shingle_n)
+    stack = ", ".join(f"{i}, _h{i}" for i in range(num_hashes))
+    return wide.selectExpr(
+        "doc_id", f"stack({num_hashes}, {stack}) AS (seed, minhash)"
+    )
+
+
+def _minhash_wide(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    shingle_n: int,
+) -> DataFrame:
+    """(doc_id, _h0.._h{n-1}): one min-aggregate column per seed."""
+    sh = _shingles(df, text_col, id_col, shingle_n)
+    aggs = [
+        F.min(
+            F.md5(F.concat_ws(":", F.lit(str(i)), F.col("shingle")))
+        ).alias(f"_h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures_exploded(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Round-1 declarative form (seed explode before the groupBy) — kept
+    as the readable reference implementation; must equal
+    :func:`minhash_signatures` row-for-row (tests/test_pipeline_ops.py)."""
     sh = _shingles(df, text_col, id_col, shingle_n).withColumnRenamed("shingle", "term")
     seeds = F.explode(F.array(*[F.lit(i) for i in range(num_hashes)])).alias("seed")
     expanded = sh.select("doc_id", "term", seeds)
@@ -108,32 +154,52 @@ def lsh_candidate_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding over the minhash signature: docs sharing any band
     bucket become candidate pairs (doc_a < doc_b). rows = bands*|docs|,
-    join only within buckets — no cross product anywhere."""
+    join only within buckets — no cross product anywhere.
+
+    Band keys are built straight from the wide signature row (md5 over
+    the seed-ordered minhashes of each band) — no second groupBy, no
+    collect_list; the whole operator is two aggregations (shingle
+    distinct + signature) and one self-join.
+
+    ``max_bucket_size``: skew guard for the within-bucket self-join. A
+    corpus with a mega-cluster of near-identical docs (boilerplate,
+    license files) puts them all in one bucket and the join goes
+    quadratic in that bucket. Buckets above the cap are dropped (their
+    docs are still pairable through their other bands); at 100 TB run
+    with a cap (e.g. 10_000) and handle the dropped mega-buckets by
+    exact-hash grouping instead. None (default) = exact LSH semantics,
+    matching the SQL oracle.
+    """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n).withColumn(
-        "band", (F.col("seed") / F.lit(rows_per_band)).cast("int")
-    )
-    band_keys = (
-        sigs.groupBy("doc_id", "band")
-        # band key = md5 of the ordered minhashes in the band; sort by
-        # seed via array_sort over (seed, minhash) structs
-        .agg(
+    wide = _minhash_wide(df, text_col, id_col, num_hashes, shingle_n)
+    band_rows = [
+        F.struct(
+            F.lit(b).alias("band"),
             F.md5(
                 F.concat_ws(
                     "|",
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("seed", "minhash"))
-                        ),
-                        lambda s: s["minhash"],
-                    ),
+                    *[F.col(f"_h{b * rows_per_band + j}") for j in range(rows_per_band)],
                 )
-            ).alias("bucket")
+            ).alias("bucket"),
         )
-    )
+        for b in range(bands)
+    ]
+    band_keys = wide.select(
+        "doc_id", F.explode(F.array(*band_rows)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    if max_bucket_size is not None:
+        sizes = band_keys.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("_bsz")
+        )
+        band_keys = (
+            band_keys.join(sizes, ["band", "bucket"])
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
     a = band_keys.select(
         F.col("band"), F.col("bucket"), F.col("doc_id").alias("doc_a")
     )
@@ -221,12 +287,58 @@ def ngram_jaccard_pairs(
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
     """64-bit SimHash over tf-weighted token md5 bits -> (doc_id,
-    simhash:bigint as the signed 64-bit value, built bit by bit).
+    simhash:bigint as the signed 64-bit value).
 
     bit b of token hash = bit (3 - b%4) of hex nibble b//4 of md5(term).
     The per-(doc, bit) vote is sum(tf * (2*bit - 1)); sign -> bit set.
-    All Column expressions (conv() for nibble value) — no UDF.
+
+    Shape (round-2 de-amplification): the 64 per-bit votes are 64
+    AGGREGATE COLUMNS over one pass of the (doc, term, tf) rows — the
+    round-1 form exploded every posting 64x before its groupBy, a 64x
+    shuffle amplification; here map-side partial agg collapses each
+    partition to one 64-long row per doc before the shuffle. The word is
+    then assembled from the vote signs in a single projection. Still
+    pure Column expressions (codegen'd, no UDF); the exploded form
+    remains in ``simhash_exploded`` and in the SQL oracle (parity-
+    tested).
     """
+    toks = _tokens(df, text_col, id_col).groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    h = toks.withColumn("h", F.md5("term"))
+    # vote_b = sum(tf * (2*bitval_b - 1)); bitval_b from the hex digest
+    vote_aggs = [
+        F.sum(
+            F.col("tf")
+            * (
+                F.expr(
+                    f"shiftright(CAST(conv(substring(h, {b // 4 + 1}, 1), 16, 10) AS INT), {3 - b % 4}) % 2"
+                )
+                * 2
+                - 1
+            )
+        ).alias(f"_v{b}")
+        for b in range(bits)
+    ]
+    votes = h.groupBy("doc_id").agg(*vote_aggs)
+    low63 = None
+    for b in range(1, bits):
+        term = F.when(F.col(f"_v{b}") > 0, F.lit(1 << (63 - b)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        low63 = term if low63 is None else (low63 + term)
+    sign = F.when(F.col("_v0") > 0, F.lit(-(2**63)).cast("long")).otherwise(
+        F.lit(0).cast("long")
+    )
+    return votes.select("doc_id", (low63 + sign).alias("simhash"))
+
+
+def simhash_exploded(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """Round-1 declarative form (64x bit explode) — kept as the readable
+    reference implementation; must equal :func:`simhash` row-for-row
+    (tests/test_pipeline_ops.py)."""
     toks = _tokens(df, text_col, id_col).groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).alias("tf")
     )

@@ -116,10 +116,23 @@ def lsh_buckets(
 
 
 def lsh_candidate_pairs(
-    embeddings: DataFrame, num_planes: int = 8, id_col: str = "vec_id", emb_col: str = "embedding"
+    embeddings: DataFrame,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Near-dup candidates: pairs sharing an LSH bucket (vec_a < vec_b)."""
+    """Near-dup candidates: pairs sharing an LSH bucket (vec_a < vec_b).
+
+    ``max_bucket_size``: skew guard — the within-bucket self-join is
+    O(bucket²), so a mega-cluster of near-identical embeddings makes one
+    bucket quadratic at corpus scale. Buckets above the cap are dropped
+    (handle them by exact-dup hashing instead); None = exact semantics,
+    matching the SQL oracle."""
     b = lsh_buckets(embeddings, num_planes, id_col, emb_col)
+    if max_bucket_size is not None:
+        sizes = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bsz"))
+        b = b.join(sizes, "bucket").filter(F.col("_bsz") <= max_bucket_size).drop("_bsz")
     a = b.select(F.col("bucket"), F.col("vec_id").alias("vec_a"))
     c = b.select(F.col("bucket"), F.col("vec_id").alias("vec_b"))
     return a.join(c, "bucket").filter(F.col("vec_a") < F.col("vec_b")).select(
@@ -135,7 +148,10 @@ def embedding_cosine_pairs(
     emb_col: str = "embedding",
 ) -> DataFrame:
     """Embedding-cosine near-dup: exact cosine on LSH-bucketed candidate
-    pairs -> (vec_a, vec_b, cos_sim >= threshold)."""
+    pairs -> (vec_a, vec_b, cos_sim >= threshold). The threshold compares
+    the 6-decimal-rounded similarity so the cut is reproducible across
+    engines (Spark and DuckDB sums associate floats differently at the
+    last ulp — SURVEY.md §5.2 float discipline)."""
     pairs = lsh_candidate_pairs(embeddings, num_planes, id_col, emb_col)
     ea = embeddings.select(F.col(id_col).alias("vec_a"), F.col(emb_col).alias("emb_a"))
     eb = embeddings.select(F.col(id_col).alias("vec_b"), F.col(emb_col).alias("emb_b"))
@@ -145,7 +161,7 @@ def embedding_cosine_pairs(
     )
     return (
         joined.select("vec_a", "vec_b", sim.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= threshold)
+        .filter(F.round(F.col("cos_sim"), 6) >= threshold)
     )
 
 

@@ -354,10 +354,15 @@ def search_index_relational(
     parsed: ParsedQuery,
     k: int = DEFAULT_TOP_K,
     source_df: DataFrame | None = None,
+    tombstones: DataFrame | None = None,
 ) -> DataFrame:
     """Q2 pruned scan + Q3 decode feeding the relational scorer — the
     second (declarative) path over the same packed index; must agree
-    with search_wand bit-for-bit (tested)."""
+    with search_wand bit-for-bit (tested).
+
+    ``tombstones`` (S5): a (doc_id) DataFrame of deleted docs, applied as
+    a broadcast anti-join BEFORE top-k — the query-time delete path that
+    serves between compactions."""
     from xsearch_spark.operators import search as rel
     from xsearch_spark.operators import segments as seg
     from xsearch_spark.operators.build import CollectionStats
@@ -368,4 +373,8 @@ def search_index_relational(
     stats = CollectionStats(built.n_docs, built.avgdl)
     scored = rel.score_postings(long_postings, built.term_stats, None, stats, parsed)
     scored = rel.apply_doc_filters(scored, long_postings, source_df, parsed)
+    if tombstones is not None:
+        scored = scored.join(
+            F.broadcast(tombstones.select("doc_id")), "doc_id", "left_anti"
+        )
     return rel.top_k(scored, k)

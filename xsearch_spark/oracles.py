@@ -77,10 +77,16 @@ SELECT count(*) AS n_docs, round(sum(dl)::DOUBLE / count(*), {R}) AS avgdl FROM 
 """
 
 
-def bm25_sql(parsed: ParsedQuery, k: int = 10, table: str = "documents") -> str:
+def bm25_sql(
+    parsed: ParsedQuery,
+    k: int = 10,
+    table: str = "documents",
+    extra_doc_pred: str | None = None,
+) -> str:
     """Naive (full-evaluation) BM25 top-k — the oracle for Q4–Q8: any
     engine path (relational, index-backed, WAND-pruned) must emit exactly
-    this result set."""
+    this result set. ``extra_doc_pred`` (a predicate over ``tf.doc_id``)
+    models query-time tombstones (S5) and similar doc-set restrictions."""
     if not parsed.terms:
         return "SELECT doc_id, 0.0::DOUBLE AS score FROM documents WHERE false"
     terms_list = ", ".join(_sql_quote(t) for t in parsed.terms)
@@ -102,6 +108,7 @@ def bm25_sql(parsed: ParsedQuery, k: int = 10, table: str = "documents") -> str:
             f"AND tf.doc_id NOT IN (SELECT DISTINCT doc_id FROM tf "
             f"WHERE term IN ({ex_list}))"
         )
+    extra = f"AND ({extra_doc_pred})" if extra_doc_pred else ""
     return f"""
 WITH {corpus_ctes(table)},
 w AS (
@@ -110,7 +117,7 @@ w AS (
   JOIN tdf USING (term)
   JOIN dl ON dl.doc_id = tf.doc_id
   CROSS JOIN stats s
-  WHERE tf.term IN ({terms_list}) {lang_filter} {not_filter}
+  WHERE tf.term IN ({terms_list}) {lang_filter} {not_filter} {extra}
 ),
 scored AS (SELECT doc_id, sum(w) AS raw_score FROM w GROUP BY doc_id {having})
 SELECT doc_id, round(raw_score, {R}) AS score

@@ -11,6 +11,7 @@ from __future__ import annotations
 from xsearch_spark.constants import TOKEN_SPLIT_REGEX
 from xsearch_spark.functions.textops import (
     BPE_ISH_REGEX,
+    FINGERPRINT_MAX_POSITIONS,
     FINGERPRINT_SHINGLE,
     LANG_MARKERS,
     STOPWORDS,
@@ -171,6 +172,72 @@ FROM dots GROUP BY vec_id
 """
 
 
+def emb_cosine_pairs_sql(threshold: float, num_planes: int = 8) -> str:
+    """Embedding near-dup pairs: exact cosine >= threshold, restricted to
+    LSH-bucket-sharing candidates (never all-pairs)."""
+    return f"""
+WITH b AS ({lsh_buckets_sql(num_planes)}),
+pairs AS (
+  SELECT a.vec_id AS vec_a, c.vec_id AS vec_b
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+),
+{_EMB_EXPLODE},
+norms AS (SELECT vec_id, sum(val::DOUBLE * val::DOUBLE) AS n2 FROM e GROUP BY vec_id),
+dots AS (
+  SELECT p.vec_a, p.vec_b, sum(ea.val::DOUBLE * eb.val::DOUBLE) AS dot
+  FROM pairs p
+  JOIN e ea ON ea.vec_id = p.vec_a
+  JOIN e eb ON eb.vec_id = p.vec_b AND eb.dim = ea.dim
+  GROUP BY p.vec_a, p.vec_b
+)
+SELECT vec_a, vec_b, round(cos_sim, 6) AS cos_sim
+FROM (SELECT d.vec_a, d.vec_b, d.dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cos_sim
+      FROM dots d
+      JOIN norms na ON na.vec_id = d.vec_a
+      JOIN norms nb ON nb.vec_id = d.vec_b)
+WHERE round(cos_sim, 6) >= {threshold}
+"""
+
+
+def ivf_topk_sql(
+    query_vec_id: int = 0, k: int = 10, num_planes: int = 8, probe_hamming: int = 1
+) -> str:
+    """IVF-style probe: exact cosine top-k restricted to vectors whose
+    LSH bucket is within ``probe_hamming`` bit flips of the query's own
+    bucket — the probe set is fully SQL-derivable (xor + bit_count)."""
+    return f"""
+WITH b AS ({lsh_buckets_sql(num_planes)}),
+qb AS (SELECT bucket AS qbucket FROM b WHERE vec_id = {query_vec_id}),
+probe AS (
+  SELECT b.vec_id FROM b CROSS JOIN qb
+  WHERE bit_count(xor(b.bucket, qb.qbucket)) <= {probe_hamming}
+),
+q AS (SELECT unnest(embedding) AS qval,
+             unnest(generate_series(0, len(embedding) - 1)) AS dim
+      FROM embeddings WHERE vec_id = {query_vec_id}),
+{_EMB_EXPLODE},
+dots AS (
+  SELECT e.vec_id,
+         sum(e.val::DOUBLE * q.qval::DOUBLE) AS dot,
+         sum(e.val::DOUBLE * e.val::DOUBLE) AS nrm2
+  FROM e JOIN q USING (dim)
+  WHERE e.vec_id IN (SELECT vec_id FROM probe)
+  GROUP BY e.vec_id
+),
+qn AS (SELECT sum(qval::DOUBLE * qval::DOUBLE) AS qnrm2 FROM q)
+SELECT vec_id, round(dot / (sqrt(nrm2) * sqrt(qnrm2)), 6) AS cos_sim
+FROM dots CROSS JOIN qn
+ORDER BY dot / (sqrt(nrm2) * sqrt(qnrm2)) DESC, vec_id ASC LIMIT {k}
+"""
+
+
+def content_sha256_sql() -> str:
+    """S3: the per-row content-fingerprint invariant (BASELINE.json:15) —
+    the engine emits sha256 over its doc-store write+read roundtrip; the
+    oracle hashes the raw source rows. Equality IS the invariant."""
+    return "SELECT doc_id, sha256(text) AS content_sha256 FROM documents"
+
+
 # ---------------------------------------------------------------------------
 # text analysis (documents table)
 
@@ -250,11 +317,15 @@ FROM documents
 
 def doc_fingerprint_sql() -> str:
     w = FINGERPRINT_SHINGLE
+    cap = FINGERPRINT_MAX_POSITIONS
+    # stride mirrors the Spark side exactly: ceil(positions / cap)
     return f"""
 SELECT doc_id,
   list_aggregate(
-    list_transform(generate_series(1, greatest(length(text) - {w - 1}, 1)),
-                   i -> md5(substr(text, i, {w}))),
+    list_transform(
+      generate_series(1, greatest(length(text) - {w - 1}, 1),
+                      (greatest(length(text) - {w - 1}, 1) + {cap - 1}) // {cap}),
+      i -> md5(substr(text, i, {w}))),
     'min') AS fingerprint
 FROM documents
 """
