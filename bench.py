@@ -55,17 +55,22 @@ CODE_QUERIES = {
 
 def run_bench(sf_dir: str, cpus: int, emit_json: bool = True) -> dict:
     from xsearch_spark.operators.wand import search_wand
-    from xsearch_spark.plans.build_index import build_index
+    from xsearch_spark.plans.build_index import build_index, checkpoint_source_ids
     from xsearch_spark.plans.query import parse
     from xsearch_spark.session import get_spark
     from xsearch_spark.sources.datagen import generate_code_files
-    from xsearch_spark.sources.ids import assign_doc_ids_scalable
     from xsearch_spark.sources.io import read_documents, read_source
 
     from xsearch_spark.sources.datagen import ROWS
 
     sf = _sf_of(sf_dir)
-    sf_key = f"{sf:g}" if f"{sf:g}" in ROWS else "0.01"
+    # SPARK_GRAFT_CODE_SF overrides the code_files scale independently of
+    # the documents sf_dir — used for the large-input scaling evidence
+    # (the N-vs-4N efficiency criterion needs enough parallel work to
+    # amortize fixed cost; see BENCH/BASELINE.md Amdahl analysis)
+    sf_key = os.environ.get("SPARK_GRAFT_CODE_SF") or (
+        f"{sf:g}" if f"{sf:g}" in ROWS else "0.01"
+    )
     code_parquet = generate_code_files(
         sf_key, os.path.join(REPO, ".cache", "code_files", f"sf{sf_key}")
     )
@@ -88,7 +93,7 @@ def run_bench(sf_dir: str, cpus: int, emit_json: bool = True) -> dict:
             spark, docs, out,
             text_col="text", variant="base",
             docs_per_segment=4096, segs_per_shard=4, num_buckets=32,
-            n_docs=n_docs,
+            n_docs=n_docs, fused_merge=True,
         )
         build_s = time.monotonic() - t0
         for _pass in range(2):  # second pass = warm
@@ -98,13 +103,16 @@ def run_bench(sf_dir: str, cpus: int, emit_json: bool = True) -> dict:
                 per_query[name] = time.monotonic() - tq
 
         # --- workload 2: code_files (prod schema, code-aware variant) ----
+        # ids are checkpointed (stage 0) so the window shuffle runs once,
+        # not once per consumer; the build itself is the fused one-lineage
+        # topology (pack -> cached runs -> merge) — see build_index.
         t0 = time.monotonic()
-        code_ids = assign_doc_ids_scalable(code_src, max(8, cpus * 2))
+        code_ids, _ = checkpoint_source_ids(spark, code_src, out_code)
         built_code = build_index(
             spark, code_ids, out_code,
             text_col="content", variant="code",
             docs_per_segment=4096, segs_per_shard=4, num_buckets=64,
-            n_docs=n_code,
+            n_docs=n_code, fused_merge=True,
         )
         code_build_s = time.monotonic() - t0
         for _pass in range(2):
@@ -149,6 +157,45 @@ def _sf_of(sf_dir: str) -> float:
         return -1.0
 
 
+def _kernel_probe(code_parquet: str, procs: int, n_docs: int = 20_000) -> float:
+    """Raw tokenize-kernel throughput (docs/s) at ``procs`` processes —
+    the hardware+Python ceiling the engine is measured against. Runs the
+    exact hot kernel (operators.build.count_batch) over a sample of the
+    same corpus via plain multiprocessing: no Spark, no shuffle, no
+    Arrow. Best-of-2 (hypervisor steal arrives in bursts)."""
+    import multiprocessing as mp
+
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(code_parquet)
+    texts = []
+    for batch in pf.iter_batches(columns=["content"], batch_size=10_000):
+        texts.extend(batch.column(0).to_pylist())
+        if len(texts) >= n_docs:
+            break
+    texts = texts[:n_docs]
+    best = 0.0
+    for _ in range(2):
+        chunks = [texts[i::procs] for i in range(procs)]
+        t0 = time.monotonic()
+        with mp.Pool(procs) as pool:
+            pool.map(_kernel_work, chunks)
+        best = max(best, len(texts) / (time.monotonic() - t0))
+    return round(best, 1)
+
+
+def _kernel_work(chunk_texts: list) -> int:
+    import numpy as np
+    import pandas as pd
+
+    from xsearch_spark.operators.build import count_batch
+
+    r = count_batch(
+        pd.Series(chunk_texts), np.arange(len(chunk_texts), dtype=np.int64), "code"
+    )
+    return 0 if r is None else len(r[0])
+
+
 def run_scaling(sf_dir: str) -> None:
     """N vs 4N scaling evidence (BASELINE.json:14): same input, local[N]
     vs local[4N], fresh JVM each, efficiency = (thr_4N/thr_N)/4.
@@ -159,6 +206,13 @@ def run_scaling(sf_dir: str) -> None:
     there; 4->16 the hardware gives 3.7x (0.93), making it the honest
     N-vs-4N probe of ENGINE scaling. Override with
     SPARK_GRAFT_SCALING_CORES="8,32".
+
+    Alongside the engine, the raw tokenize KERNEL (count_batch via plain
+    multiprocessing — no Spark) is probed at the same core counts: the
+    kernel curve is this box's ceiling for the dominant parallel section,
+    and engine_eff / kernel_eff separates engine-owned overhead from
+    hardware (cumulative hypervisor steal here is ~47% of user time, in
+    bursts — single samples conflate the two).
     """
     lo, hi = (
         int(x)
@@ -169,10 +223,9 @@ def run_scaling(sf_dir: str) -> None:
     for cpus in (lo, hi):
         best = None
         for _ in range(iters):
-            # best-of-N per config: this VM shows hypervisor steal spikes
-            # up to ~20%, so a single wall-clock sample conflates engine
-            # scaling with neighbor noise; min-wall is the standard
-            # noisy-host protocol
+            # best-of-N per config: min-wall is the standard noisy-host
+            # protocol (steal spikes would otherwise be attributed to
+            # the engine)
             env = dict(
                 os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=str(cpus)
             )
@@ -188,9 +241,21 @@ def run_scaling(sf_dir: str) -> None:
             if best is None or r["docs_per_sec"] > best["docs_per_sec"]:
                 best = r
         results[cpus] = best
+
+    from xsearch_spark.sources.datagen import ROWS
+
+    sf_key = os.environ.get("SPARK_GRAFT_CODE_SF") or (
+        f"{_sf_of(sf_dir):g}" if f"{_sf_of(sf_dir):g}" in ROWS else "0.01"
+    )
+    code_parquet = os.path.join(
+        REPO, ".cache", "code_files", f"sf{sf_key}", "code_files.parquet"
+    )
+    kern = {c: _kernel_probe(code_parquet, c) for c in (lo, hi)}
+
     thr_lo = results[lo]["docs_per_sec"]
     thr_hi = results[hi]["docs_per_sec"]
     eff = (thr_hi / thr_lo) / (hi / lo)
+    kern_eff = (kern[hi] / kern[lo]) / (hi / lo)
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
     os.makedirs(os.path.dirname(md), exist_ok=True)
     stamp = time.strftime("%Y-%m-%d %H:%M:%S")
@@ -200,20 +265,35 @@ def run_scaling(sf_dir: str) -> None:
         return (
             f"| {c} | {r['queries']['index_build_documents']} "
             f"| {r['queries']['index_build_code']} | {r['docs_per_sec']} "
-            f"| {r['query_p50_sec']} |"
+            f"| {kern[c]} | {r['query_p50_sec']} |"
         )
 
     with open(md, "a") as f:
         f.write(
             f"\n## Scaling run {stamp} — {sf_dir} "
             f"(code_files n={results[hi]['n_code_docs']})\n\n"
-            f"| cores | docs build sec | code build sec | code docs/sec | query p50 sec |\n"
-            f"|---|---|---|---|---|\n{row(lo)}\n{row(hi)}\n\n"
-            f"**Scaling efficiency ({lo} -> {hi} cores): {eff:.3f}** "
+            f"| cores | docs build sec | code build sec | code docs/sec "
+            f"| kernel docs/sec | query p50 sec |\n"
+            f"|---|---|---|---|---|---|\n{row(lo)}\n{row(hi)}\n\n"
+            f"**Engine scaling efficiency ({lo} -> {hi} cores): {eff:.3f}**; "
+            f"tokenize-kernel (hardware ceiling) efficiency: {kern_eff:.3f}; "
+            f"engine/kernel ratio: {eff / kern_eff:.3f} "
             f"(threshold >= 0.8, BASELINE.json:14; throughput = code_files "
-            f"docs indexed / build sec, fresh JVM per size)\n"
+            f"docs indexed / build sec incl. ids checkpoint, fresh JVM per "
+            f"size, best-of-{iters})\n"
         )
-    print(json.dumps({f"thr{lo}": thr_lo, f"thr{hi}": thr_hi, "efficiency": round(eff, 3)}))
+    print(
+        json.dumps(
+            {
+                f"thr{lo}": thr_lo,
+                f"thr{hi}": thr_hi,
+                "efficiency": round(eff, 3),
+                f"kernel{lo}": kern[lo],
+                f"kernel{hi}": kern[hi],
+                "kernel_efficiency": round(kern_eff, 3),
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

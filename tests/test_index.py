@@ -139,6 +139,47 @@ def test_bucket_python_twin_matches_jvm(spark, built):
         assert bucket_of(r["term"], 64) == r["b"], r["term"]
 
 
+def test_fused_build_equals_staged(spark, built, tmp_path):
+    """fused_merge=True (one lineage, no segments parquet) must produce
+    the identical merged index: same rows, same packed bytes."""
+    docs = read_documents(spark, SF_DIR)
+    bi = build_index(
+        spark, docs, str(tmp_path / "fused_idx"),
+        text_col="text", variant="base",
+        docs_per_segment=128, segs_per_shard=2, num_buckets=16,
+        fused_merge=True,
+    )
+    assert bi.n_docs == built.n_docs and bi.avgdl == built.avgdl
+    a = {
+        (r["term"], r["shard"]): (bytes(r["doc_ids"]), bytes(r["tfs"]), bytes(r["dls"]))
+        for r in built.index_df.collect()
+    }
+    b = {
+        (r["term"], r["shard"]): (bytes(r["doc_ids"]), bytes(r["tfs"]), bytes(r["dls"]))
+        for r in bi.index_df.collect()
+    }
+    assert a == b
+
+
+def test_checkpoint_source_ids_stable(spark, tmp_path):
+    """Stage-0 ids checkpoint: second call reuses the manifest (no
+    recompute) and returns the same mapping."""
+    from xsearch_spark.plans.build_index import checkpoint_source_ids
+    from xsearch_spark.sources.datagen import generate_code_files
+    from xsearch_spark.sources.io import read_source
+
+    p = generate_code_files("0.001", "/root/repo/.cache/code_files/sf0.001")
+    src = read_source(spark, p)
+    out = str(tmp_path / "idx0")
+    df1, n1 = checkpoint_source_ids(spark, src, out)
+    m1 = {(r["repo"], r["path"], r["commit"]): r["doc_id"] for r in df1.collect()}
+    df2, n2 = checkpoint_source_ids(spark, src, out)
+    m2 = {(r["repo"], r["path"], r["commit"]): r["doc_id"] for r in df2.collect()}
+    assert n1 == n2 == len(m1)
+    assert m1 == m2
+    assert sorted(m1.values()) == list(range(n1))  # dense 0..N-1
+
+
 def test_block_meta_consistent(built):
     import math
 

@@ -46,6 +46,7 @@ from pyspark.sql.types import (
     ArrayType,
     BinaryType,
     DoubleType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -204,11 +205,13 @@ def build_segments(
 # B5: shuffle merge keyed by term, range-salted by shard
 
 
-def make_merge_iter():
+def make_merge_iter(include_bucket: bool = False):
     """mapInPandas merger: sorted (term, shard, first_doc_id) run batches
     -> one concatenated run per (term, shard). Runs are disjoint doc-id
     ranges (segments are doc slices), so concatenation needs no re-sort;
-    monotonicity is asserted."""
+    monotonicity is asserted. ``include_bucket``: carry a precomputed
+    ``bucket`` column through (constant per term) for the fused
+    merge->layout topology (:func:`merge_to_index`)."""
 
     def merge_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry: pd.DataFrame | None = None
@@ -229,16 +232,18 @@ def make_merge_iter():
             else:
                 carry = pdf
                 continue
-            yield _merge_frame(pdf, starts)
+            yield _merge_frame(pdf, starts, include_bucket)
         if carry is not None and not carry.empty:
             terms = carry["term"].to_numpy()
             shards = carry["shard"].to_numpy()
-            yield _merge_frame(carry, _group_bounds(terms, shards))
+            yield _merge_frame(carry, _group_bounds(terms, shards), include_bucket)
 
     return merge_iter
 
 
-def _merge_frame(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
+def _merge_frame(
+    pdf: pd.DataFrame, starts: np.ndarray, include_bucket: bool = False
+) -> pd.DataFrame:
     ends = np.append(starts[1:], len(pdf))
     out = []
     for s, e in zip(starts, ends):
@@ -282,8 +287,11 @@ def _merge_frame(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
             ].astype(np.int64).tolist(),
             "block_max": block_max,
         }
+        if include_bucket:
+            row["bucket"] = int(g["bucket"].iloc[0])
         out.append(row)
-    return pd.DataFrame(out, columns=[f.name for f in MERGED_SCHEMA.fields])
+    schema = MERGED_BUCKET_SCHEMA if include_bucket else MERGED_SCHEMA
+    return pd.DataFrame(out, columns=[f.name for f in schema.fields])
 
 
 MERGED_SCHEMA = StructType(
@@ -299,6 +307,10 @@ MERGED_SCHEMA = StructType(
         StructField("block_last", ArrayType(LongType()), False),
         StructField("block_max", ArrayType(DoubleType()), False),
     ]
+)
+
+MERGED_BUCKET_SCHEMA = StructType(
+    MERGED_SCHEMA.fields + [StructField("bucket", IntegerType(), False)]
 )
 
 
@@ -319,6 +331,38 @@ def merge_segments(
         "term", "shard", "first_doc_id"
     )
     return runs.mapInPandas(make_merge_iter(), MERGED_SCHEMA)
+
+
+def merge_to_index(
+    segment_runs: DataFrame,
+    avgdl: float,
+    segs_per_shard: int = DEFAULT_SEGS_PER_SHARD,
+    num_buckets: int = 64,
+) -> DataFrame:
+    """B5 merge FUSED with the S6 bucket layout: one shuffle keyed by the
+    term's bucket, partition-sorted by (term, shard, first_doc_id), merge
+    UDF per consecutive (term, shard) group — the output leaves the UDF
+    already bucket-partitioned and term-sorted, so the index write needs
+    NO second exchange and no post-merge sort (the two-shuffle version
+    spent as long re-laying-out the merged rows as merging them).
+
+    Trade-off vs :func:`merge_segments`: a term's shards all live in one
+    bucket partition, so per-term merge parallelism is bounded by
+    num_buckets rather than num_buckets x shards. With num_buckets >=
+    2x cores (and thousands at prod scale) the bucket key spreads hot
+    terms' decode bytes adequately; shard salting still bounds ROW size
+    and query-time decode parallelism.
+    """
+    from xsearch_spark.functions.buckets import bucket_col
+
+    runs = segment_runs.withColumn(
+        "shard", (F.col("seg_id") / F.lit(segs_per_shard)).cast("long")
+    ).withColumn("avgdl", F.lit(avgdl))
+    runs = runs.withColumn("bucket", bucket_col(F.col("term"), num_buckets))
+    runs = runs.repartition(num_buckets, "bucket").sortWithinPartitions(
+        "term", "shard", "first_doc_id"
+    )
+    return runs.mapInPandas(make_merge_iter(include_bucket=True), MERGED_BUCKET_SCHEMA)
 
 
 def _recompute_block_max(
@@ -368,16 +412,27 @@ def pack_from_source(
     serves WAND queries. avgdl itself is recovered from the packed runs'
     ``sum_tf`` column without any decode.
 
-    Parallelism note (round-2 fix): partitioning by ``doc_id //
-    docs_per_segment`` caps the tokenize stage at n_docs/docs_per_segment
-    tasks — at sf0.1 that was 25 tasks on 32 cores, the measured cause of
-    the local[32] throughput regression. The partition key is therefore a
-    finer doc-range *chunk* (>= 2 chunks per target partition, never
-    coarser than a segment). A segment split across chunks simply yields
-    several partial runs per (term, seg_id); the B5 merge concatenates
-    disjoint presorted runs anyway, so the merged index is byte-identical.
+    Parallelism notes (round-2 fixes, measured at sf0.1):
+
+    * Partitioning by ``doc_id // docs_per_segment`` capped the tokenize
+      stage at n_docs/docs_per_segment tasks — 25 tasks on 32 cores, the
+      cause of the round-1 local[32] throughput regression.
+    * The repartition itself shuffles the FULL content column (~5 KB/doc)
+      and re-sorts it — pure memory-bandwidth tax that does not scale on
+      SMT cores. When the input is already split into at least
+      cores-many partitions (the checkpointed ids table is written as
+      contiguous doc-range files precisely for this), the exchange+sort
+      is SKIPPED: the packer tolerates any doc order and any range
+      fragmentation, emitting partial runs that the B5 merge — which
+      runs anyway — concatenates. The merged index is byte-identical
+      either way (tested).
+    * Only when the input has too few partitions (small tables, exotic
+      sources) does the chunked repartition fall back in: a finer
+      doc-range chunk key (>= 2 chunks per target partition, never
+      coarser than a segment).
     """
-    n = num_partitions or source_df.sparkSession.sparkContext.defaultParallelism * 2
+    par = source_df.sparkSession.sparkContext.defaultParallelism
+    n = num_partitions or par * 2
     chunk = docs_per_segment
     if n_docs:
         # ~4 chunk keys per partition smooths hash-bucket collisions;
@@ -433,9 +488,12 @@ def pack_from_source(
         if acc["terms"]:
             yield flush()
 
-    docs = source_df.select(doc_id_col, text_col).withColumn(
-        "_chunk", (F.col(doc_id_col) / F.lit(chunk)).cast("long")
-    )
+    docs = source_df.select(doc_id_col, text_col)
+    if docs.rdd.getNumPartitions() >= par:
+        # input is already parallel enough: no exchange, no sort — the
+        # packer handles arbitrary doc order via flush-on-seg-change
+        return docs.mapInPandas(pack_docs_iter, PACKED_SCHEMA)
+    docs = docs.withColumn("_chunk", (F.col(doc_id_col) / F.lit(chunk)).cast("long"))
     docs = docs.repartition(n, "_chunk").sortWithinPartitions(doc_id_col)
     return docs.drop("_chunk").mapInPandas(pack_docs_iter, PACKED_SCHEMA)
 

@@ -109,6 +109,51 @@ def _partition_rows(df: DataFrame, key: str) -> dict[str, dict]:
     return {str(r[key]): {"rows": int(r["rows"])} for r in rows}
 
 
+def checkpoint_source_ids(
+    spark: SparkSession,
+    source_df: DataFrame,
+    out_dir: str,
+    num_buckets: int | None = None,
+    fingerprint: str = "",
+) -> tuple[DataFrame, int]:
+    """Stage 0 (B8 resume anchor + fixed-cost cut): assign doc_ids and
+    materialize the id-keyed source ONCE.
+
+    Without this, every consumer of the assigned ids (the pack pass, each
+    lang-filtered query's cogroup side, the resume range filter) re-runs
+    the two-pass zipWithIndex topology — a full window shuffle per
+    consumer. Materializing turns those into parquet scans, and the row
+    count comes back from the manifest with no extra job. Everything
+    downstream depends on the id mapping, so this is also the natural
+    resume anchor (SURVEY.md §8 open item 2).
+    """
+    from xsearch_spark.sources.ids import assign_doc_ids_scalable
+
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "source")
+    fp = _fingerprint("source_ids", fingerprint, INDEX_FORMAT_VERSION)
+    m = ckpt.load_manifest(out_dir, "source_ids")
+    if not (m and m.input_fingerprint == fp and m.status == "done" and os.path.isdir(path)):
+        with ckpt.StageTimer() as t:
+            # 4x-cores id buckets -> the checkpoint lands as many small
+            # contiguous doc-range files, which lets pack_from_source
+            # scan them with NO exchange (see segments.pack_from_source)
+            ids = assign_doc_ids_scalable(
+                source_df, num_buckets or spark.sparkContext.defaultParallelism * 4
+            )
+            ids.write.mode("overwrite").parquet(path)
+        df = spark.read.parquet(path)
+        n = df.count()
+        m = ckpt.StageManifest("source_ids", fp, "done", t.wall_ms)
+        m.rows_out = n
+        m.completed_at = time.time()
+        ckpt.save_manifest(out_dir, m)
+    else:
+        df = spark.read.parquet(path)
+        n = int(m.rows_out)
+    return df, n
+
+
 def build_index(
     spark: SparkSession,
     source_df: DataFrame,
@@ -122,7 +167,23 @@ def build_index(
     segs_per_group: int = SEGS_PER_GROUP,
     source_fingerprint: str | None = None,
     n_docs: int | None = None,
+    fused_merge: bool = False,
 ) -> BuiltIndex:
+    """Build the packed index. Two build topologies:
+
+    * ``fused_merge=False`` (staged, default): pack -> durable segments
+      parquet (+ per-seg_group manifests, the fine-grained resume unit)
+      -> merge -> index. A lost task or driver re-tokenizes only missing
+      seg_groups.
+    * ``fused_merge=True``: pack -> cluster-cached runs -> merge -> index
+      in ONE lineage, no segments parquet round-trip (the write + read-
+      back + manifest agg was ~1/3 of build wall at sf0.1). avgdl comes
+      from one aggregate over the cached runs, so tokenization still runs
+      exactly once. Resume granularity coarsens to {ids checkpoint,
+      finished index} — choose this for throughput when the cluster can
+      cache the packed runs (they are index-sized), the staged path when
+      per-partition resumability matters more.
+    """
     paths = _paths(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -132,6 +193,12 @@ def build_index(
         INDEX_FORMAT_VERSION,
     )
     t_start = time.monotonic()
+
+    if fused_merge:
+        return _build_index_fused(
+            spark, source_df, out_dir, paths, fp_base, text_col, doc_id_col,
+            variant, docs_per_segment, segs_per_shard, num_buckets, n_docs, t_start,
+        )
 
     # ---- stage 1+2 fused: docs -> packed segments in ONE pass ------------
     # (xsearch's own topology: a shard tokenizes into its in-memory
@@ -275,6 +342,117 @@ def build_index(
             "event": "index_built",
             "out_dir": out_dir,
             "n_docs": n_docs,
+            "wall_s": time.monotonic() - t_start,
+        },
+    )
+    return BuiltIndex(
+        out_dir,
+        index_df,
+        term_stats,
+        n_docs,
+        avgdl,
+        num_buckets,
+        docs_per_segment=docs_per_segment,
+        segs_per_shard=segs_per_shard,
+        sum_dl=int(sidecar.get("sum_dl", round(avgdl * n_docs))),
+    )
+
+
+def _build_index_fused(
+    spark: SparkSession,
+    source_df: DataFrame,
+    out_dir: str,
+    paths: dict[str, str],
+    fp_base: str,
+    text_col: str,
+    doc_id_col: str,
+    variant: str,
+    docs_per_segment: int,
+    segs_per_shard: int,
+    num_buckets: int,
+    n_docs: int | None,
+    t_start: float,
+) -> BuiltIndex:
+    """One-lineage build: tokenize+pack (Arrow UDF) -> cached runs ->
+    salted merge -> index write. See :func:`build_index` docstring."""
+    from pyspark import StorageLevel
+
+    fpF = _fingerprint("fused_index", fp_base)
+    if ckpt.stage_done(out_dir, "index", fpF) is None or not os.path.exists(paths["stats"]):
+        if n_docs is None:
+            n_docs = source_df.count()
+        with ckpt.StageTimer() as t:
+            packed = seg.pack_from_source(
+                source_df, text_col, doc_id_col, variant, docs_per_segment,
+                n_docs=n_docs,
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            # one aggregate over the cached runs yields the exact avgdl
+            # (sum of dl over docs == sum of tf over postings) and the
+            # lineage totals; tokenization runs exactly once
+            row = packed.agg(
+                F.sum("sum_tf").alias("s"),
+                F.sum("n_docs").alias("postings"),
+                F.count(F.lit(1)).alias("runs"),
+            ).collect()[0]
+            sum_dl = int(row["s"] or 0)
+            avgdl = (sum_dl / n_docs) if n_docs else 0.0
+            # merge fused with the bucket layout: rows leave the merge UDF
+            # already bucket-partitioned and term-sorted -> direct write,
+            # no second exchange (see segments.merge_to_index)
+            merged = seg.merge_to_index(packed, avgdl, segs_per_shard, num_buckets)
+            merged.write.mode("overwrite").partitionBy("bucket").parquet(
+                paths["index"]
+            )
+            packed.unpersist()
+        m = ckpt.StageManifest("index", fpF, "done", t.wall_ms)
+        m.partitions = _partition_rows(spark.read.parquet(paths["index"]), "bucket")
+        m.partitions["_totals"] = {
+            "rows": int(row["runs"]),
+            "postings": int(row["postings"]),
+            "sum_tf": sum_dl,
+        }
+        m.rows_out = sum(
+            p["rows"] for k, p in m.partitions.items() if k != "_totals"
+        )
+        m.completed_at = time.time()
+        ckpt.save_manifest(out_dir, m)
+        with open(paths["stats"] + ".tmp", "w") as f:
+            json.dump(
+                {
+                    "n_docs": n_docs,
+                    "avgdl": avgdl,
+                    "sum_dl": sum_dl,
+                    "docs_per_segment": docs_per_segment,
+                    "segs_per_shard": segs_per_shard,
+                    "num_buckets": num_buckets,
+                    "format_version": INDEX_FORMAT_VERSION,
+                },
+                f,
+            )
+        os.replace(paths["stats"] + ".tmp", paths["stats"])
+    with open(paths["stats"]) as f:
+        sidecar = json.load(f)
+    n_docs, avgdl = int(sidecar["n_docs"]), float(sidecar["avgdl"])
+    index_df = spark.read.parquet(paths["index"])
+
+    fp4 = _fingerprint("stats", fpF)
+    if ckpt.stage_done(out_dir, "term_stats", fp4) is None:
+        with ckpt.StageTimer() as t:
+            ts = index_df.groupBy("term").agg(F.sum("n_docs").alias("df"))
+            ts.write.mode("overwrite").parquet(paths["term_stats"])
+        m4 = ckpt.StageManifest("term_stats", fp4, "done", t.wall_ms)
+        m4.rows_out = spark.read.parquet(paths["term_stats"]).count()
+        m4.completed_at = time.time()
+        ckpt.save_manifest(out_dir, m4)
+    term_stats = spark.read.parquet(paths["term_stats"])
+
+    ckpt.progress_event(
+        os.getcwd(),
+        {
+            "event": "index_built",
+            "out_dir": out_dir,
+            "n_docs": n_docs,
+            "fused": True,
             "wall_s": time.monotonic() - t_start,
         },
     )

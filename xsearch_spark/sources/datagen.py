@@ -26,7 +26,11 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SEED = 42
-ROWS = {"0.001": 1_000, "0.01": 10_000, "0.1": 100_000}
+ROWS = {"0.001": 1_000, "0.01": 10_000, "0.1": 100_000, "0.3": 300_000, "1": 1_000_000}
+# sfs above this row count generate in independent chunks (bounded
+# memory, per-chunk rng streams) — used for the large-input scaling
+# evidence where the parallel section must dwarf fixed cost
+CHUNK_ROWS = 100_000
 
 KEYWORDS = [
     "def", "return", "import", "func", "class", "if", "else", "for",
@@ -89,13 +93,16 @@ def generate_code_files(sf: str, out_dir: str) -> str:
     """Generate code_files + code_files_sha parquet for scale factor sf.
 
     Returns the path of the code_files parquet. Idempotent: skips work
-    if both outputs already exist.
+    if both outputs already exist. Large sfs (> CHUNK_ROWS) stream out in
+    deterministic per-chunk rng streams via ParquetWriter.
     """
     n = ROWS[sf]
     path_main = os.path.join(out_dir, "code_files.parquet")
     path_sha = os.path.join(out_dir, "code_files_sha.parquet")
     if os.path.exists(path_main) and os.path.exists(path_sha):
         return path_main
+    if n > CHUNK_ROWS:
+        return _generate_chunked(n, out_dir, path_main, path_sha)
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(SEED)
     idents = _identifier_pool(rng)
@@ -169,4 +176,82 @@ def generate_code_files(sf: str, out_dir: str) -> str:
         ),
         path_sha,
     )
+    return path_main
+
+
+def _make_chunk(rng: np.random.Generator, idents: np.ndarray, lo: int, n: int) -> dict:
+    """One deterministic chunk of rows [lo, lo+n) — same content model as
+    the single-shot path, independent rng stream per chunk."""
+    n_repos = max(20, n // 100)
+    repo_idx = (np.arange(lo, lo + n)) % n_repos
+    repos = np.array([f"org{r // 50}/repo{r % 50}" for r in repo_idx], dtype=object)
+    lang_idx = _zipf_indices(rng, n, len(LANGS), a=1.3)
+    langs = np.array([LANGS[i] for i in lang_idx], dtype=object)
+    mods = rng.choice(_IDENT_TAILS, size=n)
+    names = rng.choice(_IDENT_HEADS, size=n)
+    seqs = np.arange(lo, lo + n)
+    paths = np.array(
+        [f"src/{mods[i]}/{names[i]}_{seqs[i]}.{EXT[langs[i]]}" for i in range(n)],
+        dtype=object,
+    )
+    commits = np.array(
+        [
+            hashlib.sha256(f"{repos[i]}|{paths[i]}|{SEED}".encode()).hexdigest()[:40]
+            for i in range(n)
+        ],
+        dtype=object,
+    )
+    n_lines = rng.integers(30, 201, size=n)
+    total_lines = int(n_lines.sum())
+    kw = np.array(KEYWORDS, dtype=object)[
+        _zipf_indices(rng, total_lines * 3, 64, a=1.3)
+    ].reshape(total_lines, 3)
+    idn = idents[rng.integers(0, len(idents), size=total_lines * 2)].reshape(
+        total_lines, 2
+    )
+    line_texts = np.array(
+        [
+            f"{kw[j, 0]} {idn[j, 0]}({idn[j, 1]}): {kw[j, 1]} {kw[j, 2]}"
+            for j in range(total_lines)
+        ],
+        dtype=object,
+    )
+    bounds = np.concatenate(([0], np.cumsum(n_lines)))
+    contents = np.array(
+        ["\n".join(line_texts[bounds[i] : bounds[i + 1]]) for i in range(n)],
+        dtype=object,
+    )
+    shas = np.array(
+        [hashlib.sha256(c.encode()).hexdigest() for c in contents], dtype=object
+    )
+    return {
+        "repo": repos, "path": paths, "commit": commits, "lang": langs,
+        "content": contents, "content_sha256": shas,
+    }
+
+
+def _generate_chunked(n: int, out_dir: str, path_main: str, path_sha: str) -> str:
+    os.makedirs(out_dir, exist_ok=True)
+    idents = _identifier_pool(np.random.default_rng(SEED))
+    main_schema = pa.schema(
+        [(c, pa.string()) for c in ("repo", "path", "commit", "lang", "content")]
+    )
+    sha_schema = pa.schema(
+        [(c, pa.string()) for c in ("repo", "path", "commit", "content_sha256")]
+    )
+    wm = pq.ParquetWriter(path_main + ".tmp", main_schema)
+    ws = pq.ParquetWriter(path_sha + ".tmp", sha_schema)
+    for ci, lo in enumerate(range(0, n, CHUNK_ROWS)):
+        rows = min(CHUNK_ROWS, n - lo)
+        d = _make_chunk(np.random.default_rng([SEED, ci]), idents, lo, rows)
+        wm.write_table(
+            pa.table({c: pa.array(d[c], pa.string()) for c in main_schema.names})
+        )
+        ws.write_table(
+            pa.table({c: pa.array(d[c], pa.string()) for c in sha_schema.names})
+        )
+    wm.close()
+    ws.close()
+    os.replace(path_main + ".tmp", path_main)
+    os.replace(path_sha + ".tmp", path_sha)
     return path_main
