@@ -243,6 +243,19 @@ def _q_dedup_keep(spark, sf_dir):
     return out.select("doc_id", "text", "lang", "source", "n_chars")
 
 
+def _q_tf_cjk(spark, sf_dir):
+    """A1 pluggable-analyzer parity: tf under the cjk variant (base
+    tokens + CJK-run character bigrams). The driver fixture text is
+    pinyin-romanized (no CJK codepoints), so this gates the variant's
+    PLUMBING against SQL; real-CJK semantics are pytest-gated with
+    actual Chinese fixtures (tests/test_tokenize.py)."""
+    from xsearch_spark.functions.tokenize import tokenize_df
+    from xsearch_spark.operators.build import postings
+
+    tok = tokenize_df(_docs(spark, sf_dir), "text", "cjk")
+    return postings(tok)
+
+
 def _q_sha256_invariant(spark, sf_dir):
     """S3 + BASELINE.json:15's one per-row invariant: content sha256
     equality between the raw source and the engine's doc-store
@@ -331,6 +344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_fingerprint,
         "dedup_exact_keep": _q_dedup_keep,
         "events_latest_per_user": _q_events_latest,
+        "tokens_tf_cjk": _q_tf_cjk,
         "content_sha256_invariant": _q_sha256_invariant,
         "tombstone_filtered_topk": _q_tombstone_topk,
         "ann_ivf_topk": _q_ann_ivf,
@@ -388,6 +402,7 @@ FROM (SELECT *, row_number() OVER (PARTITION BY user_id
       FROM events)
 WHERE rn = 1
 """,
+        "tokens_tf_cjk": oracles.tf_cjk_sql(),
         "content_sha256_invariant": op.content_sha256_sql(),
         "tombstone_filtered_topk": oracles.bm25_sql(
             parse("hash join"), extra_doc_pred="tf.doc_id % 7 <> 0"

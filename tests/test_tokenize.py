@@ -77,3 +77,44 @@ def test_duckdb_base_parity(duck):
             [t, TOKEN_SPLIT_REGEX],
         ).fetchall()
         assert [r[0] for r in rows] == tokenize_base_py(t)
+
+
+def test_cjk_bigrams_py():
+    from xsearch_spark.functions.tokenize import tokenize_cjk_py
+
+    assert tokenize_cjk_py("hello 世界 搜索引擎 单 x") == [
+        "hello", "x", "世界", "搜索", "索引", "引擎", "单",
+    ]
+    # CJK chars are separators for the base tokens; runs bigram'd in order
+    assert tokenize_cjk_py("abc中文def") == ["abc", "def", "中文"]
+    assert tokenize_cjk_py("") == []
+    assert tokenize_cjk_py("纯中文测试") == ["纯中", "中文", "文测", "测试"]
+
+
+def test_spark_cjk_matches_py(spark):
+    from xsearch_spark.functions.tokenize import tokenize_cjk_py
+
+    texts = ["hello 世界 spark", "单", "mixed中文and英文words混合 abc_def", "", "no cjk"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        sorted(r["tokens"])
+        for r in tokenize_df(df, "text", variant="cjk").select("tokens").collect()
+    ]
+    # order differs (base then bigrams both sides — same rule); compare sorted
+    assert got == [sorted(tokenize_cjk_py(t)) for t in texts]
+
+
+def test_cjk_query_analyzer_roundtrip(spark):
+    """A3 on the cjk variant: an exact CJK phrase query matches the doc
+    through the full relational pipeline (query bigrams == index bigrams)."""
+    from xsearch_spark import engine
+
+    rows = [
+        (0, "分布式搜索引擎", "zh", "wiki", 7),
+        (1, "搜索很有趣", "zh", "wiki", 5),
+        (2, "nothing chinese here", "en", "web", 20),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    corpus = engine.corpus_from_df(df, "text", variant="cjk")
+    got = [r["doc_id"] for r in engine.run_query(corpus, "搜索引擎").collect()]
+    assert got and got[0] == 0  # full-phrase bigrams only all match doc 0

@@ -35,6 +35,16 @@ TOKEN_SPLIT_REGEX: str = r"[^a-z0-9_]+"
 # compound kept first (Lucene WordDelimiter preserve_original style).
 CAMEL_BOUNDARY_REGEX: str = r"(?<=[a-z0-9])(?=[A-Z])"
 
+# cjk variant (analyzer-plugin parity: xsearch ships a Chinese word
+# segmenter plugin): base tokens of the full text, plus overlapping
+# character bigrams of every CJK run (single-char runs emit the char) —
+# the Lucene CJKAnalyzer indexing model, chosen over a dictionary
+# segmenter because it is deterministic and exactly reproducible in SQL.
+# \x{...} class works in BOTH Java regex (Spark) and RE2 (DuckDB);
+# Python re needs the \u form.
+CJK_RUN_REGEX_ENGINE: str = r"[\x{4e00}-\x{9fff}]+"
+CJK_RUN_REGEX_PY: str = "[\u4e00-\u9fff]+"
+
 # --- Posting codec (FIXTURES.md §3.4) ------------------------------------
 # LEB128 varint: 7 bits/byte, little-endian, high bit = continuation.
 # docIDs: sorted ascending, unique; delta-encoded with the first value

@@ -32,12 +32,18 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StringType
 
-from xsearch_spark.constants import CAMEL_BOUNDARY_REGEX, TOKEN_SPLIT_REGEX
+from xsearch_spark.constants import (
+    CAMEL_BOUNDARY_REGEX,
+    CJK_RUN_REGEX_ENGINE,
+    CJK_RUN_REGEX_PY,
+    TOKEN_SPLIT_REGEX,
+)
 
 _SPLIT_RE = re.compile(TOKEN_SPLIT_REGEX)
 _CAMEL_RE = re.compile(CAMEL_BOUNDARY_REGEX)
 # a compound = token containing '_' or a camel boundary (pre-lowercase)
 _RAW_SPLIT_RE = re.compile(r"[^A-Za-z0-9_]+")
+_CJK_RUN_RE = re.compile(CJK_RUN_REGEX_PY)
 
 
 def tokenize_base_col(col: Column) -> Column:
@@ -119,15 +125,60 @@ def make_code_tokenizer_udf():
     return code_tokenize
 
 
+def tokenize_cjk_py(text: str) -> list[str]:
+    """cjk variant, plain Python: base tokens plus overlapping character
+    bigrams of every CJK run (a single-char run emits the char itself) —
+    the Lucene-CJKAnalyzer model, the deterministic stand-in for
+    xsearch's dictionary word-segmenter plugin (component-level [R])."""
+    out = tokenize_base_py(text)
+    for run in _CJK_RUN_RE.findall(text):
+        if len(run) == 1:
+            out.append(run)
+        else:
+            out.extend(run[i : i + 2] for i in range(len(run) - 1))
+    return out
+
+
+def tokenize_cjk_col(col: Column) -> Column:
+    """cjk variant as pure Column expressions (JVM, codegen'd): the base
+    token array concatenated with per-run bigram arrays."""
+    runs = F.regexp_extract_all(col, F.lit(CJK_RUN_REGEX_ENGINE), 0)
+    bigrams = F.flatten(
+        F.transform(
+            runs,
+            lambda r: F.when(F.length(r) == 1, F.array(r)).otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(r) - 1),
+                    lambda i: r.substr(i, F.lit(2)),
+                )
+            ),
+        )
+    )
+    return F.concat(tokenize_base_col(col), bigrams)
+
+
+# the pluggable analyzer registry (A1): xsearch exposes analyzers as
+# plugins; here a variant name selects (column expr or UDF, python twin).
+ANALYZER_VARIANTS = ("base", "code", "cjk")
+
+
 def tokenize_df(df, text_col: str, variant: str = "base", out_col: str = "tokens"):
     """Attach a ``tokens`` array column using the requested variant."""
     if variant == "base":
         return df.withColumn(out_col, tokenize_base_col(F.col(text_col)))
     if variant == "code":
         return df.withColumn(out_col, make_code_tokenizer_udf()(F.col(text_col)))
+    if variant == "cjk":
+        return df.withColumn(out_col, tokenize_cjk_col(F.col(text_col)))
     raise ValueError(f"unknown tokenizer variant: {variant}")
 
 
 def tokenize_query(q: str, variant: str = "base") -> list[str]:
     """Query analysis — byte-identical to the index-side analyzer (A3)."""
-    return tokenize_base_py(q) if variant == "base" else tokenize_code_py(q)
+    if variant == "base":
+        return tokenize_base_py(q)
+    if variant == "code":
+        return tokenize_code_py(q)
+    if variant == "cjk":
+        return tokenize_cjk_py(q)
+    raise ValueError(f"unknown tokenizer variant: {variant}")

@@ -74,6 +74,13 @@ def count_batch(texts, ids, variant: str):
 
     if variant == "base":
         token_lists = texts.fillna("").str.lower().str.findall(r"[a-z0-9_]+")
+    elif variant == "cjk":
+        # per-row Python is acceptable here: this variant is the plugin-
+        # parity path (swap in a real segmenter at prod); the bigram
+        # expansion itself is O(len) string slicing
+        from xsearch_spark.functions.tokenize import tokenize_cjk_py
+
+        token_lists = texts.fillna("").map(tokenize_cjk_py)
     else:
         token_lists = _code_tokenize_series(texts)
     lens = token_lists.map(len).to_numpy(np.int64)

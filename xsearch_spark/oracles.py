@@ -54,6 +54,36 @@ def tf_sql(table: str = "documents") -> str:
     return f"WITH {tokens_cte(table)} SELECT term, doc_id, count(*)::INT AS tf FROM tok GROUP BY term, doc_id"
 
 
+def tf_cjk_sql(table: str = "documents", text_col: str = "text") -> str:
+    """tf under the cjk analyzer variant: base tokens UNION ALL the
+    per-CJK-run character bigrams (single-char runs emit the char) —
+    RE2's \\x{..} class matches Java's, so the run regex is shared
+    verbatim from constants."""
+    from xsearch_spark.constants import CJK_RUN_REGEX_ENGINE
+
+    rgx = _sql_quote(TOKEN_SPLIT_REGEX)
+    crgx = _sql_quote(CJK_RUN_REGEX_ENGINE)
+    return f"""
+WITH base_tok AS (
+  SELECT doc_id, u AS term FROM (SELECT doc_id,
+    unnest(string_split_regex(lower({text_col}), {rgx})) AS u FROM {table})
+  WHERE u <> ''
+),
+runs AS (
+  SELECT doc_id, unnest(regexp_extract_all({text_col}, {crgx})) AS run FROM {table}
+),
+bigram_tok AS (
+  SELECT doc_id, unnest(
+    CASE WHEN length(run) = 1 THEN [run]
+         ELSE list_transform(generate_series(1, length(run) - 1),
+                             i -> substr(run, i, 2)) END) AS term
+  FROM runs
+),
+tok AS (SELECT * FROM base_tok UNION ALL SELECT * FROM bigram_tok)
+SELECT term, doc_id, count(*)::INT AS tf FROM tok GROUP BY term, doc_id
+"""
+
+
 def dl_sql(table: str = "documents", text_col: str = "text") -> str:
     rgx = _sql_quote(TOKEN_SPLIT_REGEX)
     return (
