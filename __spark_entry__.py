@@ -243,6 +243,23 @@ def _q_dedup_keep(spark, sf_dir):
     return out.select("doc_id", "text", "lang", "source", "n_chars")
 
 
+def _q_bm25_batch(spark, sf_dir):
+    """Batched multi-query search: the whole FIXTURES §4 query set in ONE
+    Spark job (query throughput path — per-job overhead amortized across
+    queries). Oracle: UNION ALL of the naive per-query SQL."""
+    from xsearch_spark.operators.wand import search_wand_batch
+
+    built = _index(spark, sf_dir)
+    src = _corpus(spark, sf_dir).source
+    parsed = {name: parse(q) for name, q in _QUERY_SET.items()}
+    out = search_wand_batch(built, parsed, source_df=src)
+    return out.select(
+        "query_id",
+        "doc_id",
+        F.round(F.col("score"), SCORE_ROUND_DECIMALS).alias("score"),
+    )
+
+
 def _q_tf_cjk(spark, sf_dir):
     """A1 pluggable-analyzer parity: tf under the cjk variant (base
     tokens + CJK-run character bigrams). The driver fixture text is
@@ -345,6 +362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_keep": _q_dedup_keep,
         "events_latest_per_user": _q_events_latest,
         "tokens_tf_cjk": _q_tf_cjk,
+        "bm25_batch": _q_bm25_batch,
         "content_sha256_invariant": _q_sha256_invariant,
         "tombstone_filtered_topk": _q_tombstone_topk,
         "ann_ivf_topk": _q_ann_ivf,
@@ -403,6 +421,10 @@ FROM (SELECT *, row_number() OVER (PARTITION BY user_id
 WHERE rn = 1
 """,
         "tokens_tf_cjk": oracles.tf_cjk_sql(),
+        "bm25_batch": "\nUNION ALL\n".join(
+            f"SELECT '{name}' AS query_id, * FROM ({oracles.bm25_sql(parse(q))})"
+            for name, q in _QUERY_SET.items()
+        ),
         "content_sha256_invariant": op.content_sha256_sql(),
         "tombstone_filtered_topk": oracles.bm25_sql(
             parse("hash join"), extra_doc_pred="tf.doc_id % 7 <> 0"

@@ -121,6 +121,23 @@ def run_bench(sf_dir: str, cpus: int, emit_json: bool = True) -> dict:
                 search_wand(built_code, parse(q, "code"), source_df=code_ids).collect()
                 per_query[name] = time.monotonic() - tq
 
+        # batched query throughput: the whole doc+code query set, each
+        # set as ONE Spark job (the serving path — per-job overhead
+        # amortized across queries)
+        from xsearch_spark.operators.wand import search_wand_batch
+
+        tb = time.monotonic()
+        search_wand_batch(
+            built, {n: parse(q) for n, q in QUERIES.items()}, source_df=docs
+        ).collect()
+        search_wand_batch(
+            built_code,
+            {n: parse(q, "code") for n, q in CODE_QUERIES.items()},
+            source_df=code_ids,
+        ).collect()
+        batch_wall = time.monotonic() - tb
+        batch_qps = (len(QUERIES) + len(CODE_QUERIES)) / batch_wall
+
         lat = sorted(per_query.values())
         p50 = lat[len(lat) // 2]
         total = build_s + code_build_s + sum(per_query.values())
@@ -138,6 +155,7 @@ def run_bench(sf_dir: str, cpus: int, emit_json: bool = True) -> dict:
             "n_code_docs": n_code,
             "docs_per_sec": round(n_code / code_build_s, 1),
             "query_p50_sec": round(p50, 4),
+            "batch_qps": round(batch_qps, 1),
             "cpus": cpus,
         }
         if emit_json:

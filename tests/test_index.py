@@ -195,3 +195,19 @@ def test_block_meta_consistent(built):
         assert len(r["block_max"]) == n_blocks
         assert r["block_last"][-1] == int(ids[-1])
         assert all(m > 0 for m in r["block_max"])
+
+
+def test_batch_search_equals_singles(spark, built, corpus):
+    """M queries in one job must reproduce each single-query top-k
+    exactly — including lang: and NOT queries."""
+    from xsearch_spark.operators.wand import search_wand_batch
+
+    docs = corpus.source
+    qset = {f"q{i}": parse(q) for i, q in enumerate(QUERIES)}
+    batch = search_wand_batch(built, qset, source_df=docs).collect()
+    got: dict[str, list] = {}
+    for r in batch:
+        got.setdefault(r["query_id"], []).append((r["doc_id"], round(r["score"], 6)))
+    for qid, parsed in qset.items():
+        single = _rounded(search_wand(built, parsed, source_df=docs))
+        assert got.get(qid, []) == single, qid

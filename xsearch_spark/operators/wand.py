@@ -38,7 +38,13 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from xsearch_spark.constants import B, BLOCK_SIZE, DEFAULT_TOP_K, K1, idf as idf_py
 from xsearch_spark.functions import codec
@@ -347,6 +353,121 @@ def search_wand(
 
         local = rows.repartition("shard").mapInPandas(wand_iter, TOPK_SCHEMA)
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+BATCH_TOPK_SCHEMA = StructType(
+    [
+        StructField("query_id", StringType(), False),
+        StructField("doc_id", LongType(), False),
+        StructField("score", DoubleType(), False),
+    ]
+)
+
+
+def search_wand_batch(
+    built,
+    queries: dict[str, ParsedQuery],
+    k: int = DEFAULT_TOP_K,
+    source_df: DataFrame | None = None,
+) -> DataFrame:
+    """Batched engine-path search: M queries in ONE Spark job ->
+    (query_id, doc_id, score) exact top-k per query.
+
+    Interactive p50 is dominated by per-job scheduling overhead (~0.3 s
+    on this box), not scoring — a proxy serving a query stream should
+    amortize it: the pruned scan covers the UNION of all queries' terms,
+    each shard task scores every query against its local lists, and one
+    per-query window takes the exact top-k. Throughput scales with
+    shards x queries, not jobs.
+
+    ``lang:`` queries ride the same cogrouped allowlist as single-query
+    search — the allowed side carries (doc_id, lang, shard) for the union
+    of requested langs and the scorer slices per query.
+    """
+    all_terms = sorted(
+        {t for p in queries.values() for t in list(p.terms) + list(p.exclude)}
+    )
+    rows = pruned_index_scan(built.index_df, all_terms, built.num_buckets)
+    stats = built.df_of(all_terms)
+    n_docs, avgdl = built.n_docs, built.avgdl
+    per_q = {
+        qid: (
+            p,
+            {t: idf_py(n_docs, stats[t]) for t in p.terms if t in stats},
+            set(p.exclude),
+        )
+        for qid, p in queries.items()
+    }
+    langs = sorted({p.lang for p in queries.values() if p.lang is not None})
+
+    def score_all(g: pd.DataFrame, allowed_by_lang: dict) -> pd.DataFrame:
+        out = []
+        # decode once per UNION of terms; slice per query
+        lists, blocks, _ = _assemble_shard(g, set(), avgdl)
+        for qid, (p, idfs, ex_terms) in per_q.items():
+            q_lists = {t: lists[t] for t in p.terms if t in lists}
+            q_blocks = {t: blocks[t] for t in p.terms if t in blocks}
+            ex = [lists[t][0] for t in ex_terms if t in lists]
+            allowed = allowed_by_lang.get(p.lang) if p.lang is not None else None
+            if p.lang is not None and allowed is None:
+                allowed = np.empty(0, np.int64)
+            ids_out, scores_out = score_shard(
+                q_lists, q_blocks, idfs, avgdl, p, k, ex, allowed
+            )
+            out.append(
+                pd.DataFrame(
+                    {"query_id": qid, "doc_id": ids_out, "score": scores_out}
+                )
+            )
+        if not out:
+            return pd.DataFrame(
+                {"query_id": pd.Series(dtype=object), **_EMPTY_TOPK}
+            )
+        return pd.concat(out, ignore_index=True)
+
+    if langs:
+        if source_df is None:
+            raise ValueError("lang: filter requires source_df")
+        allowed_df = source_df.filter(F.col("lang").isin(langs)).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("lang"),
+            (F.col("doc_id") / F.lit(built.docs_per_shard)).cast("long").alias("shard"),
+        )
+
+        def cogroup_fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            if left.empty:
+                return pd.DataFrame({"query_id": pd.Series(dtype=object), **_EMPTY_TOPK})
+            by_lang = {
+                lang: np.sort(grp["doc_id"].to_numpy(np.int64))
+                for lang, grp in right.groupby("lang", sort=False)
+            }
+            return score_all(left, by_lang)
+
+        local = (
+            rows.groupBy("shard")
+            .cogroup(allowed_df.groupBy("shard"))
+            .applyInPandas(cogroup_fn, BATCH_TOPK_SCHEMA)
+        )
+    else:
+
+        def batch_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            frames = [f for f in batches if not f.empty]
+            if not frames:
+                return
+            pdf = pd.concat(frames, ignore_index=True)
+            for _, g in pdf.groupby("shard", sort=False):
+                yield score_all(g, {})
+
+        local = rows.repartition("shard").mapInPandas(batch_iter, BATCH_TOPK_SCHEMA)
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        local.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
 
 
 def search_index_relational(
