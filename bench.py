@@ -314,10 +314,19 @@ def run_scaling(sf_dir: str) -> None:
     )
 
 
+def _default_cpus() -> int:
+    """Sweet-spot parallelism for this box. The 32 vCPUs are
+    SMT-oversubscribed with bursty hypervisor steal (BENCH/BASELINE.md):
+    measured build throughput peaks around 16 threads (string-heavy
+    stages saturate memory bandwidth first), so the default caps there
+    rather than blindly taking every vCPU. Override: SPARK_GRAFT_CPUS."""
+    return min(16, os.cpu_count() or 16)
+
+
 if __name__ == "__main__":
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if "--scaling" in sys.argv:
         run_scaling(sf_dir)
     else:
-        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or _default_cpus()
         run_bench(sf_dir, cpus)

@@ -23,12 +23,15 @@ def main() -> None:
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--text-col", default="content")
-    ap.add_argument("--variant", default="code", choices=["base", "code"])
+    ap.add_argument("--variant", default="code", choices=["base", "code", "cjk"])
     ap.add_argument("--assign-ids", action="store_true",
                     help="assign dense doc_ids from (repo, path, commit) order")
     ap.add_argument("--docs-per-segment", type=int, default=4096)
     ap.add_argument("--segs-per-shard", type=int, default=4)
     ap.add_argument("--num-buckets", type=int, default=64)
+    ap.add_argument("--fused", action="store_true",
+                    help="one-lineage build (pack -> cached runs -> merge); "
+                         "faster, coarser resume granularity")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -50,6 +53,7 @@ def main() -> None:
         docs_per_segment=args.docs_per_segment,
         segs_per_shard=args.segs_per_shard,
         num_buckets=args.num_buckets,
+        fused_merge=args.fused,
     )
     print(
         json.dumps(

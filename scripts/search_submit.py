@@ -20,7 +20,7 @@ def main() -> None:
     ap.add_argument("--index", required=True)
     ap.add_argument("--query", required=True)
     ap.add_argument("--k", type=int, default=10)
-    ap.add_argument("--variant", default="base", choices=["base", "code"])
+    ap.add_argument("--variant", default="base", choices=["base", "code", "cjk"])
     ap.add_argument("--num-buckets", type=int, default=64)
     ap.add_argument("--source", default=None, help="doc table for lang: filters / fetch")
     ap.add_argument("--fetch", default=None, help="comma-separated columns to fetch")
@@ -35,7 +35,7 @@ def main() -> None:
     from xsearch_spark.sources.io import read_table
 
     spark = SparkSession.builder.appName("xsearch-search").getOrCreate()
-    built = load_index(spark, args.index, args.num_buckets)
+    built = load_index(spark, args.index)  # geometry from stats.json
     source = read_table(spark, args.source) if args.source else None
     parsed = parse(args.query, args.variant)
     topk = search_wand(built, parsed, k=args.k, source_df=source)
