@@ -243,6 +243,23 @@ def _q_dedup_keep(spark, sf_dir):
     return out.select("doc_id", "text", "lang", "source", "n_chars")
 
 
+def _q_clean_corpus(spark, sf_dir):
+    """Composed training-data pipeline: exact-dedup keep-set ∘ quality
+    filter — the 100 TB pre-training clean step as one declarative plan
+    (dedup groupBy + quality expressions fuse into two shuffles total)."""
+    from xsearch_spark.functions.textops import quality_score
+    from xsearch_spark.operators.dedup import dedup_exact
+
+    docs = _docs(spark, sf_dir)
+    q = quality_score(docs, "text")
+    keep = dedup_exact(docs, "text").select("doc_id", "lang", "source", "n_chars")
+    return (
+        keep.join(q, "doc_id")
+        .filter(F.col("quality") >= 0.5)
+        .select("doc_id", "lang", "source", "n_chars", "quality")
+    )
+
+
 def _q_bm25_batch(spark, sf_dir):
     """Batched multi-query search: the whole FIXTURES §4 query set in ONE
     Spark job (query throughput path — per-job overhead amortized across
@@ -363,6 +380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_latest_per_user": _q_events_latest,
         "tokens_tf_cjk": _q_tf_cjk,
         "bm25_batch": _q_bm25_batch,
+        "pipeline_clean_corpus": _q_clean_corpus,
         "content_sha256_invariant": _q_sha256_invariant,
         "tombstone_filtered_topk": _q_tombstone_topk,
         "ann_ivf_topk": _q_ann_ivf,
@@ -421,6 +439,15 @@ FROM (SELECT *, row_number() OVER (PARTITION BY user_id
 WHERE rn = 1
 """,
         "tokens_tf_cjk": oracles.tf_cjk_sql(),
+        "pipeline_clean_corpus": f"""
+WITH feat AS ({op.quality_score_sql()}),
+keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+SELECT d.doc_id, d.lang, d.source, d.n_chars, f.quality
+FROM documents d
+JOIN keep USING (doc_id)
+JOIN feat f ON f.doc_id = d.doc_id
+WHERE f.quality >= 0.5
+""",
         "bm25_batch": "\nUNION ALL\n".join(
             f"SELECT '{name}' AS query_id, * FROM ({oracles.bm25_sql(parse(q))})"
             for name, q in _QUERY_SET.items()

@@ -89,3 +89,32 @@ def test_partial_segment_resume(spark, workdir):
     assert m2["partitions"][survivor] == survivor_row
     # ... and the index is identical
     assert _index_snapshot(built2) == snap1
+
+
+def test_fused_build_resumes_from_manifest(spark, tmp_path):
+    """Fused topology resume: a completed fused build is a no-op on
+    re-invocation (manifest fingerprint match -> no jobs beyond reads),
+    and the returned index equals the first build's."""
+    import time
+
+    from xsearch_spark.plans.build_index import build_index
+    from xsearch_spark.sources.io import read_documents
+
+    docs = read_documents(spark, "/root/testdata/sf0.001")
+    out = str(tmp_path / "fidx")
+    b1 = build_index(
+        spark, docs, out, text_col="text", variant="base",
+        docs_per_segment=128, segs_per_shard=2, num_buckets=8,
+        fused_merge=True,
+    )
+    rows1 = b1.index_df.count()
+    t0 = time.monotonic()
+    b2 = build_index(
+        spark, docs, out, text_col="text", variant="base",
+        docs_per_segment=128, segs_per_shard=2, num_buckets=8,
+        fused_merge=True,
+    )
+    resume_wall = time.monotonic() - t0
+    assert b2.index_df.count() == rows1
+    assert b2.n_docs == b1.n_docs and b2.avgdl == b1.avgdl
+    assert resume_wall < 5.0  # reads only: no re-tokenize, no merge
