@@ -322,6 +322,36 @@ def _q_tombstone_topk(spark, sf_dir):
     )
 
 
+def _q_tombstone_wand(spark, sf_dir):
+    """S5 deletes on the WAND ENGINE path (round-3): tombstoned doc_ids
+    ride the shard-keyed cogroup as one more exclude list — the warm
+    production path serves correct results between compactions. OR query
+    so the tombstones also exercise the block-max seed/theta filtering."""
+    from xsearch_spark.operators.wand import search_wand
+
+    built = _index(spark, sf_dir)
+    src = _corpus(spark, sf_dir).source
+    tomb = src.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+    topk = search_wand(built, parse("hash OR join OR scan"), source_df=src, tombstones=tomb)
+    return topk.select(
+        "doc_id", F.round(F.col("score"), SCORE_ROUND_DECIMALS).alias("score")
+    )
+
+
+def _q_tombstone_wand_lang(spark, sf_dir):
+    """S5 + Q5b combined: tombstones AND a lang: allowlist in the SAME
+    shard-keyed cogroup (one co-shuffle carries both per-doc filters)."""
+    from xsearch_spark.operators.wand import search_wand
+
+    built = _index(spark, sf_dir)
+    src = _corpus(spark, sf_dir).source
+    tomb = src.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+    topk = search_wand(built, parse("lang:zh spark"), source_df=src, tombstones=tomb)
+    return topk.select(
+        "doc_id", F.round(F.col("score"), SCORE_ROUND_DECIMALS).alias("score")
+    )
+
+
 def _q_ann_ivf(spark, sf_dir):
     from xsearch_spark.operators.similarity import ivf_topk
 
@@ -383,6 +413,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_clean_corpus": _q_clean_corpus,
         "content_sha256_invariant": _q_sha256_invariant,
         "tombstone_filtered_topk": _q_tombstone_topk,
+        "tombstone_wand_topk": _q_tombstone_wand,
+        "tombstone_wand_lang": _q_tombstone_wand_lang,
         "ann_ivf_topk": _q_ann_ivf,
         "emb_cosine_pairs": _q_emb_pairs,
     }
@@ -455,6 +487,12 @@ WHERE f.quality >= 0.5
         "content_sha256_invariant": op.content_sha256_sql(),
         "tombstone_filtered_topk": oracles.bm25_sql(
             parse("hash join"), extra_doc_pred="tf.doc_id % 7 <> 0"
+        ),
+        "tombstone_wand_topk": oracles.bm25_sql(
+            parse("hash OR join OR scan"), extra_doc_pred="tf.doc_id % 7 <> 0"
+        ),
+        "tombstone_wand_lang": oracles.bm25_sql(
+            parse("lang:zh spark"), extra_doc_pred="tf.doc_id % 7 <> 0"
         ),
         "ann_ivf_topk": op.ivf_topk_sql(0, 10, 8, 1),
         "emb_cosine_pairs": op.emb_cosine_pairs_sql(0.2, 8),

@@ -211,3 +211,88 @@ def test_batch_search_equals_singles(spark, built, corpus):
     for qid, parsed in qset.items():
         single = _rounded(search_wand(built, parsed, source_df=docs))
         assert got.get(qid, []) == single, qid
+
+
+def test_index_rows_carry_global_df(built):
+    """v4 layout invariant: every index row's denormalized df equals the
+    term's collection-wide document frequency — this is what lets warm
+    queries compute idf from the pruned scan with zero driver stats."""
+    want = {r["term"]: r["df"] for r in built.term_stats.collect()}
+    rows = built.index_df.select("term", "df").collect()
+    assert rows
+    for r in rows:
+        assert r["df"] == want[r["term"]], r["term"]
+
+
+def test_warm_query_needs_no_driver_stats(built, corpus):
+    """The v4 warm path must never populate the df_of fallback dict
+    (the full-vocabulary driver collect is a 10^12-scale OOM)."""
+    built.invalidate_stats_cache()
+    for q in ("hash join", "the OR scan", "lang:zh spark", "hash -join"):
+        search_wand(built, parse(q), source_df=corpus.source).collect()
+    from xsearch_spark.operators.wand import search_wand_batch
+
+    search_wand_batch(
+        built, {"a": parse("hash join"), "b": parse("the OR scan")},
+        source_df=corpus.source,
+    ).collect()
+    assert built._df_cache is None
+
+
+def test_wand_tombstones_equal_relational(spark, built, corpus):
+    """S5 on the engine path: search_wand with tombstones must equal the
+    relational path's pre-top-k anti-join, across AND/OR/lang/NOT."""
+    docs = corpus.source
+    tomb = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+    for q in QUERIES:
+        parsed = parse(q)
+        w = _rounded(search_wand(built, parsed, source_df=docs, tombstones=tomb))
+        r = _rounded(
+            search_index_relational(built, parsed, source_df=docs, tombstones=tomb)
+        )
+        assert w == r, q
+
+
+def test_batch_random_querysets_with_tombstones(spark, built, corpus):
+    """Randomized mixed query SETS (AND/OR/NOT/lang) with tombstones:
+    the batch slicing (score_all's shared _assemble_shard + per-query
+    term/exclude/lang/tomb slicing) must reproduce every single-query
+    result (VERDICT r2 item 6)."""
+    import random
+
+    from xsearch_spark.operators.wand import search_wand_batch
+
+    docs = corpus.source
+    vocab = ["hash", "join", "the", "scan", "merge", "window", "sort",
+             "spark", "table", "key", "zzzznotaterm"]
+    rng = random.Random(1234)
+    for round_i in range(3):
+        qset = {}
+        for i in range(8):
+            terms = rng.sample(vocab, rng.randint(1, 3))
+            q = " ".join(terms)
+            if rng.random() < 0.4:
+                q = " OR ".join(terms)
+            if rng.random() < 0.3:
+                q += " -" + rng.choice(vocab)
+            if rng.random() < 0.3:
+                q = f"lang:{rng.choice(['zh', 'en', 'es'])} " + q
+            qset[f"r{round_i}q{i}"] = parse(q)
+        tomb = (
+            docs.filter(F.col("doc_id") % rng.choice([3, 5, 7]) == 0).select("doc_id")
+            if rng.random() < 0.7
+            else None
+        )
+        batch = search_wand_batch(
+            built, qset, source_df=docs, tombstones=tomb
+        ).collect()
+        got: dict[str, list] = {}
+        for r in batch:
+            got.setdefault(r["query_id"], []).append(
+                (r["doc_id"], round(r["score"], 6))
+            )
+        for qid, parsed in qset.items():
+            single = _rounded(
+                search_wand(built, parsed, source_df=docs, tombstones=tomb)
+            )
+            assert got.get(qid, []) == single, (qid, parsed)

@@ -97,13 +97,17 @@ def test_wand_equals_naive(seed, n_terms, n_docs, k, conn):
     conn=st.sampled_from(["AND", "OR"]),
     use_exclude=st.booleans(),
     use_allowed=st.booleans(),
+    use_tombs=st.booleans(),
 )
 def test_wand_equals_naive_with_filters(
-    seed, n_terms, n_docs, k, conn, use_exclude, use_allowed
+    seed, n_terms, n_docs, k, conn, use_exclude, use_allowed, use_tombs
 ):
-    """OR + exclude/lang filters: theta must be computed over the
-    POST-filter seed set, or pruning can drop true top-k docs (round-1
-    advisor finding — the unfiltered sweep above never triggers it)."""
+    """OR + exclude/lang/tombstone filters: theta must be computed over
+    the POST-filter seed set, or pruning can drop true top-k docs
+    (round-1 advisor finding — the unfiltered sweep above never triggers
+    it). Tombstones enter the engine path as one more exclude list
+    (wand.search_wand round-3), so the sweep covers exclude-term +
+    tombstone + allowlist simultaneously."""
     rng = np.random.default_rng(seed + 31337)
     lists, blocks, avgdl = _mk_lists(rng, n_terms, n_docs)
     idfs = {
@@ -114,6 +118,10 @@ def test_wand_equals_naive_with_filters(
     if use_exclude:
         sz = int(rng.integers(0, max(1, n_docs // 2)))
         exclude = [np.sort(rng.choice(n_docs, size=sz, replace=False)).astype(np.int64)]
+    if use_tombs:
+        sz = int(rng.integers(0, max(1, n_docs // 3)))
+        tombs = np.sort(rng.choice(n_docs, size=sz, replace=False)).astype(np.int64)
+        exclude = (exclude or []) + [tombs]
     allowed = None
     if use_allowed:
         sz = int(rng.integers(0, n_docs + 1))

@@ -45,17 +45,20 @@ def score_postings(
 ) -> DataFrame:
     """Score candidate docs for the parsed query -> (doc_id, score).
 
-    ``postings_df``: (term, doc_id, tf[, dl]). If ``dl`` is already a
-    column (denormalized index), pass ``doc_stats_df=None`` and the big
-    doc-stats join is skipped entirely.
+    ``postings_df``: (term, doc_id, tf[, dl[, df]]). If ``dl`` is already
+    a column (denormalized index), pass ``doc_stats_df=None`` and the big
+    doc-stats join is skipped entirely. If ``df`` is also a column (v4
+    index rows carry the global per-term df), the term-stats join is
+    skipped too — the whole score is computed from the pruned scan.
     """
     if not parsed.terms:
         return postings_df.sparkSession.createDataFrame(
             [], "doc_id long, score double"
         )
     q = postings_df.filter(F.col("term").isin(list(parsed.terms)))
-    ts = term_stats_df.filter(F.col("term").isin(list(parsed.terms)))
-    q = q.join(F.broadcast(ts), "term")
+    if "df" not in q.columns:
+        ts = term_stats_df.filter(F.col("term").isin(list(parsed.terms)))
+        q = q.join(F.broadcast(ts), "term")
     if "dl" not in q.columns:
         if doc_stats_df is None:
             raise ValueError("postings lack dl and no doc_stats provided")

@@ -211,7 +211,17 @@ def make_merge_iter(include_bucket: bool = False):
     ranges (segments are doc slices), so concatenation needs no re-sort;
     monotonicity is asserted. ``include_bucket``: carry a precomputed
     ``bucket`` column through (constant per term) for the fused
-    merge->layout topology (:func:`merge_to_index`)."""
+    merge->layout topology (:func:`merge_to_index`), AND denormalize the
+    term's GLOBAL df into every output row — in that topology all shards
+    of a term live in one bucket partition, so the true collection-wide
+    df is computable locally and warm queries read it straight from the
+    pruned scan (no term-dictionary collect / broadcast on the driver; a
+    billion-term source-code vocabulary never leaves the executors).
+
+    Carry granularity follows: (term, shard) groups normally, whole TERM
+    groups when df is computed (a term's df needs all its shards in one
+    frame). The carry holds packed (still-encoded) runs, so a hot term
+    with many shards costs index-row bytes, not decoded postings."""
 
     def merge_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry: pd.DataFrame | None = None
@@ -223,16 +233,18 @@ def make_merge_iter(include_bucket: bool = False):
                 continue
             terms = pdf["term"].to_numpy()
             shards = pdf["shard"].to_numpy()
-            starts = _group_bounds(terms, shards)
-            if starts.size > 1:
-                last_start = starts[-1]
+            cbounds = (
+                _group_bounds(terms) if include_bucket else _group_bounds(terms, shards)
+            )
+            if cbounds.size > 1:
+                last_start = cbounds[-1]
                 carry = pdf.iloc[last_start:]
                 pdf = pdf.iloc[:last_start]
-                starts = starts[:-1]
+                terms, shards = terms[:last_start], shards[:last_start]
             else:
                 carry = pdf
                 continue
-            yield _merge_frame(pdf, starts, include_bucket)
+            yield _merge_frame(pdf, _group_bounds(terms, shards), include_bucket)
         if carry is not None and not carry.empty:
             terms = carry["term"].to_numpy()
             shards = carry["shard"].to_numpy()
@@ -290,6 +302,15 @@ def _merge_frame(
         if include_bucket:
             row["bucket"] = int(g["bucket"].iloc[0])
         out.append(row)
+    if include_bucket:
+        # global df per term = Σ merged n_docs over its shards (shards are
+        # disjoint doc ranges, so the sum counts each doc once). All of a
+        # term's shards are in `out` (term-granular carry in merge_iter).
+        df_by_term: dict[str, int] = {}
+        for row in out:
+            df_by_term[row["term"]] = df_by_term.get(row["term"], 0) + row["n_docs"]
+        for row in out:
+            row["df"] = df_by_term[row["term"]]
     schema = MERGED_BUCKET_SCHEMA if include_bucket else MERGED_SCHEMA
     return pd.DataFrame(out, columns=[f.name for f in schema.fields])
 
@@ -310,7 +331,14 @@ MERGED_SCHEMA = StructType(
 )
 
 MERGED_BUCKET_SCHEMA = StructType(
-    MERGED_SCHEMA.fields + [StructField("bucket", IntegerType(), False)]
+    MERGED_SCHEMA.fields
+    + [
+        # global per-term doc frequency, denormalized so query-time idf
+        # reads from the pruned scan (no driver-side term dictionary —
+        # index layout v4, see plans/build_index.INDEX_FORMAT_VERSION)
+        StructField("df", LongType(), False),
+        StructField("bucket", IntegerType(), False),
+    ]
 )
 
 
@@ -501,7 +529,15 @@ def pack_from_source(
 def decode_postings(packed: DataFrame) -> DataFrame:
     """Q3: mirror of the packing codec — packed runs back to long form.
     Vectorized: one NumPy concat per Arrow batch, never per-posting
-    Python."""
+    Python. A v4 index's denormalized ``df`` column is carried through
+    (repeated per posting) so the relational scorer needs no term-stats
+    join either."""
+    with_df = "df" in packed.columns
+    schema = (
+        StructType(LONG_SCHEMA.fields + [StructField("df", LongType(), False)])
+        if with_df
+        else LONG_SCHEMA
+    )
 
     def decode_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -512,13 +548,14 @@ def decode_postings(packed: DataFrame) -> DataFrame:
             dls = [codec.decode_tfs(b) for b in pdf["dls"]]
             lens = np.array([a.size for a in ids])
             terms = np.repeat(pdf["term"].to_numpy(), lens)
-            yield pd.DataFrame(
-                {
-                    "term": terms,
-                    "doc_id": np.concatenate(ids).astype(np.int64),
-                    "tf": np.concatenate(tfs).astype(np.int64),
-                    "dl": np.concatenate(dls).astype(np.int64),
-                }
-            )
+            cols = {
+                "term": terms,
+                "doc_id": np.concatenate(ids).astype(np.int64),
+                "tf": np.concatenate(tfs).astype(np.int64),
+                "dl": np.concatenate(dls).astype(np.int64),
+            }
+            if with_df:
+                cols["df"] = np.repeat(pdf["df"].to_numpy(np.int64), lens)
+            yield pd.DataFrame(cols)
 
-    return packed.mapInPandas(decode_iter, LONG_SCHEMA)
+    return packed.mapInPandas(decode_iter, schema)

@@ -228,8 +228,14 @@ def pruned_index_scan(index_df: DataFrame, terms: list[str], num_buckets: int) -
 
 def _assemble_shard(
     g: pd.DataFrame, exclude_terms: set[str], avgdl: float
-) -> tuple[dict, dict, list[np.ndarray]]:
+) -> tuple[dict, dict, list[np.ndarray], dict[str, int]]:
     """Decode one shard's index rows into per-term posting arrays.
+
+    Returns (lists, blocks, exclude_lists, dfs). ``dfs`` is the global
+    per-term df read from the v4 index rows (every row of a term carries
+    the same collection-wide value, stamped at merge time) — this is
+    what lets a warm query compute idf executor-side with zero driver
+    stats state; empty for pre-v4 rows.
 
     A (term, shard) key is unique in a freshly merged index, but unions
     of independently built indexes (streamed epochs queried pre-compact,
@@ -237,14 +243,22 @@ def _assemble_shard(
     doc-id ranges — k-way merged here, with block metadata recomputed;
     a true duplicate doc_id raises instead of silently dropping a run
     (round-1 advisor: the old dict assignment overwrote prior runs).
+    For such unions each sub-index row carries its OWN global df; they
+    sum to the true collection df (epochs partition the docs) only when
+    every sub-index has a run in this shard — query unions through
+    compact_segments (the supported path) rather than raw unions.
     """
     acc: dict[str, list[tuple]] = {}
     ex_lists: list[np.ndarray] = []
+    dfs: dict[str, int] = {}
+    has_df = "df" in g.columns
     for r in g.itertuples(index=False):
         ids = codec.decode_doc_ids(r.doc_ids).astype(np.int64)
         if r.term in exclude_terms:
             ex_lists.append(ids)
             continue
+        if has_df:
+            dfs[r.term] = dfs.get(r.term, 0) + int(r.df)
         acc.setdefault(r.term, []).append(
             (
                 ids,
@@ -277,10 +291,45 @@ def _assemble_shard(
             bm = np.maximum.reduceat(_bm25_factor(tfs, dls, avgdl), starts)
         lists[t] = (ids, tfs, dls)
         blocks[t] = (bl, bm)
-    return lists, blocks, ex_lists
+    return lists, blocks, ex_lists, dfs
 
 
 _EMPTY_TOPK = {"doc_id": np.empty(0, np.int64), "score": np.empty(0, np.float64)}
+
+
+def _aux_doc_side(
+    lang: str | None,
+    source_df: DataFrame | None,
+    tombstones: DataFrame | None,
+    docs_per_shard: int,
+    langs: list[str] | None = None,
+) -> DataFrame | None:
+    """The doc-side input of the scorer cogroup: lang-allowlist rows and
+    tombstone rows in ONE DataFrame keyed by the shard doc-range, so one
+    co-shuffle carries every per-doc filter to its postings. Columns:
+    (doc_id, lang, tomb, shard); None when neither filter is present."""
+    aux: DataFrame | None = None
+    want_langs = langs if langs is not None else ([lang] if lang is not None else [])
+    if want_langs:
+        if source_df is None:
+            raise ValueError("lang: filter requires source_df")
+        aux = source_df.filter(F.col("lang").isin(want_langs)).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("lang"),
+            F.lit(False).alias("tomb"),
+        )
+    if tombstones is not None:
+        t = tombstones.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.lit(None).cast("string").alias("lang"),
+            F.lit(True).alias("tomb"),
+        )
+        aux = t if aux is None else aux.unionByName(t)
+    if aux is None:
+        return None
+    return aux.withColumn(
+        "shard", (F.col("doc_id") / F.lit(docs_per_shard)).cast("long")
+    )
 
 
 def search_wand(
@@ -288,14 +337,18 @@ def search_wand(
     parsed: ParsedQuery,
     k: int = DEFAULT_TOP_K,
     source_df: DataFrame | None = None,
+    tombstones: DataFrame | None = None,
 ) -> DataFrame:
     """Engine-path search over the packed index -> (doc_id, score) exact
     top-k (raw scores; caller rounds for presentation).
 
-    A warm query is ONE Spark job: bucket ids and per-term df come from
-    driver-side Python (functions.buckets, BuiltIndex.df_of), the pruned
-    scan shuffles only the query terms' rows by shard, the Arrow scorer
-    emits per-shard exact top-k, and TakeOrderedAndProject merges.
+    A warm query is ONE Spark job with ZERO driver-side stats state:
+    bucket ids come from driver-side Python (functions.buckets), per-term
+    df rides ON the v4 index rows themselves (denormalized at merge time
+    — segments.merge_to_index), so idf is computed executor-side from the
+    pruned scan. The only driver scalars are (n_docs, avgdl) from the
+    stats sidecar. Pre-v4 indexes (no ``df`` column) fall back to the
+    BuiltIndex.df_of dictionary collect.
 
     ``lang:`` filtering is fully distributed (round-2 fix — the round-1
     path collected a doc-id allowlist to the driver, a scale-killer at
@@ -303,40 +356,58 @@ def search_wand(
     the index rows on the shard key (shard = doc_id // docs_per_shard is
     a doc-range, so each shard's allowlist lands exactly with its
     postings) and applied inside the scorer via a cogrouped Arrow UDF.
+
+    ``tombstones`` (S5, round-3): deleted doc_ids ride the SAME
+    shard-keyed cogroup (a tombstone is doc-range keyed exactly like the
+    lang allowlist) and are applied inside the scorer as one more
+    exclude list — the engine path serves correct results between
+    compactions with no extra Spark job and no driver-side delete set.
     """
     all_terms = list(parsed.terms) + list(parsed.exclude)
     rows = pruned_index_scan(built.index_df, all_terms, built.num_buckets)
-    stats = built.df_of(all_terms)
-    idfs = {t: idf_py(built.n_docs, stats[t]) for t in parsed.terms if t in stats}
-    avgdl = built.avgdl
+    row_df = "df" in rows.columns
+    if row_df:
+        static_idfs = None
+    else:  # pre-v4 fallback: driver dictionary
+        stats = built.df_of(all_terms)
+        static_idfs = {
+            t: idf_py(built.n_docs, stats[t]) for t in parsed.terms if t in stats
+        }
+    n_docs, avgdl = built.n_docs, built.avgdl
     exclude_terms = set(parsed.exclude)
 
-    def score_group(g: pd.DataFrame, allowed: np.ndarray | None) -> pd.DataFrame:
-        lists, blocks, ex_lists = _assemble_shard(g, exclude_terms, avgdl)
+    def score_group(
+        g: pd.DataFrame, allowed: np.ndarray | None, tombs: np.ndarray | None = None
+    ) -> pd.DataFrame:
+        lists, blocks, ex_lists, dfs = _assemble_shard(g, exclude_terms, avgdl)
+        if tombs is not None and tombs.size:
+            ex_lists = ex_lists + [tombs]
+        idfs = (
+            {t: idf_py(n_docs, dfs[t]) for t in lists}
+            if static_idfs is None
+            else static_idfs
+        )
         ids_out, scores_out = score_shard(
             lists, blocks, idfs, avgdl, parsed, k, ex_lists, allowed
         )
         return pd.DataFrame({"doc_id": ids_out, "score": scores_out})
 
-    if parsed.lang is not None:
-        if source_df is None:
-            raise ValueError("lang: filter requires source_df")
-        allowed_df = source_df.filter(F.col("lang") == parsed.lang).select(
-            F.col("doc_id").cast("long").alias("doc_id"),
-            (F.col("doc_id") / F.lit(built.docs_per_shard))
-            .cast("long")
-            .alias("shard"),
-        )
+    aux = _aux_doc_side(parsed.lang, source_df, tombstones, built.docs_per_shard)
+    if aux is not None:
+        has_lang = parsed.lang is not None
 
         def cogroup_fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
             if left.empty:
                 return pd.DataFrame(_EMPTY_TOPK)
-            allowed = np.sort(right["doc_id"].to_numpy(np.int64))
-            return score_group(left, allowed)
+            doc_ids = right["doc_id"].to_numpy(np.int64)
+            tomb_mask = right["tomb"].to_numpy(bool)
+            tombs = np.sort(doc_ids[tomb_mask])
+            allowed = np.sort(doc_ids[~tomb_mask]) if has_lang else None
+            return score_group(left, allowed, tombs)
 
         local = (
             rows.groupBy("shard")
-            .cogroup(allowed_df.groupBy("shard"))
+            .cogroup(aux.groupBy("shard"))
             .applyInPandas(cogroup_fn, TOPK_SCHEMA)
         )
     else:
@@ -369,6 +440,7 @@ def search_wand_batch(
     queries: dict[str, ParsedQuery],
     k: int = DEFAULT_TOP_K,
     source_df: DataFrame | None = None,
+    tombstones: DataFrame | None = None,
 ) -> DataFrame:
     """Batched engine-path search: M queries in ONE Spark job ->
     (query_id, doc_id, score) exact top-k per query.
@@ -382,32 +454,38 @@ def search_wand_batch(
 
     ``lang:`` queries ride the same cogrouped allowlist as single-query
     search — the allowed side carries (doc_id, lang, shard) for the union
-    of requested langs and the scorer slices per query.
+    of requested langs and the scorer slices per query. ``tombstones``
+    (S5) ride the same cogroup and are excluded from every query's
+    results — fresh deletes are visible to the whole batch with no extra
+    job.
     """
     all_terms = sorted(
         {t for p in queries.values() for t in list(p.terms) + list(p.exclude)}
     )
     rows = pruned_index_scan(built.index_df, all_terms, built.num_buckets)
-    stats = built.df_of(all_terms)
     n_docs, avgdl = built.n_docs, built.avgdl
-    per_q = {
-        qid: (
-            p,
-            {t: idf_py(n_docs, stats[t]) for t in p.terms if t in stats},
-            set(p.exclude),
-        )
-        for qid, p in queries.items()
-    }
+    if "df" in rows.columns:
+        static_stats = None
+    else:  # pre-v4 fallback
+        static_stats = built.df_of(all_terms)
+    per_q = {qid: (p, set(p.exclude)) for qid, p in queries.items()}
     langs = sorted({p.lang for p in queries.values() if p.lang is not None})
 
-    def score_all(g: pd.DataFrame, allowed_by_lang: dict) -> pd.DataFrame:
+    def score_all(
+        g: pd.DataFrame, allowed_by_lang: dict, tombs: np.ndarray | None = None
+    ) -> pd.DataFrame:
         out = []
         # decode once per UNION of terms; slice per query
-        lists, blocks, _ = _assemble_shard(g, set(), avgdl)
-        for qid, (p, idfs, ex_terms) in per_q.items():
+        lists, blocks, _, dfs = _assemble_shard(g, set(), avgdl)
+        if static_stats is not None:
+            dfs = static_stats
+        for qid, (p, ex_terms) in per_q.items():
+            idfs = {t: idf_py(n_docs, dfs[t]) for t in p.terms if t in dfs}
             q_lists = {t: lists[t] for t in p.terms if t in lists}
             q_blocks = {t: blocks[t] for t in p.terms if t in blocks}
             ex = [lists[t][0] for t in ex_terms if t in lists]
+            if tombs is not None and tombs.size:
+                ex = ex + [tombs]
             allowed = allowed_by_lang.get(p.lang) if p.lang is not None else None
             if p.lang is not None and allowed is None:
                 allowed = np.empty(0, np.int64)
@@ -425,27 +503,26 @@ def search_wand_batch(
             )
         return pd.concat(out, ignore_index=True)
 
-    if langs:
-        if source_df is None:
-            raise ValueError("lang: filter requires source_df")
-        allowed_df = source_df.filter(F.col("lang").isin(langs)).select(
-            F.col("doc_id").cast("long").alias("doc_id"),
-            F.col("lang"),
-            (F.col("doc_id") / F.lit(built.docs_per_shard)).cast("long").alias("shard"),
-        )
+    aux = _aux_doc_side(
+        None, source_df, tombstones, built.docs_per_shard, langs=langs
+    )
+    if aux is not None:
 
         def cogroup_fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
             if left.empty:
                 return pd.DataFrame({"query_id": pd.Series(dtype=object), **_EMPTY_TOPK})
+            tomb_mask = right["tomb"].to_numpy(bool)
+            tombs = np.sort(right["doc_id"].to_numpy(np.int64)[tomb_mask])
+            alw = right[~tomb_mask]
             by_lang = {
                 lang: np.sort(grp["doc_id"].to_numpy(np.int64))
-                for lang, grp in right.groupby("lang", sort=False)
+                for lang, grp in alw.groupby("lang", sort=False)
             }
-            return score_all(left, by_lang)
+            return score_all(left, by_lang, tombs)
 
         local = (
             rows.groupBy("shard")
-            .cogroup(allowed_df.groupBy("shard"))
+            .cogroup(aux.groupBy("shard"))
             .applyInPandas(cogroup_fn, BATCH_TOPK_SCHEMA)
         )
     else:
@@ -462,6 +539,13 @@ def search_wand_batch(
 
     from pyspark.sql import Window
 
+    # Final per-query cut. The window's input is provably bounded: every
+    # shard task already emitted its LOCAL exact top-k per query, so at
+    # most |queries| x num_shards x k rows reach this exchange — e.g.
+    # 1000 queries x 10^5 shards x 10 = 10^9 tiny rows at the extreme
+    # 10^12-doc scale, hash-spread across queries (never one partition).
+    # row_number over that is a per-query heap-sized sort, not a data
+    # sort; no full posting data crosses this boundary.
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         local.withColumn("_rn", F.row_number().over(w))

@@ -105,7 +105,6 @@ def compact(
     """
     import shutil
 
-    from xsearch_spark.functions.buckets import bucket_col
     from xsearch_spark.operators import segments as seg
     from xsearch_spark.plans.build_index import _paths
 
@@ -138,11 +137,12 @@ def compact(
     avgdl_new = (sum_dl_new / n_docs_new) if n_docs_new else 0.0
 
     # --- full decode -> anti-join -> rebuild with original geometry -----
-    kept = seg.decode_postings(idx).join(t, "doc_id", "left_anti")
-    repacked = seg.merge_segments(
-        seg.build_segments(kept, avgdl_new, dps), avgdl_new, sps
+    # (merge_to_index recomputes the global df per surviving term, so the
+    # v4 denormalized idf inputs stay exact after deletes)
+    kept = seg.decode_postings(idx).drop("df").join(t, "doc_id", "left_anti")
+    new_idx = seg.merge_to_index(
+        seg.build_segments(kept, avgdl_new, dps), avgdl_new, sps, built.num_buckets
     )
-    new_idx = repacked.withColumn("bucket", bucket_col(F.col("term"), built.num_buckets))
 
     paths = _paths(built.root)
     tmp = paths["index"] + "_compacting"

@@ -37,15 +37,17 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from xsearch_spark.functions.buckets import bucket_col
 from xsearch_spark.operators import segments as seg
 from xsearch_spark.plans import checkpoints as ckpt
 
 DEFAULT_NUM_BUCKETS = 64
 SEGS_PER_GROUP = 8  # seg_group = seg_id // SEGS_PER_GROUP: resume + layout unit
-INDEX_FORMAT_VERSION = 3  # bump on any on-disk layout/codec change:
+INDEX_FORMAT_VERSION = 4  # bump on any on-disk layout/codec change:
 # invalidates pre-existing checkpoints so a resume never mixes formats
-# (v3: md5-based bucket layout — see functions/buckets.py)
+# (v3: md5-based bucket layout — see functions/buckets.py;
+#  v4: global per-term df denormalized into every index row at merge
+#  time — warm queries read idf inputs from the pruned scan, the driver
+#  never collects the term dictionary)
 
 
 @dataclass
@@ -70,15 +72,17 @@ class BuiltIndex:
         return self.docs_per_segment * self.segs_per_shard
 
     def df_of(self, terms: list[str]) -> dict[str, int]:
-        """Per-term document frequency for query scoring.
+        """Per-term document frequency — COMPATIBILITY FALLBACK ONLY.
 
-        The term dictionary is collected ONCE per session and served from
-        a driver dict afterwards — a warm query must not pay a Spark job
-        for a |query-terms|-row lookup (measured: the stats job was half
-        of warm-query latency). The dictionary is O(distinct terms) ~
-        sublinear in corpus size; at the 10^12-doc regime swap this for a
-        broadcast variable or a pre-bucketed stats table probe, same
-        interface.
+        Since index layout v4 the global df is denormalized into every
+        index row at merge time (segments.merge_to_index), and the warm
+        query paths (search_wand / search_wand_batch / the relational
+        decode) read it from the pruned scan — zero driver state, one
+        Spark job. This method remains only for pre-v4 indexes (whose
+        rows lack the ``df`` column); it collects the ENTIRE term
+        dictionary to a driver dict, which does not survive a
+        billion-term source-code vocabulary — never call it on the hot
+        path for a v4 index (scripts/audit_plans.py asserts this).
         """
         if self._df_cache is None:
             self._df_cache = {
@@ -305,18 +309,17 @@ def build_index(
     fp3 = _fingerprint("index", fp2)
     if ckpt.stage_done(out_dir, "index", fp3) is None:
         with ckpt.StageTimer() as t:
-            merged = seg.merge_segments(
-                seg_df.drop("seg_group"), avgdl, segs_per_shard
+            # merge fused with the bucket layout (same topology as the
+            # fused build): ONE shuffle, rows leave the UDF already
+            # bucket-partitioned + term-sorted (parquet row-group min/max
+            # on `term` skip within each bucket file) and carrying the
+            # denormalized global df (v4)
+            merged = seg.merge_to_index(
+                seg_df.drop("seg_group"), avgdl, segs_per_shard, num_buckets
             )
-            merged = merged.withColumn(
-                "bucket", bucket_col(F.col("term"), num_buckets)
+            merged.write.mode("overwrite").partitionBy("bucket").parquet(
+                paths["index"]
             )
-            # one file per bucket, term-sorted inside: Q2's pruned scan
-            # reads exactly one file per probed bucket and parquet
-            # row-group min/max stats on `term` skip within it
-            merged.repartition(num_buckets, "bucket").sortWithinPartitions(
-                "term", "shard"
-            ).write.mode("overwrite").partitionBy("bucket").parquet(paths["index"])
         m3 = ckpt.StageManifest("index", fp3, "done", t.wall_ms)
         m3.partitions = _partition_rows(spark.read.parquet(paths["index"]), "bucket")
         m3.rows_out = sum(p["rows"] for p in m3.partitions.values())

@@ -125,15 +125,15 @@ def compact_segments(
     maxima always reflect the full streamed collection, never the
     start-time hint (round-1 advisor: avgdl drift).
     """
-    from xsearch_spark.functions.buckets import bucket_col
     from xsearch_spark.plans.build_index import BuiltIndex
 
     n_docs, sum_dl = _epoch_totals(index_root)
     if avgdl is None:
         avgdl = (sum_dl / n_docs) if n_docs else 0.0
     runs = spark.read.parquet(os.path.join(index_root, "segments"))
-    merged = seg.merge_segments(runs.drop("epoch"), avgdl, segs_per_shard)
-    merged = merged.withColumn("bucket", bucket_col(F.col("term"), num_buckets))
+    # fused merge+layout (one shuffle) also stamps the global per-term df
+    # into every row (v4) — post-compaction queries are driver-stats-free
+    merged = seg.merge_to_index(runs.drop("epoch"), avgdl, segs_per_shard, num_buckets)
     out = os.path.join(index_root, "index")
     merged.write.mode("overwrite").partitionBy("bucket").parquet(out)
     index_df = spark.read.parquet(out)
