@@ -138,6 +138,31 @@ def run_bench(sf_dir: str, cpus: int, emit_json: bool = True) -> dict:
         batch_wall = time.monotonic() - tb
         batch_qps = (len(QUERIES) + len(CODE_QUERIES)) / batch_wall
 
+        # --- workload 3: ANN probe vs brute-force over the embeddings ----
+        # (round-3: the persisted bucket-partitioned index makes a probe a
+        # pruned partition read; record both so the speedup is measured,
+        # not claimed)
+        from xsearch_spark.operators.similarity import (
+            ann_index_topk,
+            build_ann_index,
+            cosine_topk,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qvec = emb.filter("vec_id = 0").select("embedding").first()[0]
+        ann_dir = tempfile.mkdtemp(prefix="xsbench_ann_")
+        try:
+            ann = build_ann_index(spark, emb, ann_dir, num_planes=8)
+            for _pass in range(2):  # second pass = warm
+                tq = time.monotonic()
+                cosine_topk(emb, qvec, k=10).collect()
+                per_query["ann_brute"] = time.monotonic() - tq
+                tq = time.monotonic()
+                ann_index_topk(ann, qvec, k=10, probe_hamming=1).collect()
+                per_query["ann_probe"] = time.monotonic() - tq
+        finally:
+            shutil.rmtree(ann_dir, ignore_errors=True)
+
         lat = sorted(per_query.values())
         p50 = lat[len(lat) // 2]
         total = build_s + code_build_s + sum(per_query.values())

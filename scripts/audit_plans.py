@@ -102,7 +102,26 @@ def main() -> None:
         "cogrouped Arrow UDF — no driver-side allowlist at any scale.",
     ))
 
-    # 6. v4 stats discipline: planning a warm query (single or batch,
+    # 6. ANN probe over the persisted bucket-partitioned index: the scan
+    # must be partition-pruned to the probe set (bucket IN ...), exactly
+    # like Q2's term-bucket prune
+    from xsearch_spark.operators.similarity import ann_index_topk, build_ann_index
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    ann = build_ann_index(spark, emb, tempfile.mkdtemp(prefix="xsaudit_ann_"))
+    qvec = emb.filter("vec_id = 0").select("embedding").first()[0]
+    probe = ann_index_topk(ann, qvec, k=10, probe_hamming=1)
+    sections.append((
+        "ANN IVF probe — bucket-pruned partition read",
+        plan_of(probe),
+        ["PartitionFilters", "TakeOrderedAndProject"],
+        "The LSH-bucketed vector table is partitioned by bucket; a probe "
+        "plans its bucket set driver-side (Python twin of the plane "
+        "hash) and reads only the probed partitions — O(probe set), "
+        "never a corpus scan per query.",
+    ))
+
+    # 7. v4 stats discipline: planning a warm query (single or batch,
     # incl. the lang/tombstone cogroup) must NEVER collect the term
     # dictionary to the driver — df rides on the index rows.
     from pyspark.sql import functions as F

@@ -94,6 +94,41 @@ def test_ivf_topk_probe(emb):
     assert sims == sorted(sims, reverse=True)
 
 
+def test_ann_index_probe_equals_inline_ivf(emb, spark, tmp_path):
+    """The persisted bucket-partitioned ANN index must be invisible in
+    the results: ann_index_topk == the declarative inline-bucketing
+    ivf_topk for every probe width, and the driver-side Python bucket
+    twin must agree bit-for-bit with the Spark bucketing of the same
+    vectors (that twin is what makes probe planning zero-Spark-jobs)."""
+    built = similarity.build_ann_index(spark, emb, str(tmp_path / "ann"))
+    assert built.n_vecs == emb.count()
+    # Python twin parity on real vectors
+    got = {r["vec_id"]: r["bucket"] for r in built.table_df.select("vec_id", "bucket").collect()}
+    sample = emb.limit(40).collect()
+    for r in sample:
+        assert similarity.query_bucket_of(r["embedding"], 8) == got[r["vec_id"]], r["vec_id"]
+    # probe parity at each Hamming width
+    for vec_id in (0, 7):
+        qvec = emb.filter(F.col("vec_id") == vec_id).select("embedding").collect()[0][0]
+        for h in (0, 1):
+            a = [
+                (r["vec_id"], round(r["cos_sim"], 6))
+                for r in similarity.ivf_topk(emb, qvec, k=10, num_planes=8, probe_hamming=h).collect()
+            ]
+            b = [
+                (r["vec_id"], round(r["cos_sim"], 6))
+                for r in similarity.ann_index_topk(built, qvec, k=10, probe_hamming=h).collect()
+            ]
+            assert a == b, (vec_id, h)
+    # reload from disk serves identically
+    re = similarity.load_ann_index(spark, built.root)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    assert (
+        similarity.ann_index_topk(re, qvec, k=5).collect()
+        == similarity.ann_index_topk(built, qvec, k=5).collect()
+    )
+
+
 def test_embedding_cosine_pairs_threshold(emb):
     out = similarity.embedding_cosine_pairs(emb.limit(200), threshold=0.5).collect()
     for r in out:

@@ -21,7 +21,11 @@ required of a training-data engine. Two paths:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -165,26 +169,17 @@ def embedding_cosine_pairs(
     )
 
 
-def ivf_topk(
-    embeddings: DataFrame,
-    query_vec: list[float],
-    k: int = 10,
-    num_planes: int = 8,
-    probe_hamming: int = 1,
-    id_col: str = "vec_id",
-    emb_col: str = "embedding",
-) -> DataFrame:
-    """Approximate top-k: exact rescore inside the query's LSH bucket
-    plus all buckets within ``probe_hamming`` bit flips. At scale the
-    bucketed table is written partitioned by bucket, so a probe reads
-    only probed partitions."""
+def query_bucket_of(query_vec: list[float], num_planes: int = 8) -> int:
+    """Driver-side Python twin of :func:`lsh_buckets` for ONE vector —
+    planning an ANN probe costs zero Spark jobs (same md5-derived plane
+    construction, same round-to-6 sign rule, so it agrees bit-for-bit
+    with the table's bucket column; parity-tested)."""
     import hashlib
 
-    # driver-side query bucket (same md5 plane construction)
     import numpy as np
 
     qv = np.asarray(query_vec, dtype=np.float64)
-    qbucket = 0
+    bucket = 0
     for p in range(num_planes):
         signs = np.array(
             [
@@ -195,15 +190,129 @@ def ivf_topk(
             ]
         )
         if round(float(qv @ signs), 6) >= 0:
-            qbucket |= 1 << p
+            bucket |= 1 << p
+    return bucket
+
+
+def probe_buckets_of(
+    query_vec: list[float], num_planes: int = 8, probe_hamming: int = 1
+) -> list[int]:
+    """The probe set: the query's own bucket plus all buckets within
+    ``probe_hamming`` bit flips (recall/latency dial)."""
+    qbucket = query_bucket_of(query_vec, num_planes)
     probes = {qbucket}
     if probe_hamming >= 1:
         probes |= {qbucket ^ (1 << p) for p in range(num_planes)}
+    return sorted(probes)
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    num_planes: int = 8,
+    probe_hamming: int = 1,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k, DECLARATIVE form: exact rescore inside the
+    query's LSH bucket plus all buckets within ``probe_hamming`` bit
+    flips, recomputing the bucketing inline — the oracle-checkable
+    reference semantics. A probe stream should use the persisted
+    :class:`BuiltAnnIndex` (:func:`ann_index_topk`): identical results
+    (parity-tested), but the probe is a bucket-pruned partition read
+    instead of a full corpus scan per query."""
+    probes = probe_buckets_of(query_vec, num_planes, probe_hamming)
     b = lsh_buckets(embeddings, num_planes, id_col, emb_col)
-    probe_ids = b.filter(F.col("bucket").isin(sorted(probes))).select(
+    probe_ids = b.filter(F.col("bucket").isin(probes)).select(
         F.col("vec_id").alias("_probe_id")
     )
     cand = embeddings.join(
         probe_ids, F.col(id_col) == F.col("_probe_id"), "left_semi"
     )
     return cosine_topk(cand, query_vec, k, id_col, emb_col)
+
+
+# ---------------------------------------------------------------------------
+# Persisted ANN index: the build/query split (mirrors the text index —
+# bucket the corpus ONCE, write partitioned by bucket, probe = pruned read)
+
+
+@dataclass
+class BuiltAnnIndex:
+    root: str
+    table_df: DataFrame  # (vec_id, embedding, bucket), partitionBy(bucket)
+    num_planes: int
+    n_vecs: int
+    dim: int
+
+
+def build_ann_index(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    out_dir: str,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> BuiltAnnIndex:
+    """Bucket every vector once (signed-random-projection LSH) and
+    persist the corpus partitioned by bucket. An ANN probe then reads
+    ONLY the probed partitions (static partition pruning — the same
+    property the text index's term-bucket layout gives Q2; asserted in
+    scripts/audit_plans.py). One scan + two aggregations at build time,
+    amortized over every subsequent query (round-2 verdict: the inline
+    form re-bucketed the whole corpus per probe)."""
+    vectors_path = os.path.join(out_dir, "vectors")
+    os.makedirs(out_dir, exist_ok=True)
+    b = lsh_buckets(embeddings, num_planes, id_col, emb_col)
+    tbl = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding")
+    ).join(b, "vec_id")
+    # one file per bucket at test scale; at corpus scale the repartition
+    # key bounds file count at num-shuffle-partitions per bucket
+    tbl.repartition("bucket").write.mode("overwrite").partitionBy("bucket").parquet(
+        vectors_path
+    )
+    table_df = spark.read.parquet(vectors_path)
+    first = embeddings.select(F.size(emb_col).alias("d")).first()
+    stats = {
+        "num_planes": num_planes,
+        "n_vecs": embeddings.count(),
+        "dim": int(first["d"]) if first else 0,
+    }
+    with open(os.path.join(out_dir, "ann_stats.json.tmp"), "w") as f:
+        json.dump(stats, f)
+    os.replace(
+        os.path.join(out_dir, "ann_stats.json.tmp"),
+        os.path.join(out_dir, "ann_stats.json"),
+    )
+    return BuiltAnnIndex(out_dir, table_df, num_planes, stats["n_vecs"], stats["dim"])
+
+
+def load_ann_index(spark: SparkSession, out_dir: str) -> BuiltAnnIndex:
+    with open(os.path.join(out_dir, "ann_stats.json")) as f:
+        stats = json.load(f)
+    return BuiltAnnIndex(
+        out_dir,
+        spark.read.parquet(os.path.join(out_dir, "vectors")),
+        int(stats["num_planes"]),
+        int(stats["n_vecs"]),
+        int(stats["dim"]),
+    )
+
+
+def ann_index_topk(
+    built: BuiltAnnIndex,
+    query_vec: list[float],
+    k: int = 10,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """IVF probe over the persisted index: the probe set is computed
+    driver-side in Python (zero Spark jobs to plan), the scan is pruned
+    to the probed bucket partitions, and the exact cosine rescore +
+    TakeOrderedAndProject run only over those candidates. Result is
+    identical to :func:`ivf_topk` over the same corpus (parity-tested);
+    cost is O(probed partitions), not O(corpus)."""
+    probes = probe_buckets_of(query_vec, built.num_planes, probe_hamming)
+    cand = built.table_df.filter(F.col("bucket").isin(probes))
+    return cosine_topk(cand, query_vec, k)
