@@ -86,6 +86,74 @@ def _make_index_query(qstr: str, path: str) -> Callable[[SparkSession, str], Dat
     return run
 
 
+_CODE_INDEX_CACHE: dict[str, object] = {}
+
+
+def _compound_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The code-shaped stand-in corpus: documents with adjacent word
+    pairs fused into snake_case compounds (exact Spark twin of
+    oracles.compound_documents_sql — Java's regexp_replace and RE2's 'g'
+    both substitute non-overlapping matches left-to-right)."""
+    from xsearch_spark.oracles import COMPOUND_PAIR_REGEX
+
+    docs = _corpus(spark, sf_dir).source
+    return docs.select(
+        "doc_id",
+        F.regexp_replace("text", COMPOUND_PAIR_REGEX, "$1_$2").alias("text"),
+        "lang",
+    )
+
+
+def _code_index(spark: SparkSession, sf_dir: str):
+    """Packed index under the CODE analyzer (the binding workload is
+    source code, BASELINE.json:6) over the compound-fused corpus."""
+    if sf_dir not in _CODE_INDEX_CACHE:
+        from xsearch_spark.plans.build_index import build_index
+
+        out = os.path.join(
+            tempfile.gettempdir(), "xsearch_codeidx" + sf_dir.replace("/", "_")
+        )
+        _CODE_INDEX_CACHE[sf_dir] = build_index(
+            spark,
+            _compound_docs(spark, sf_dir),
+            out,
+            text_col="text",
+            variant="code",
+            docs_per_segment=1024,
+            segs_per_shard=4,
+            num_buckets=32,
+        )
+    return _CODE_INDEX_CACHE[sf_dir]
+
+
+def _make_code_wand_query(qstr: str) -> Callable[[SparkSession, str], DataFrame]:
+    """WAND engine path under the code analyzer: queries are analyzed
+    with the SAME code tokenizer as the index (A3), so a compound query
+    expands to compound+subtoken AND terms."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from xsearch_spark.operators.wand import search_wand
+
+        built = _code_index(spark, sf_dir)
+        topk = search_wand(
+            built, parse(qstr, "code"), source_df=_compound_docs(spark, sf_dir)
+        )
+        return topk.select(
+            "doc_id", F.round(F.col("score"), SCORE_ROUND_DECIMALS).alias("score")
+        )
+
+    return run
+
+
+# code-analyzer WAND gates (round-3): subtoken reach into compounds, a
+# compound query's AND expansion, and lang: on the code index
+_CODE_QUERY_SET = {
+    "bm25_wand_subtoken_code": "join",
+    "bm25_wand_compound_code": "hash_join",
+    "bm25_wand_code_lang": "lang:zh table",
+}
+
+
 # FIXTURES.md §4 reference query set (documents/base slice)
 _QUERY_SET = {
     "bm25_single_rare": "hash",
@@ -444,6 +512,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q[name] = _make_bm25_query(qstr)
     for name, (qstr, path) in _INDEX_QUERY_SET.items():
         q[name] = _make_index_query(qstr, path)
+    for name, qstr in _CODE_QUERY_SET.items():
+        q[name] = _make_code_wand_query(qstr)
     return q
 
 
@@ -523,4 +593,6 @@ WHERE f.quality >= 0.5
         o[name] = oracles.bm25_sql(parse(qstr))
     for name, (qstr, _path) in _INDEX_QUERY_SET.items():
         o[name] = oracles.bm25_sql(parse(qstr))
+    for name, qstr in _CODE_QUERY_SET.items():
+        o[name] = oracles.bm25_code_sql(parse(qstr, "code"))
     return o

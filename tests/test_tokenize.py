@@ -118,3 +118,72 @@ def test_cjk_query_analyzer_roundtrip(spark):
     corpus = engine.corpus_from_df(df, "text", variant="cjk")
     got = [r["doc_id"] for r in engine.run_query(corpus, "搜索引擎").collect()]
     assert got and got[0] == 0  # full-phrase bigrams only all match doc 0
+
+
+def test_duckdb_code_tokenizer_parity():
+    """The RE2 backreference formulation of the code analyzer
+    (oracles.corpus_ctes_code — RE2 has no lookarounds, so the camel
+    boundary is '([a-z0-9])([A-Z])' -> '\\1 \\2' instead of the engine's
+    lookaround regex) must be token-multiset-identical to
+    tokenize_code_py on adversarial identifiers."""
+    from collections import Counter
+
+    import duckdb
+
+    from xsearch_spark.functions.tokenize import tokenize_code_py
+    from xsearch_spark.oracles import corpus_ctes_code
+
+    samples = [
+        "hash_join fooBar parse_config XMLHttpRequest a",
+        "_foo_ __ camelCase snake_case_long x9y",
+        "ABCdef aB a_B_c9 _9x_",
+        "", "justoneword", "UPPER lower Mixed_Case99",
+    ]
+    con = duckdb.connect()
+    values = ", ".join(
+        f"({i}, '{s}')" for i, s in enumerate(samples)  # samples have no quotes
+    )
+    con.execute(f"CREATE VIEW d AS SELECT * FROM (VALUES {values}) t(doc_id, text)")
+    rows = con.execute(
+        f"WITH {corpus_ctes_code('d')} SELECT doc_id, term FROM tok"
+    ).fetchall()
+    got: dict[int, list] = {}
+    for i, t in rows:
+        got.setdefault(i, []).append(t)
+    for i, s in enumerate(samples):
+        assert Counter(got.get(i, [])) == Counter(tokenize_code_py(s)), repr(s)
+
+
+def test_compound_transform_spark_duckdb_parity(spark):
+    """The snake_case compound-fusing transform (the code-shaped derived
+    corpus for the driver gate) must agree byte-for-byte between Spark
+    ($1_$2) and DuckDB ('\\1_\\2' + 'g')."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from xsearch_spark.oracles import COMPOUND_PAIR_REGEX
+
+    texts = [
+        "key agg row scan slow fast table",
+        "a b c d e",
+        "one",
+        "",
+        "x y  z w",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        r[0]
+        for r in df.select(
+            F.regexp_replace("text", COMPOUND_PAIR_REGEX, "$1_$2")
+        ).collect()
+    ]
+    con = duckdb.connect()
+    want = [
+        r[0]
+        for r in con.execute(
+            f"SELECT regexp_replace(s, '{COMPOUND_PAIR_REGEX}', '\\1_\\2', 'g') "
+            f"FROM (SELECT unnest(?) AS s)",
+            [texts],
+        ).fetchall()
+    ]
+    assert got == want

@@ -84,6 +84,102 @@ SELECT term, doc_id, count(*)::INT AS tf FROM tok GROUP BY term, doc_id
 """
 
 
+COMPOUND_PAIR_REGEX = r"([a-z0-9]+) ([a-z0-9]+)"
+# pairs adjacent lowercase words into snake_case compounds — the
+# deterministic stand-in for identifier-bearing source code over the
+# driver's prose-like documents fixture (its text has no compounds, so a
+# code-variant gate would otherwise be vacuously equal to base). Both
+# Java regex (Spark, '$1_$2') and RE2 (DuckDB, '\1_\2' + 'g') replace
+# non-overlapping matches left-to-right, so the two transforms agree
+# byte-for-byte (tested).
+
+
+def compound_documents_sql(table: str = "documents") -> str:
+    """Derived-table SQL: documents with adjacent word pairs fused into
+    snake_case compounds (DuckDB side of the code-variant gate)."""
+    return (
+        f"(SELECT doc_id, regexp_replace(text, '{COMPOUND_PAIR_REGEX}', "
+        f"'\\1_\\2', 'g') AS text, lang FROM {table})"
+    )
+
+
+def corpus_ctes_code(table_expr: str, text_col: str = "text") -> str:
+    """tok, tf, dl, stats, tdf under the CODE analyzer (FIXTURES §3.1b):
+    each raw [A-Za-z0-9_]+ token lowercased, followed by its sub-tokens
+    (snake split on '_', camel at lower->upper boundaries) when it is a
+    compound. RE2 has no lookarounds, so the camel boundary is expressed
+    as a backreference replacement instead of CAMEL_BOUNDARY_REGEX —
+    multiset-equality with tokenize_code_py is pytest-pinned."""
+    return f"""
+raw AS (SELECT doc_id, unnest(regexp_extract_all({text_col}, '[A-Za-z0-9_]+')) AS raw
+        FROM {table_expr}),
+expand AS (SELECT doc_id, lower(raw) AS low,
+    list_filter(string_split_regex(lower(regexp_replace(replace(raw, '_', ' '),
+        '([a-z0-9])([A-Z])', '\\1 \\2', 'g')), ' '), x -> x <> '') AS subs
+  FROM raw),
+tok AS (
+  SELECT doc_id, low AS term FROM expand
+  UNION ALL
+  SELECT doc_id, unnest(subs) AS term FROM expand WHERE subs <> [low]
+),
+tf AS (SELECT term, doc_id, count(*)::INT AS tf FROM tok GROUP BY term, doc_id),
+dl AS (SELECT d.doc_id, count(tok.term)::INT AS dl
+       FROM {table_expr} d LEFT JOIN tok ON tok.doc_id = d.doc_id
+       GROUP BY d.doc_id),
+stats AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+tdf AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+"""
+
+
+def bm25_code_sql(
+    parsed: ParsedQuery,
+    k: int = 10,
+    table: str = "documents",
+    derived_compounds: bool = True,
+) -> str:
+    """Naive BM25 top-k under the CODE analyzer — oracle for the
+    code-variant index/WAND path. ``parsed`` must already be analyzed
+    with variant='code' (compound queries expand to compound+subtoken
+    AND terms). ``derived_compounds``: run over the snake_case-fused
+    derived table (the code-shaped stand-in corpus)."""
+    table_expr = compound_documents_sql(table) if derived_compounds else table
+    if not parsed.terms:
+        return "SELECT doc_id, 0.0::DOUBLE AS score FROM documents WHERE false"
+    terms_list = ", ".join(_sql_quote(t) for t in parsed.terms)
+    idf = idf_sql("s.n", "tdf.df")
+    w = bm25_weight_sql(idf, "tf.tf", "dl.dl", "s.avgdl")
+    having = (
+        f"HAVING count(*) = {len(parsed.terms)}" if parsed.connective == "AND" else ""
+    )
+    lang_filter = ""
+    if parsed.lang is not None:
+        lang_filter = (
+            f"AND tf.doc_id IN (SELECT doc_id FROM {table_expr} "
+            f"WHERE lang = {_sql_quote(parsed.lang)})"
+        )
+    not_filter = ""
+    if parsed.exclude:
+        ex_list = ", ".join(_sql_quote(t) for t in parsed.exclude)
+        not_filter = (
+            f"AND tf.doc_id NOT IN (SELECT DISTINCT doc_id FROM tf "
+            f"WHERE term IN ({ex_list}))"
+        )
+    return f"""
+WITH {corpus_ctes_code(table_expr)},
+w AS (
+  SELECT tf.doc_id, {w} AS w
+  FROM tf
+  JOIN tdf USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  WHERE tf.term IN ({terms_list}) {lang_filter} {not_filter}
+),
+scored AS (SELECT doc_id, sum(w) AS raw_score FROM w GROUP BY doc_id {having})
+SELECT doc_id, round(raw_score, {R}) AS score
+FROM scored ORDER BY raw_score DESC, doc_id ASC LIMIT {k}
+"""
+
+
 def dl_sql(table: str = "documents", text_col: str = "text") -> str:
     rgx = _sql_quote(TOKEN_SPLIT_REGEX)
     return (
