@@ -133,3 +133,107 @@ def test_streaming_ingest_matches_batch(spark, tmp_path):
             (r["doc_id"], r["score"]) for r in engine.run_query(corpus, p).collect()
         ]
         assert got == want, qstr
+
+
+def test_incremental_compact_frozen_stats(spark, built):
+    """Bounded-drift compaction: results must equal the PRE-delete index
+    queried with tombstones applied (frozen-stats semantics — N/avgdl/df
+    unchanged, deleted postings gone), WAND == relational afterwards
+    (block maxima stay valid upper bounds), and a later FULL compact
+    trues the stats up using the pending_deleted sidecar."""
+    docs = read_documents(spark, SF_DIR)
+    queries = ("hash join", "hash OR join", "the", "lang:zh spark")
+    victims = [
+        r["doc_id"]
+        for r in search_wand(built, parse("the"), k=4, source_df=docs).collect()
+    ][:3]
+    tomb_df = spark.createDataFrame([(int(v),) for v in victims], "doc_id long")
+
+    # oracle: pre-delete index + query-time tombstones (exact scores)
+    want = {
+        q: [
+            (r["doc_id"], round(r["score"], 6))
+            for r in search_wand(
+                built, parse(q), source_df=docs, tombstones=tomb_df
+            ).collect()
+        ]
+        for q in queries
+    }
+    n0, avgdl0, sum0 = built.n_docs, built.avgdl, built.sum_dl
+    df0 = {r["term"]: r["df"] for r in built.term_stats.collect()}
+
+    admin.append_tombstones(spark, built.root, victims)
+    outcome = admin.compact_incremental(spark, built, max_dl_drift=0.5)
+    assert outcome == "incremental"
+    assert admin.load_tombstones(spark, built.root) is None
+    # frozen stats
+    assert (built.n_docs, built.avgdl, built.sum_dl) == (n0, avgdl0, sum0)
+    assert {r["term"]: r["df"] for r in built.term_stats.collect()} == df0
+    # purged postings: victims absent from the index entirely
+    from xsearch_spark.operators import segments as seg2
+
+    left_ids = {r["doc_id"] for r in seg2.decode_postings(built.index_df).collect()}
+    assert not set(victims) & left_ids
+    # result equivalence + engine/relational agreement post-compact
+    from xsearch_spark.operators.wand import search_index_relational
+
+    for q in queries:
+        got_w = [
+            (r["doc_id"], round(r["score"], 6))
+            for r in search_wand(built, parse(q), source_df=docs).collect()
+        ]
+        got_r = [
+            (r["doc_id"], round(r["score"], 6))
+            for r in search_index_relational(built, parse(q), source_df=docs).collect()
+        ]
+        assert got_w == want[q], q
+        assert got_r == want[q], q
+
+    # pending recorded
+    import json
+    import os as _os
+
+    with open(_os.path.join(built.root, "stats.json")) as f:
+        pend = json.load(f)["pending_deleted"]
+    assert pend["n_docs"] == len(victims) and pend["sum_dl"] > 0
+
+    # later FULL compact trues up stats = fresh build over source minus
+    # ALL deleted docs (both tombstone generations)
+    more = [
+        r["doc_id"]
+        for r in search_wand(built, parse("hash"), k=2, source_df=docs).collect()
+    ]
+    admin.append_tombstones(spark, built.root, more)
+    admin.compact(spark, built)
+    all_deleted = set(victims) | set(more)
+    remaining = docs.filter(~F.col("doc_id").isin([int(v) for v in all_deleted]))
+    fresh = engine.corpus_from_df(remaining, "text")
+    assert built.n_docs == fresh.stats.n_docs
+    assert abs(built.avgdl - fresh.stats.avgdl) < 1e-12
+    got = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in search_wand(built, parse("hash join"), source_df=remaining).collect()
+    ]
+    wantf = [
+        (r["doc_id"], r["score"])
+        for r in engine.run_query(fresh, parse("hash join")).collect()
+    ]
+    assert got == wantf
+    import json as _json
+
+    with open(_os.path.join(built.root, "stats.json")) as f:
+        assert "pending_deleted" not in _json.load(f)
+
+
+def test_incremental_compact_falls_back_on_drift(spark, built):
+    """Deleting more dl-mass than max_dl_drift must route to the full
+    compact (trued-up stats, fresh-build parity)."""
+    docs = read_documents(spark, SF_DIR)
+    victims = [r["doc_id"] for r in docs.limit(100).collect()]
+    admin.append_tombstones(spark, built.root, victims)
+    outcome = admin.compact_incremental(spark, built, max_dl_drift=0.01)
+    assert outcome == "full"
+    remaining = docs.filter(~F.col("doc_id").isin([int(v) for v in victims]))
+    fresh = engine.corpus_from_df(remaining, "text")
+    assert built.n_docs == fresh.stats.n_docs
+    assert abs(built.avgdl - fresh.stats.avgdl) < 1e-12

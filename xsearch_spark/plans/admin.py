@@ -116,24 +116,17 @@ def compact(
     idx = built.index_df
     t = F.broadcast(tomb.select("doc_id").distinct())
 
-    # --- new collection stats from the deleted docs' (doc_id, dl) -------
-    # only rows whose doc-id range overlaps a tombstone can contain one
-    hit = idx.join(
-        t.withColumnRenamed("doc_id", "_td"),
-        (F.col("_td") >= F.col("first_doc_id")) & (F.col("_td") <= F.col("last_doc_id")),
-        "left_semi",
-    )
-    deleted = (
-        seg.decode_postings(hit)
-        .join(t, "doc_id", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.max("dl").alias("dl"))
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s"))
-        .collect()[0]
-    )
-    n_deleted, dl_deleted = int(deleted["n"] or 0), int(deleted["s"] or 0)
-    n_docs_new = built.n_docs - n_deleted
-    sum_dl_new = built.sum_dl - dl_deleted
+    n_deleted, dl_deleted = _measure_deleted(idx, t)
+    # docs already purged by earlier incremental compactions still count
+    # in the persisted stats — a full compact trues them up too
+    paths = _paths(built.root)
+    import json
+
+    with open(paths["stats"]) as f:
+        sidecar = json.load(f)
+    pending = sidecar.pop("pending_deleted", {"n_docs": 0, "sum_dl": 0})
+    n_docs_new = built.n_docs - n_deleted - int(pending["n_docs"])
+    sum_dl_new = built.sum_dl - dl_deleted - int(pending["sum_dl"])
     avgdl_new = (sum_dl_new / n_docs_new) if n_docs_new else 0.0
 
     # --- full decode -> anti-join -> rebuild with original geometry -----
@@ -144,7 +137,6 @@ def compact(
         seg.build_segments(kept, avgdl_new, dps), avgdl_new, sps, built.num_buckets
     )
 
-    paths = _paths(built.root)
     tmp = paths["index"] + "_compacting"
     shutil.rmtree(tmp, ignore_errors=True)
     new_idx.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
@@ -159,10 +151,7 @@ def compact(
     os.replace(ts_tmp, paths["term_stats"])
 
     # --- refresh sidecar stats + the in-memory handle --------------------
-    import json
-
-    with open(paths["stats"]) as f:
-        sidecar = json.load(f)
+    # (pending_deleted was popped above: the full rebuild trues it up)
     sidecar.update(
         {"n_docs": n_docs_new, "avgdl": avgdl_new, "sum_dl": sum_dl_new}
     )
@@ -176,3 +165,190 @@ def compact(
     built.avgdl = avgdl_new
     built.sum_dl = sum_dl_new
     built.invalidate_stats_cache()
+
+
+def _measure_deleted(idx: DataFrame, t: DataFrame) -> tuple[int, int]:
+    """Exact (n_docs, Σdl) of the tombstoned docs that actually have
+    postings — measured from only the range-overlapping index rows
+    (cheap pruned decode). ``t`` is the distinct broadcast tombstone set."""
+    from xsearch_spark.operators import segments as seg
+
+    hit = idx.join(
+        t.withColumnRenamed("doc_id", "_td"),
+        (F.col("_td") >= F.col("first_doc_id")) & (F.col("_td") <= F.col("last_doc_id")),
+        "left_semi",
+    )
+    deleted = (
+        seg.decode_postings(hit)
+        .join(t, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.max("dl").alias("dl"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s"))
+        .collect()[0]
+    )
+    return int(deleted["n"] or 0), int(deleted["s"] or 0)
+
+
+def compact_incremental(
+    spark: SparkSession,
+    built,
+    max_dl_drift: float = 0.01,
+) -> str:
+    """Bounded-drift compaction (round-3): purge tombstoned postings from
+    ONLY the affected bucket partitions, leaving collection statistics —
+    N, avgdl, and every row's denormalized df — at their pre-delete
+    values until the next full :func:`compact`. Returns "incremental",
+    "full" (drift exceeded ``max_dl_drift`` -> full compact ran instead)
+    or "noop".
+
+    Semantics (Lucene's between-merges model: deleted docs keep counting
+    in docFreq/avgdl until segments merge): post-compaction queries are
+    EXACTLY the pre-delete index queried with the tombstones applied —
+    same scores, same ranks, deleted docs gone. That equivalence is the
+    test oracle, and it is also why the untouched rows' block maxima
+    stay valid WITHOUT recomputation: avgdl is unchanged and purging
+    postings can only lower a block's true maximum, so every stored
+    bound remains an upper bound (rewritten rows get exact recomputed
+    metadata under the same avgdl). A full compact rewrites everything
+    under trued-up stats; the dl-mass purged here is accumulated in the
+    stats.json ``pending_deleted`` sidecar so that full compact's
+    N/avgdl account for docs whose postings are already gone.
+
+    Topology: tombstones are doc-range keyed, so they cogroup with the
+    index rows on the SAME shard key the query path uses — no broadcast
+    of the delete set, no full-index decode. Only buckets containing a
+    tombstone-overlapping shard are rewritten (dynamic partition
+    overwrite); a bucket whose rows all die is removed explicitly (the
+    stale-partition pitfall from round 1). Trade-off: rewritten bucket
+    files lose the term sort until the next full compact (row-group
+    min/max skipping degrades there; correctness unaffected).
+    """
+    import json
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+
+    from xsearch_spark.constants import BLOCK_SIZE
+    from xsearch_spark.functions import codec
+    from xsearch_spark.operators.segments import (
+        MERGED_BUCKET_SCHEMA,
+        _bm25_factor,
+    )
+    from xsearch_spark.plans.build_index import _paths
+
+    tomb = load_tombstones(spark, built.root)
+    if tomb is None or tomb.isEmpty():
+        return "noop"
+    idx = built.index_df
+    t = F.broadcast(tomb.select("doc_id").distinct())
+    n_deleted, dl_deleted = _measure_deleted(idx, t)
+    if built.sum_dl and dl_deleted / built.sum_dl > max_dl_drift:
+        compact(spark, built)
+        return "full"
+
+    # --- affected buckets: any bucket holding a tombstone-overlapping
+    # shard (cheap column-pruned metadata scan; coarse superset is fine —
+    # unaffected rows pass through the purge unchanged)
+    tomb_shards = tomb.select(
+        (F.col("doc_id") / F.lit(built.docs_per_shard)).cast("long").alias("shard")
+    ).distinct()
+    affected = sorted(
+        r["bucket"]
+        for r in idx.join(tomb_shards, "shard", "left_semi")
+        .select("bucket")
+        .distinct()
+        .collect()
+    )
+    if not affected:
+        # tombstoned docs have no postings at all: just clear the table
+        shutil.rmtree(tombstone_path(built.root), ignore_errors=True)
+        return "incremental"
+
+    avgdl = built.avgdl
+    cols = [f.name for f in MERGED_BUCKET_SCHEMA.fields]
+
+    def purge_fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(columns=cols)
+        left = left[cols]
+        if right.empty:
+            return left
+        tombs = np.sort(right["doc_id"].to_numpy(np.int64))
+        out = []
+        for r in left.itertuples(index=False):
+            row = r._asdict()
+            if r.last_doc_id < tombs[0] or r.first_doc_id > tombs[-1]:
+                out.append(row)
+                continue
+            ids = codec.decode_doc_ids(r.doc_ids).astype(np.int64)
+            pos = np.searchsorted(tombs, ids)
+            pos_c = np.minimum(pos, tombs.size - 1)
+            keep = ~((pos < tombs.size) & (tombs[pos_c] == ids))
+            if keep.all():
+                out.append(row)
+                continue
+            if not keep.any():
+                continue  # whole run deleted
+            ids_k = ids[keep]
+            tfs_k = codec.decode_tfs(r.tfs).astype(np.int64)[keep]
+            dls_k = codec.decode_tfs(r.dls).astype(np.int64)[keep]
+            starts = np.arange(0, ids_k.size, BLOCK_SIZE)
+            row.update(
+                n_docs=int(ids_k.size),
+                first_doc_id=int(ids_k[0]),
+                last_doc_id=int(ids_k[-1]),
+                doc_ids=codec.encode_doc_ids(ids_k.astype(np.uint64)),
+                tfs=codec.encode_tfs(tfs_k),
+                dls=codec.encode_tfs(dls_k),
+                block_last=ids_k[
+                    np.minimum(starts + BLOCK_SIZE - 1, ids_k.size - 1)
+                ].astype(np.int64).tolist(),
+                # same avgdl as the rest of the index: stats are frozen
+                # until full compact, so bounds stay exact
+                block_max=np.maximum.reduceat(
+                    _bm25_factor(tfs_k, dls_k, avgdl), starts
+                ).tolist(),
+            )
+            out.append(row)
+        return pd.DataFrame(out, columns=cols)
+
+    affected_rows = idx.filter(F.col("bucket").isin(affected))
+    tomb_keyed = tomb.select("doc_id").distinct().withColumn(
+        "shard", (F.col("doc_id") / F.lit(built.docs_per_shard)).cast("long")
+    )
+    new_rows = (
+        affected_rows.groupBy("shard")
+        .cogroup(tomb_keyed.groupBy("shard"))
+        .applyInPandas(purge_fn, MERGED_BUCKET_SCHEMA)
+    )
+
+    paths = _paths(built.root)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    new_rows = new_rows.persist()  # purge runs once: survivor check + write
+    survivors = {
+        r["bucket"]
+        for r in new_rows.groupBy("bucket").count().select("bucket").collect()
+    }
+    new_rows.write.mode("overwrite").partitionBy("bucket").parquet(paths["index"])
+    new_rows.unpersist()
+    for b in affected:  # fully-emptied buckets must disappear, not go stale
+        if b not in survivors:
+            shutil.rmtree(
+                os.path.join(paths["index"], f"bucket={b}"), ignore_errors=True
+            )
+
+    with open(paths["stats"]) as f:
+        sidecar = json.load(f)
+    pend = sidecar.get("pending_deleted", {"n_docs": 0, "sum_dl": 0})
+    sidecar["pending_deleted"] = {
+        "n_docs": int(pend["n_docs"]) + n_deleted,
+        "sum_dl": int(pend["sum_dl"]) + dl_deleted,
+    }
+    with open(paths["stats"] + ".tmp", "w") as f:
+        json.dump(sidecar, f)
+    os.replace(paths["stats"] + ".tmp", paths["stats"])
+    shutil.rmtree(tombstone_path(built.root), ignore_errors=True)
+    built.index_df = spark.read.parquet(paths["index"])
+    # N/avgdl/term_stats deliberately unchanged (frozen-stats semantics)
+    return "incremental"
