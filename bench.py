@@ -217,13 +217,21 @@ def _kernel_probe(code_parquet: str, procs: int, n_docs: int = 20_000) -> float:
         if len(texts) >= n_docs:
             break
     texts = texts[:n_docs]
+    pinned = os.environ.get("SPARK_GRAFT_PIN") == "1"
+    old_aff = os.sched_getaffinity(0)
     best = 0.0
-    for _ in range(2):
-        chunks = [texts[i::procs] for i in range(procs)]
-        t0 = time.monotonic()
-        with mp.Pool(procs) as pool:
-            pool.map(_kernel_work, chunks)
-        best = max(best, len(texts) / (time.monotonic() - t0))
+    try:
+        if pinned:  # children inherit affinity: same cpuset as the engine
+            os.sched_setaffinity(0, set(range(procs)))
+        for _ in range(2):
+            chunks = [texts[i::procs] for i in range(procs)]
+            t0 = time.monotonic()
+            with mp.Pool(procs) as pool:
+                pool.map(_kernel_work, chunks)
+            best = max(best, len(texts) / (time.monotonic() - t0))
+    finally:
+        if pinned:
+            os.sched_setaffinity(0, old_aff)
     return round(best, 1)
 
 
@@ -283,9 +291,19 @@ def run_scaling(sf_dir: str) -> None:
             env = dict(
                 os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=str(cpus)
             )
+            cmd = [sys.executable, os.path.abspath(__file__)]
+            if os.environ.get("SPARK_GRAFT_PIN") == "1":
+                # pin the WHOLE run (JVM + Python workers) to a cpuset of
+                # exactly `cpus` vCPUs: an unpinned local[N] run spreads
+                # its N JVM threads + N Python workers over every idle
+                # core of the box, which flatters the small config — a
+                # real cluster's N-core executor is containerized to N
+                # cores for both. Pinned N vs 4N is the faithful model of
+                # "N vs 4N executors" on one box.
+                cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
             s0_tot, s0_st = _stat_snapshot()
             out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
+                cmd,
                 env=env,
                 capture_output=True,
                 text=True,
@@ -328,9 +346,15 @@ def run_scaling(sf_dir: str) -> None:
         )
 
     with open(md, "a") as f:
+        pin_note = (
+            " [PINNED cpusets: each config confined to exactly its core "
+            "count — the faithful N-vs-4N-executor model]"
+            if os.environ.get("SPARK_GRAFT_PIN") == "1"
+            else ""
+        )
         f.write(
             f"\n## Scaling run {stamp} — {sf_dir} "
-            f"(code_files n={results[hi]['n_code_docs']})\n\n"
+            f"(code_files n={results[hi]['n_code_docs']}){pin_note}\n\n"
             f"| cores | docs build sec | code build sec | code docs/sec "
             f"| kernel docs/sec | query p50 sec | steal % |\n"
             f"|---|---|---|---|---|---|---|\n{row(lo)}\n{row(hi)}\n\n"
