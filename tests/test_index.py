@@ -185,7 +185,7 @@ def test_block_meta_consistent(built):
 
     import numpy as np
 
-    from xsearch_spark.constants import BLOCK_SIZE
+    from xsearch_spark.constants import ATTR_TERM_PREFIX, BLOCK_SIZE
     from xsearch_spark.functions import codec
 
     for r in built.index_df.limit(50).collect():
@@ -194,7 +194,11 @@ def test_block_meta_consistent(built):
         assert len(r["block_last"]) == n_blocks
         assert len(r["block_max"]) == n_blocks
         assert r["block_last"][-1] == int(ids[-1])
-        assert all(m > 0 for m in r["block_max"])
+        if r["term"].startswith(ATTR_TERM_PREFIX):
+            # synthetic attr runs (v5) carry tf=0: factor is exactly 0
+            assert all(m == 0 for m in r["block_max"])
+        else:
+            assert all(m > 0 for m in r["block_max"])
 
 
 def test_batch_search_equals_singles(spark, built, corpus):
@@ -217,11 +221,21 @@ def test_index_rows_carry_global_df(built):
     """v4 layout invariant: every index row's denormalized df equals the
     term's collection-wide document frequency — this is what lets warm
     queries compute idf from the pruned scan with zero driver stats."""
+    from xsearch_spark.constants import ATTR_TERM_PREFIX
+
     want = {r["term"]: r["df"] for r in built.term_stats.collect()}
     rows = built.index_df.select("term", "df").collect()
     assert rows
+    saw_attr = False
     for r in rows:
-        assert r["df"] == want[r["term"]], r["term"]
+        if r["term"].startswith(ATTR_TERM_PREFIX):
+            # v5 synthetic attr runs: never scored, pinned df=0, and kept
+            # out of the term dictionary
+            assert r["df"] == 0 and r["term"] not in want
+            saw_attr = True
+        else:
+            assert r["df"] == want[r["term"]], r["term"]
+    assert saw_attr  # the fixture source has a lang column -> v5 runs exist
 
 
 def test_warm_query_needs_no_driver_stats(built, corpus):
@@ -251,6 +265,53 @@ def test_wand_tombstones_equal_relational(spark, built, corpus):
             search_index_relational(built, parsed, source_df=docs, tombstones=tomb)
         )
         assert w == r, q
+
+
+def test_lang_serves_from_index_no_source(spark, built, corpus):
+    """v5: a lang: query on an attr-indexed build must read its
+    allowlist from the index — no source scan, no cogroup — and agree
+    with the naive evaluation WITHOUT being given the source at all."""
+    import io
+    from contextlib import redirect_stdout
+
+    assert built.has_attr("lang")
+    for q in ("lang:zh spark", "lang:en hash OR join", "lang:es hash -join"):
+        naive = [
+            (r["doc_id"], r["score"]) for r in engine.run_query(corpus, q).collect()
+        ]
+        got = _rounded(search_wand(built, parse(q)))  # no source_df
+        assert got == naive, q
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        search_wand(built, parse("lang:zh hash join")).explain("formatted")
+    plan = buf.getvalue()
+    assert "documents.parquet" not in plan
+    assert "FlatMapCoGroupsInPandas" not in plan
+
+
+def test_lang_fallback_without_attr_index(spark, corpus, tmp_path):
+    """Pre-v5 compatibility: an index built with attr_col=None must still
+    serve lang: queries through the distributed source-allowlist cogroup
+    and produce identical results."""
+    docs = corpus.source
+    bi = build_index(
+        spark, docs, str(tmp_path / "noattr_idx"),
+        text_col="text", variant="base",
+        docs_per_segment=128, segs_per_shard=2, num_buckets=16,
+        attr_col=None,
+    )
+    from xsearch_spark.constants import ATTR_TERM_PREFIX
+
+    assert not bi.has_attr("lang")
+    assert bi.index_df.filter(
+        F.col("term").startswith(ATTR_TERM_PREFIX)
+    ).count() == 0
+    for q in ("lang:zh spark", "lang:en hash OR join"):
+        naive = [
+            (r["doc_id"], r["score"]) for r in engine.run_query(corpus, q).collect()
+        ]
+        got = _rounded(search_wand(bi, parse(q), source_df=docs))
+        assert got == naive, q
 
 
 def test_batch_random_querysets_with_tombstones(spark, built, corpus):

@@ -56,6 +56,27 @@ DEFAULT_TOP_K: int = 10
 # top-k ordering: score DESC, doc_id ASC (ties broken by ascending doc_id)
 SCORE_ROUND_DECIMALS: int = 6  # oracle score comparison precision
 
+# --- Attribute postings (index layout v5) --------------------------------
+# Per-doc attributes (lang) are indexed as SYNTHETIC posting lists so a
+# ``lang:X`` filter is a bucket-pruned INDEX read intersected by the
+# existing machinery — never a per-query scan+shuffle of the source
+# table (round-3 verdict: the one plan that did O(corpus) work per
+# query at 10^12 docs). The prefix byte cannot appear in any analyzed
+# token (every tokenizer variant emits only [a-z0-9_]+ / CJK chars), so
+# synthetic terms can never collide with real ones. Synthetic postings
+# carry tf=0, dl=0: they are filter carriers, never scored, and tf=0
+# keeps them out of the sum_tf-derived avgdl by construction.
+# \x01, NOT \x00: pandas' string hash table (factorize, on the pack
+# path) hashes null-terminated C strings, silently collapsing distinct
+# terms that differ only after an embedded NUL.
+ATTR_TERM_PREFIX: str = "\x01"
+
+
+def attr_term(fld: str, value: str) -> str:
+    """The synthetic index term for attribute ``fld = value``."""
+    return f"{ATTR_TERM_PREFIX}{fld}:{value}"
+
+
 # --- Skew handling (SURVEY.md B5, §4) ------------------------------------
 # Terms whose document frequency exceeds this fraction of total postings
 # divided by the shuffle partition count are "hot" and get salted.

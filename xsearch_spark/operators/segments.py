@@ -53,7 +53,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from xsearch_spark.constants import B, BLOCK_SIZE, K1
+from xsearch_spark.constants import ATTR_TERM_PREFIX, B, BLOCK_SIZE, K1, attr_term
 from xsearch_spark.functions import codec
 
 PACKED_SCHEMA = StructType(
@@ -233,9 +233,17 @@ def make_merge_iter(include_bucket: bool = False):
                 continue
             terms = pdf["term"].to_numpy()
             shards = pdf["shard"].to_numpy()
-            cbounds = (
-                _group_bounds(terms) if include_bucket else _group_bounds(terms, shards)
-            )
+            if include_bucket:
+                # term-granular carry for REAL terms (df needs all shards);
+                # synthetic attr terms (v5) get df=0 and carry per (term,
+                # shard) — a hot attr list (lang:en ~ half the corpus)
+                # must never be held whole in one frame
+                is_attr = np.array(
+                    [t.startswith(ATTR_TERM_PREFIX) for t in terms], dtype=bool
+                )
+                cbounds = _group_bounds(terms, np.where(is_attr, shards, -1))
+            else:
+                cbounds = _group_bounds(terms, shards)
             if cbounds.size > 1:
                 last_start = cbounds[-1]
                 carry = pdf.iloc[last_start:]
@@ -306,11 +314,16 @@ def _merge_frame(
         # global df per term = Σ merged n_docs over its shards (shards are
         # disjoint doc ranges, so the sum counts each doc once). All of a
         # term's shards are in `out` (term-granular carry in merge_iter).
+        # Synthetic attr terms (v5) are never scored: df is pinned to 0 so
+        # the carry can stay (term, shard)-granular for them.
         df_by_term: dict[str, int] = {}
         for row in out:
-            df_by_term[row["term"]] = df_by_term.get(row["term"], 0) + row["n_docs"]
+            if not row["term"].startswith(ATTR_TERM_PREFIX):
+                df_by_term[row["term"]] = (
+                    df_by_term.get(row["term"], 0) + row["n_docs"]
+                )
         for row in out:
-            row["df"] = df_by_term[row["term"]]
+            row["df"] = df_by_term.get(row["term"], 0)
     schema = MERGED_BUCKET_SCHEMA if include_bucket else MERGED_SCHEMA
     return pd.DataFrame(out, columns=[f.name for f in schema.fields])
 
@@ -420,6 +433,7 @@ def pack_from_source(
     docs_per_segment: int = DEFAULT_DOCS_PER_SEGMENT,
     num_partitions: int | None = None,
     n_docs: int | None = None,
+    attr_col: str | None = None,
 ) -> DataFrame:
     """ONE-PASS segment build: docs -> packed runs, no intermediate
     postings materialization (the shape xsearch itself uses — a shard
@@ -458,6 +472,15 @@ def pack_from_source(
       sources) does the chunked repartition fall back in: a finer
       doc-range chunk key (>= 2 chunks per target partition, never
       coarser than a segment).
+
+    ``attr_col`` (index layout v5): additionally emit one SYNTHETIC
+    posting per doc — term = attr_term(attr_col, value), tf=0, dl=0 —
+    so per-doc attribute filters (``lang:``) become pruned index reads
+    at query time instead of per-query source scans. tf=0 keeps the
+    synthetic stream out of the sum_tf-derived avgdl; docs with a NULL
+    attribute emit nothing (they can never pass the filter). Zero-token
+    docs still emit their synthetic posting (membership in the
+    allowlist is independent of having scorable terms).
     """
     par = source_df.sparkSession.sparkContext.defaultParallelism
     n = num_partitions or par * 2
@@ -497,10 +520,33 @@ def pack_from_source(
         for pdf in batches:
             if pdf.empty:
                 continue
-            res = count_batch(pdf[text_col], pdf[doc_id_col].to_numpy(np.int64), variant)
-            if res is None:
-                continue
-            terms, ids, tfs, dls = res
+            b_ids = pdf[doc_id_col].to_numpy(np.int64)
+            res = count_batch(pdf[text_col], b_ids, variant)
+            if attr_col is not None:
+                vals = pdf[attr_col]
+                ok = vals.notna().to_numpy()
+                syn_terms = np.array(
+                    [attr_term(attr_col, v) for v in vals[ok]], dtype=object
+                )
+                syn_ids = b_ids[ok]
+                zeros = np.zeros(syn_ids.size, np.int64)
+                if res is None:
+                    terms, ids, tfs, dls = syn_terms, syn_ids, zeros, zeros
+                else:
+                    terms = np.concatenate([res[0], syn_terms])
+                    ids = np.concatenate([res[1], syn_ids])
+                    tfs = np.concatenate([res[2], zeros])
+                    dls = np.concatenate([res[3], zeros])
+                if ids.size == 0:
+                    continue
+                # re-establish doc-contiguity so the seg-change flush sees
+                # each segment once per batch (stable: real before synthetic)
+                order = np.argsort(ids, kind="stable")
+                terms, ids, tfs, dls = terms[order], ids[order], tfs[order], dls[order]
+            else:
+                if res is None:
+                    continue
+                terms, ids, tfs, dls = res
             segs = ids // docs_per_segment
             bounds = _group_bounds(segs)
             ends = np.append(bounds[1:], segs.size)
@@ -516,7 +562,9 @@ def pack_from_source(
         if acc["terms"]:
             yield flush()
 
-    docs = source_df.select(doc_id_col, text_col)
+    docs = source_df.select(
+        doc_id_col, text_col, *([attr_col] if attr_col is not None else [])
+    )
     if docs.rdd.getNumPartitions() >= par:
         # input is already parallel enough: no exchange, no sort — the
         # packer handles arbitrary doc order via flush-on-seg-change
@@ -526,12 +574,19 @@ def pack_from_source(
     return docs.drop("_chunk").mapInPandas(pack_docs_iter, PACKED_SCHEMA)
 
 
-def decode_postings(packed: DataFrame) -> DataFrame:
+def decode_postings(packed: DataFrame, include_attrs: bool = False) -> DataFrame:
     """Q3: mirror of the packing codec — packed runs back to long form.
     Vectorized: one NumPy concat per Arrow batch, never per-posting
     Python. A v4 index's denormalized ``df`` column is carried through
     (repeated per posting) so the relational scorer needs no term-stats
-    join either."""
+    join either.
+
+    Synthetic attribute runs (v5, tf=0 filter carriers) are excluded by
+    default — they are not document postings; ``include_attrs=True``
+    keeps them (compaction's decode->rebuild path must carry the
+    attribute lists through to the new index)."""
+    if not include_attrs:
+        packed = packed.filter(~F.col("term").startswith(ATTR_TERM_PREFIX))
     with_df = "df" in packed.columns
     schema = (
         StructType(LONG_SCHEMA.fields + [StructField("df", LongType(), False)])

@@ -65,18 +65,71 @@ def cosine_topk(
     )
 
 
+def _plane_signs(num_planes: int, dim: int) -> list[list[float]]:
+    """The deterministic ±1 hyperplane components: (p, d) = +1 if the
+    first hex nibble of md5('p:d') >= 8 else -1 — reproducible in ANSI
+    SQL, JVM expressions and Python alike (the parity anchor for the
+    whole ANN stack)."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0], 16) >= 8
+            else -1.0
+            for d in range(dim)
+        ]
+        for p in range(num_planes)
+    ]
+
+
 def lsh_buckets(
     embeddings: DataFrame,
     num_planes: int = 8,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Signed-random-projection bucket per vector -> (vec_id, bucket).
 
     Hyperplane component (p, d) = +1 if the first hex nibble of
     md5('p:d') >= 8 else -1 — deterministic and reproducible in ANSI
     SQL. bucket = Σ_p [dot_p >= 0] · 2^p.
+
+    Round-4 shape: the P plane dot products are per-row higher-order
+    expressions (``aggregate(zip_with(emb, literal ±1 array))`` — the
+    same JVM-codegen pattern :func:`_dot` uses for cosine) against sign
+    arrays precomputed driver-side. The round-3 form posexploded every
+    (element, plane) pair — a dim×planes row amplification (6144× at
+    dim=768, P=8) through two hash aggregations; this one is a pure
+    projection: no explode, no shuffle, nothing but the scan.
+    ``dim`` skips the one-row probe job when the caller knows it.
     """
+    if dim is None:
+        first = embeddings.select(F.size(emb_col).alias("d")).first()
+        if first is None:  # empty input: schema-stable empty result
+            return embeddings.select(
+                F.col(id_col).alias("vec_id"), F.lit(0).cast("long").alias("bucket")
+            ).limit(0)
+        dim = int(first["d"])
+    bucket = F.lit(0).cast("long")
+    for p, signs in enumerate(_plane_signs(num_planes, dim)):
+        sarr = F.array(*[F.lit(s) for s in signs])
+        bit = (F.round(_dot(F.col(emb_col), sarr), 6) >= 0).cast("long")
+        bucket = bucket + bit * F.lit(1 << p)
+    return embeddings.select(F.col(id_col).alias("vec_id"), bucket.alias("bucket"))
+
+
+def lsh_buckets_exploded(
+    embeddings: DataFrame,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Reference form of :func:`lsh_buckets` (posexplode × planes →
+    grouped sums) — kept as the parity oracle mirroring the DuckDB SQL's
+    shape; the projection form must match it exactly (pytest-pinned).
+    Not on any build path: the row amplification is dim×planes."""
     e = embeddings.select(
         F.col(id_col).alias("vec_id"), F.posexplode(emb_col).alias("dim", "val")
     )
@@ -174,22 +227,16 @@ def query_bucket_of(query_vec: list[float], num_planes: int = 8) -> int:
     planning an ANN probe costs zero Spark jobs (same md5-derived plane
     construction, same round-to-6 sign rule, so it agrees bit-for-bit
     with the table's bucket column; parity-tested)."""
-    import hashlib
-
     import numpy as np
 
     qv = np.asarray(query_vec, dtype=np.float64)
     bucket = 0
-    for p in range(num_planes):
-        signs = np.array(
-            [
-                1.0
-                if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0], 16) >= 8
-                else -1.0
-                for d in range(len(query_vec))
-            ]
-        )
-        if round(float(qv @ signs), 6) >= 0:
+    for p, signs in enumerate(_plane_signs(num_planes, len(query_vec))):
+        # sequential fold, matching the JVM aggregate's evaluation order
+        acc = 0.0
+        for x, s in zip(qv, signs):
+            acc += float(x) * s
+        if round(acc, 6) >= 0:
             bucket |= 1 << p
     return bucket
 
@@ -214,6 +261,7 @@ def ivf_topk(
     probe_hamming: int = 1,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    tombstones: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k, DECLARATIVE form: exact rescore inside the
     query's LSH bucket plus all buckets within ``probe_hamming`` bit
@@ -223,13 +271,16 @@ def ivf_topk(
     (parity-tested), but the probe is a bucket-pruned partition read
     instead of a full corpus scan per query."""
     probes = probe_buckets_of(query_vec, num_planes, probe_hamming)
-    b = lsh_buckets(embeddings, num_planes, id_col, emb_col)
+    b = lsh_buckets(embeddings, num_planes, id_col, emb_col, dim=len(query_vec))
     probe_ids = b.filter(F.col("bucket").isin(probes)).select(
         F.col("vec_id").alias("_probe_id")
     )
     cand = embeddings.join(
         probe_ids, F.col(id_col) == F.col("_probe_id"), "left_semi"
     )
+    if tombstones is not None:
+        tomb = tombstones.select(F.col("vec_id").alias(id_col)).distinct()
+        cand = cand.join(F.broadcast(tomb), id_col, "left_anti")
     return cosine_topk(cand, query_vec, k, id_col, emb_col)
 
 
@@ -264,7 +315,9 @@ def build_ann_index(
     form re-bucketed the whole corpus per probe)."""
     vectors_path = os.path.join(out_dir, "vectors")
     os.makedirs(out_dir, exist_ok=True)
-    b = lsh_buckets(embeddings, num_planes, id_col, emb_col)
+    first = embeddings.select(F.size(emb_col).alias("d")).first()
+    dim = int(first["d"]) if first else 0
+    b = lsh_buckets(embeddings, num_planes, id_col, emb_col, dim=dim)
     tbl = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding")
     ).join(b, "vec_id")
@@ -274,11 +327,10 @@ def build_ann_index(
         vectors_path
     )
     table_df = spark.read.parquet(vectors_path)
-    first = embeddings.select(F.size(emb_col).alias("d")).first()
     stats = {
         "num_planes": num_planes,
-        "n_vecs": embeddings.count(),
-        "dim": int(first["d"]) if first else 0,
+        "n_vecs": table_df.count(),
+        "dim": dim,
     }
     with open(os.path.join(out_dir, "ann_stats.json.tmp"), "w") as f:
         json.dump(stats, f)
@@ -306,13 +358,62 @@ def ann_index_topk(
     query_vec: list[float],
     k: int = 10,
     probe_hamming: int = 1,
+    tombstones: DataFrame | None = None,
 ) -> DataFrame:
     """IVF probe over the persisted index: the probe set is computed
     driver-side in Python (zero Spark jobs to plan), the scan is pruned
     to the probed bucket partitions, and the exact cosine rescore +
     TakeOrderedAndProject run only over those candidates. Result is
     identical to :func:`ivf_topk` over the same corpus (parity-tested);
-    cost is O(probed partitions), not O(corpus)."""
+    cost is O(probed partitions), not O(corpus).
+
+    ``tombstones`` — a (vec_id) DataFrame of deleted vectors (a training
+    pipeline deletes embeddings as often as documents): applied as a
+    broadcast anti-join INSIDE the pruned read, the vector mirror of the
+    text index's S5 query-time deletes; fold them permanently by
+    rebuilding with :func:`compact_ann_index`."""
     probes = probe_buckets_of(query_vec, built.num_planes, probe_hamming)
     cand = built.table_df.filter(F.col("bucket").isin(probes))
+    if tombstones is not None:
+        tomb = tombstones.select("vec_id").distinct()
+        cand = cand.join(F.broadcast(tomb), "vec_id", "left_anti")
     return cosine_topk(cand, query_vec, k)
+
+
+def compact_ann_index(
+    spark: SparkSession,
+    built: BuiltAnnIndex,
+    tombstones: DataFrame,
+) -> BuiltAnnIndex:
+    """Fold vector deletes into the persisted ANN index: rewrite the
+    bucket-partitioned table minus the tombstoned vec_ids (bucket
+    assignments are delete-independent, so surviving rows are simply
+    kept — no re-hash). Write-temp-then-swap, same hygiene as the text
+    index's compaction."""
+    import shutil
+
+    vectors_path = os.path.join(built.root, "vectors")
+    tmp = vectors_path + "_compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    tomb = tombstones.select("vec_id").distinct()
+    kept = built.table_df.join(F.broadcast(tomb), "vec_id", "left_anti")
+    kept.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(tmp)
+    shutil.rmtree(vectors_path, ignore_errors=True)
+    os.replace(tmp, vectors_path)
+    table_df = spark.read.parquet(vectors_path)
+    stats = {
+        "num_planes": built.num_planes,
+        "n_vecs": table_df.count(),
+        "dim": built.dim,
+    }
+    with open(os.path.join(built.root, "ann_stats.json.tmp"), "w") as f:
+        json.dump(stats, f)
+    os.replace(
+        os.path.join(built.root, "ann_stats.json.tmp"),
+        os.path.join(built.root, "ann_stats.json"),
+    )
+    return BuiltAnnIndex(
+        built.root, table_df, built.num_planes, stats["n_vecs"], built.dim
+    )

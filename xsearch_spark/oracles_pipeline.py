@@ -200,11 +200,21 @@ WHERE round(cos_sim, 6) >= {threshold}
 
 
 def ivf_topk_sql(
-    query_vec_id: int = 0, k: int = 10, num_planes: int = 8, probe_hamming: int = 1
+    query_vec_id: int = 0,
+    k: int = 10,
+    num_planes: int = 8,
+    probe_hamming: int = 1,
+    extra_vec_pred: str | None = None,
 ) -> str:
     """IVF-style probe: exact cosine top-k restricted to vectors whose
     LSH bucket is within ``probe_hamming`` bit flips of the query's own
-    bucket — the probe set is fully SQL-derivable (xor + bit_count)."""
+    bucket — the probe set is fully SQL-derivable (xor + bit_count).
+
+    ``extra_vec_pred``: additional candidate filter (the ANN tombstone
+    oracle — e.g. ``"e.vec_id % 7 <> 3"``). Bucketing stays over the
+    FULL corpus: bucket assignment is delete-independent, exactly like
+    the persisted index built before the deletes."""
+    pred = f" AND ({extra_vec_pred})" if extra_vec_pred else ""
     return f"""
 WITH b AS ({lsh_buckets_sql(num_planes)}),
 qb AS (SELECT bucket AS qbucket FROM b WHERE vec_id = {query_vec_id}),
@@ -221,7 +231,7 @@ dots AS (
          sum(e.val::DOUBLE * q.qval::DOUBLE) AS dot,
          sum(e.val::DOUBLE * e.val::DOUBLE) AS nrm2
   FROM e JOIN q USING (dim)
-  WHERE e.vec_id IN (SELECT vec_id FROM probe)
+  WHERE e.vec_id IN (SELECT vec_id FROM probe){pred}
   GROUP BY e.vec_id
 ),
 qn AS (SELECT sum(qval::DOUBLE * qval::DOUBLE) AS qnrm2 FROM q)

@@ -106,33 +106,45 @@ def compact(
     import shutil
 
     from xsearch_spark.operators import segments as seg
-    from xsearch_spark.plans.build_index import _paths
+    from xsearch_spark.plans.build_index import _paths, _term_stats_of
 
-    tomb = load_tombstones(spark, built.root)
-    if tomb is None or tomb.isEmpty():
-        return
-    dps = docs_per_segment or built.docs_per_segment
-    sps = segs_per_shard or built.segs_per_shard
-    idx = built.index_df
-    t = F.broadcast(tomb.select("doc_id").distinct())
-
-    n_deleted, dl_deleted = _measure_deleted(idx, t)
     # docs already purged by earlier incremental compactions still count
-    # in the persisted stats — a full compact trues them up too
+    # in the persisted stats — a full compact trues them up too, EVEN
+    # when no new tombstones exist (round-3 advisor: returning early on
+    # an empty tombstone table left accumulated pending_deleted applied
+    # never, so frozen N/avgdl drifted permanently)
     paths = _paths(built.root)
     import json
 
     with open(paths["stats"]) as f:
         sidecar = json.load(f)
     pending = sidecar.pop("pending_deleted", {"n_docs": 0, "sum_dl": 0})
+    tomb = load_tombstones(spark, built.root)
+    has_tomb = tomb is not None and not tomb.isEmpty()
+    if not has_tomb and not (int(pending["n_docs"]) or int(pending["sum_dl"])):
+        return
+    if not has_tomb:
+        tomb = spark.createDataFrame([], "doc_id long")
+    dps = docs_per_segment or built.docs_per_segment
+    sps = segs_per_shard or built.segs_per_shard
+    idx = built.index_df
+    t = F.broadcast(tomb.select("doc_id").distinct())
+
+    n_deleted, dl_deleted = _measure_deleted(idx, t)
     n_docs_new = built.n_docs - n_deleted - int(pending["n_docs"])
     sum_dl_new = built.sum_dl - dl_deleted - int(pending["sum_dl"])
     avgdl_new = (sum_dl_new / n_docs_new) if n_docs_new else 0.0
 
     # --- full decode -> anti-join -> rebuild with original geometry -----
     # (merge_to_index recomputes the global df per surviving term, so the
-    # v4 denormalized idf inputs stay exact after deletes)
-    kept = seg.decode_postings(idx).drop("df").join(t, "doc_id", "left_anti")
+    # v4 denormalized idf inputs stay exact after deletes; attr runs —
+    # the v5 lang allowlists — are decoded too so the rebuilt index keeps
+    # serving lang: filters, minus the deleted docs)
+    kept = (
+        seg.decode_postings(idx, include_attrs=True)
+        .drop("df")
+        .join(t, "doc_id", "left_anti")
+    )
     new_idx = seg.merge_to_index(
         seg.build_segments(kept, avgdl_new, dps), avgdl_new, sps, built.num_buckets
     )
@@ -143,7 +155,7 @@ def compact(
     shutil.rmtree(paths["index"], ignore_errors=True)
     os.replace(tmp, paths["index"])
     final = spark.read.parquet(paths["index"])
-    ts = final.groupBy("term").agg(F.sum("n_docs").alias("df"))
+    ts = _term_stats_of(final)
     ts_tmp = paths["term_stats"] + "_compacting"
     shutil.rmtree(ts_tmp, ignore_errors=True)
     ts.write.mode("overwrite").parquet(ts_tmp)
@@ -217,11 +229,14 @@ def compact_incremental(
     Topology: tombstones are doc-range keyed, so they cogroup with the
     index rows on the SAME shard key the query path uses — no broadcast
     of the delete set, no full-index decode. Only buckets containing a
-    tombstone-overlapping shard are rewritten (dynamic partition
-    overwrite); a bucket whose rows all die is removed explicitly (the
-    stale-partition pitfall from round 1). Trade-off: rewritten bucket
-    files lose the term sort until the next full compact (row-group
-    min/max skipping degrades there; correctness unaffected).
+    tombstone-overlapping shard are rewritten; the rewrite goes to a
+    STAGING directory and is swapped in per-bucket (round-3 advisor:
+    dynamic-overwriting the path being read both mutated session conf
+    and relied on cached blocks surviving until the write; the swap also
+    removes fully-emptied buckets for free — the round-1 stale-partition
+    pitfall). Rewritten buckets are re-sorted by (term, shard,
+    first_doc_id) before the write so parquet row-group min/max term
+    skipping survives incremental folds (round-3 verdict item 4).
     """
     import json
     import shutil
@@ -243,7 +258,18 @@ def compact_incremental(
     idx = built.index_df
     t = F.broadcast(tomb.select("doc_id").distinct())
     n_deleted, dl_deleted = _measure_deleted(idx, t)
-    if built.sum_dl and dl_deleted / built.sum_dl > max_dl_drift:
+    paths = _paths(built.root)
+    with open(paths["stats"]) as f:
+        sidecar = json.load(f)
+    pend = sidecar.get("pending_deleted", {"n_docs": 0, "sum_dl": 0})
+    # the drift gate bounds TOTAL frozen-stats drift, so it must include
+    # the dl mass already purged by earlier incremental passes (round-3
+    # advisor: gating on the current batch alone let many small delete
+    # batches accumulate unbounded pending drift without escalating)
+    if (
+        built.sum_dl
+        and (int(pend["sum_dl"]) + dl_deleted) / built.sum_dl > max_dl_drift
+    ):
         compact(spark, built)
         return "full"
 
@@ -323,24 +349,26 @@ def compact_incremental(
         .applyInPandas(purge_fn, MERGED_BUCKET_SCHEMA)
     )
 
-    paths = _paths(built.root)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    new_rows = new_rows.persist()  # purge runs once: survivor check + write
-    survivors = {
-        r["bucket"]
-        for r in new_rows.groupBy("bucket").count().select("bucket").collect()
-    }
-    new_rows.write.mode("overwrite").partitionBy("bucket").parquet(paths["index"])
-    new_rows.unpersist()
-    for b in affected:  # fully-emptied buckets must disappear, not go stale
-        if b not in survivors:
-            shutil.rmtree(
-                os.path.join(paths["index"], f"bucket={b}"), ignore_errors=True
-            )
+    staging = paths["index"] + "_inc_staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    # restore the term sort inside rewritten buckets (parquet row-group
+    # min/max skipping on `term`); one job writes the staging dirs — the
+    # purge UDF runs exactly once, no persist, no survivor-count job
+    (
+        new_rows.repartition("bucket")
+        .sortWithinPartitions("term", "shard", "first_doc_id")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(staging)
+    )
+    for b in affected:
+        dst = os.path.join(paths["index"], f"bucket={b}")
+        src = os.path.join(staging, f"bucket={b}")
+        shutil.rmtree(dst, ignore_errors=True)
+        if os.path.isdir(src):  # fully-emptied buckets simply disappear
+            os.replace(src, dst)
+    shutil.rmtree(staging, ignore_errors=True)
 
-    with open(paths["stats"]) as f:
-        sidecar = json.load(f)
-    pend = sidecar.get("pending_deleted", {"n_docs": 0, "sum_dl": 0})
     sidecar["pending_deleted"] = {
         "n_docs": int(pend["n_docs"]) + n_deleted,
         "sum_dl": int(pend["sum_dl"]) + dl_deleted,

@@ -42,12 +42,15 @@ from xsearch_spark.plans import checkpoints as ckpt
 
 DEFAULT_NUM_BUCKETS = 64
 SEGS_PER_GROUP = 8  # seg_group = seg_id // SEGS_PER_GROUP: resume + layout unit
-INDEX_FORMAT_VERSION = 4  # bump on any on-disk layout/codec change:
+INDEX_FORMAT_VERSION = 5  # bump on any on-disk layout/codec change:
 # invalidates pre-existing checkpoints so a resume never mixes formats
 # (v3: md5-based bucket layout — see functions/buckets.py;
 #  v4: global per-term df denormalized into every index row at merge
 #  time — warm queries read idf inputs from the pruned scan, the driver
-#  never collects the term dictionary)
+#  never collects the term dictionary;
+#  v5: per-doc attributes indexed as synthetic posting lists
+#  (constants.ATTR_TERM_PREFIX, tf=0/dl=0/df=0) — a lang: filter is a
+#  bucket-pruned index read, never a per-query source scan+shuffle)
 
 
 @dataclass
@@ -65,7 +68,14 @@ class BuiltIndex:
     docs_per_segment: int = seg.DEFAULT_DOCS_PER_SEGMENT
     segs_per_shard: int = seg.DEFAULT_SEGS_PER_SHARD
     sum_dl: int = 0  # exact Σdl over all docs (avgdl = sum_dl / n_docs)
+    # v5: attribute fields indexed as synthetic posting lists — queries
+    # on these fields never touch the source table (wand._aux_doc_side
+    # fallback remains for pre-v5 indexes)
+    attr_fields: tuple[str, ...] = ()
     _df_cache: dict | None = field(default=None, repr=False)
+
+    def has_attr(self, fld: str) -> bool:
+        return fld in self.attr_fields
 
     @property
     def docs_per_shard(self) -> int:
@@ -106,6 +116,18 @@ def _paths(root: str) -> dict[str, str]:
 
 def _fingerprint(*parts: object) -> str:
     return hashlib.sha256("|".join(str(p) for p in parts).encode()).hexdigest()[:16]
+
+
+def _term_stats_of(index_df: DataFrame) -> DataFrame:
+    """(term, df) over REAL terms — synthetic attr runs (v5, df=0 filter
+    carriers) are not vocabulary and stay out of the dictionary."""
+    from xsearch_spark.constants import ATTR_TERM_PREFIX
+
+    return (
+        index_df.filter(~F.col("term").startswith(ATTR_TERM_PREFIX))
+        .groupBy("term")
+        .agg(F.sum("n_docs").alias("df"))
+    )
 
 
 def _partition_rows(df: DataFrame, key: str) -> dict[str, dict]:
@@ -172,6 +194,7 @@ def build_index(
     source_fingerprint: str | None = None,
     n_docs: int | None = None,
     fused_merge: bool = False,
+    attr_col: str | None = "lang",
 ) -> BuiltIndex:
     """Build the packed index. Two build topologies:
 
@@ -187,14 +210,21 @@ def build_index(
       finished index} — choose this for throughput when the cluster can
       cache the packed runs (they are index-sized), the staged path when
       per-partition resumability matters more.
+
+    ``attr_col`` (v5, default "lang" when the source has it): index the
+    per-doc attribute as synthetic posting lists so attribute filters
+    are pruned index reads at query time.
     """
     paths = _paths(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    if attr_col is not None and attr_col not in source_df.columns:
+        attr_col = None
     fp_base = _fingerprint(
         source_fingerprint
         or _fingerprint(text_col, variant, docs_per_segment, segs_per_shard, num_buckets, segs_per_group),
         INDEX_FORMAT_VERSION,
+        attr_col,
     )
     t_start = time.monotonic()
 
@@ -202,6 +232,7 @@ def build_index(
         return _build_index_fused(
             spark, source_df, out_dir, paths, fp_base, text_col, doc_id_col,
             variant, docs_per_segment, segs_per_shard, num_buckets, n_docs, t_start,
+            attr_col,
         )
 
     # ---- stage 1+2 fused: docs -> packed segments in ONE pass ------------
@@ -239,6 +270,7 @@ def build_index(
             packed = seg.pack_from_source(
                 todo, text_col, doc_id_col, variant, docs_per_segment,
                 n_docs=len(missing) * docs_per_group if done_groups else n_docs,
+                attr_col=attr_col,
             ).withColumn(
                 "seg_group", (F.col("seg_id") / F.lit(segs_per_group)).cast("long")
             )
@@ -296,6 +328,7 @@ def build_index(
                     "segs_per_shard": segs_per_shard,
                     "num_buckets": num_buckets,
                     "format_version": INDEX_FORMAT_VERSION,
+                    "attr_fields": [attr_col] if attr_col else [],
                 },
                 f,
             )
@@ -331,7 +364,7 @@ def build_index(
     fp4 = _fingerprint("stats", fp3)
     if ckpt.stage_done(out_dir, "term_stats", fp4) is None:
         with ckpt.StageTimer() as t:
-            ts = index_df.groupBy("term").agg(F.sum("n_docs").alias("df"))
+            ts = _term_stats_of(index_df)
             ts.write.mode("overwrite").parquet(paths["term_stats"])
         m4 = ckpt.StageManifest("term_stats", fp4, "done", t.wall_ms)
         m4.rows_out = spark.read.parquet(paths["term_stats"]).count()
@@ -358,6 +391,7 @@ def build_index(
         docs_per_segment=docs_per_segment,
         segs_per_shard=segs_per_shard,
         sum_dl=int(sidecar.get("sum_dl", round(avgdl * n_docs))),
+        attr_fields=tuple(sidecar.get("attr_fields", [])),
     )
 
 
@@ -375,6 +409,7 @@ def _build_index_fused(
     num_buckets: int,
     n_docs: int | None,
     t_start: float,
+    attr_col: str | None = None,
 ) -> BuiltIndex:
     """One-lineage build: tokenize+pack (Arrow UDF) -> cached runs ->
     salted merge -> index write. See :func:`build_index` docstring."""
@@ -387,7 +422,7 @@ def _build_index_fused(
         with ckpt.StageTimer() as t:
             packed = seg.pack_from_source(
                 source_df, text_col, doc_id_col, variant, docs_per_segment,
-                n_docs=n_docs,
+                n_docs=n_docs, attr_col=attr_col,
             ).persist(StorageLevel.MEMORY_AND_DISK)
             # one aggregate over the cached runs yields the exact avgdl
             # (sum of dl over docs == sum of tf over postings) and the
@@ -429,6 +464,7 @@ def _build_index_fused(
                     "segs_per_shard": segs_per_shard,
                     "num_buckets": num_buckets,
                     "format_version": INDEX_FORMAT_VERSION,
+                    "attr_fields": [attr_col] if attr_col else [],
                 },
                 f,
             )
@@ -441,7 +477,7 @@ def _build_index_fused(
     fp4 = _fingerprint("stats", fpF)
     if ckpt.stage_done(out_dir, "term_stats", fp4) is None:
         with ckpt.StageTimer() as t:
-            ts = index_df.groupBy("term").agg(F.sum("n_docs").alias("df"))
+            ts = _term_stats_of(index_df)
             ts.write.mode("overwrite").parquet(paths["term_stats"])
         m4 = ckpt.StageManifest("term_stats", fp4, "done", t.wall_ms)
         m4.rows_out = spark.read.parquet(paths["term_stats"]).count()
@@ -469,6 +505,7 @@ def _build_index_fused(
         docs_per_segment=docs_per_segment,
         segs_per_shard=segs_per_shard,
         sum_dl=int(sidecar.get("sum_dl", round(avgdl * n_docs))),
+        attr_fields=tuple(sidecar.get("attr_fields", [])),
     )
 
 
@@ -490,4 +527,5 @@ def load_index(spark: SparkSession, out_dir: str, num_buckets: int | None = None
         ),
         segs_per_shard=int(sidecar.get("segs_per_shard", seg.DEFAULT_SEGS_PER_SHARD)),
         sum_dl=int(sidecar.get("sum_dl", round(avgdl * n_docs))),
+        attr_fields=tuple(sidecar.get("attr_fields", [])),
     )

@@ -52,12 +52,18 @@ def start_ingest(
     variant: str = "base",
     text_col: str = "text",
     docs_per_segment: int = 4096,
+    attr_col: str | None = "lang",
 ):
     """Start the streaming ingest; returns the StreamingQuery.
 
     avgdl_hint: used only for the provisional per-epoch block maxima;
     ``compact_segments`` recomputes real maxima under the exact global
     avgdl, and only the merged index serves WAND queries.
+
+    ``attr_col`` (v5): each micro-batch also emits the synthetic
+    attribute postings (tf=0/dl=0 filter carriers) so the compacted
+    streamed index serves ``lang:`` filters from the index exactly like
+    a batch-built one; pass the same value to ``compact_segments``.
     """
     os.makedirs(os.path.join(index_root, "segments"), exist_ok=True)
     os.makedirs(os.path.join(index_root, "epoch_stats"), exist_ok=True)
@@ -67,6 +73,18 @@ def start_ingest(
             return
         n_docs = batch_df.count()
         post = b.postings_with_dl_fused(batch_df, text_col, "doc_id", variant)
+        if attr_col is not None and attr_col in batch_df.columns:
+            from xsearch_spark.constants import attr_term
+
+            syn = batch_df.filter(F.col(attr_col).isNotNull()).select(
+                F.concat(
+                    F.lit(attr_term(attr_col, "")), F.col(attr_col)
+                ).alias("term"),
+                F.col("doc_id").cast("long").alias("doc_id"),
+                F.lit(0).cast("int").alias("tf"),
+                F.lit(0).cast("int").alias("dl"),
+            )
+            post = post.unionByName(syn)
         packed = seg.build_segments(post, avgdl_hint, docs_per_segment)
         # one directory per epoch: idempotent on redelivery (exactly-once)
         out = os.path.join(index_root, "segments", f"epoch={epoch_id}")
@@ -116,6 +134,7 @@ def compact_segments(
     segs_per_shard: int = 4,
     num_buckets: int = 32,
     docs_per_segment: int = 4096,
+    attr_col: str | None = "lang",
 ):
     """The background-merge analogue: fold all streamed epoch segments
     into a queryable merged index (B5) and return a BuiltIndex.
@@ -124,8 +143,22 @@ def compact_segments(
     the per-epoch stats sidecars — post-compaction scoring and block
     maxima always reflect the full streamed collection, never the
     start-time hint (round-1 advisor: avgdl drift).
+
+    The index and term_stats writes are write-temp-then-rename swaps
+    (round-3 verdict item 3): ``build_index`` sets session-wide dynamic
+    partition overwrite, under which an in-place re-compaction that
+    shrinks the bucket set would leave stale bucket partitions — the
+    exact round-1 pitfall ``admin.compact`` already guards against.
+    stats.json carries ``format_version`` so a reader can reject a
+    layout it does not understand.
     """
-    from xsearch_spark.plans.build_index import BuiltIndex
+    import shutil
+
+    from xsearch_spark.plans.build_index import (
+        INDEX_FORMAT_VERSION,
+        BuiltIndex,
+        _term_stats_of,
+    )
 
     n_docs, sum_dl = _epoch_totals(index_root)
     if avgdl is None:
@@ -135,11 +168,20 @@ def compact_segments(
     # into every row (v4) — post-compaction queries are driver-stats-free
     merged = seg.merge_to_index(runs.drop("epoch"), avgdl, segs_per_shard, num_buckets)
     out = os.path.join(index_root, "index")
-    merged.write.mode("overwrite").partitionBy("bucket").parquet(out)
+    tmp = out + "_compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    merged.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    shutil.rmtree(out, ignore_errors=True)
+    os.replace(tmp, out)
     index_df = spark.read.parquet(out)
-    ts = index_df.groupBy("term").agg(F.sum("n_docs").alias("df"))
-    ts.write.mode("overwrite").parquet(os.path.join(index_root, "term_stats"))
-    with open(os.path.join(index_root, "stats.json"), "w") as f:
+    ts_path = os.path.join(index_root, "term_stats")
+    ts_tmp = ts_path + "_compacting"
+    shutil.rmtree(ts_tmp, ignore_errors=True)
+    _term_stats_of(index_df).write.mode("overwrite").parquet(ts_tmp)
+    shutil.rmtree(ts_path, ignore_errors=True)
+    os.replace(ts_tmp, ts_path)
+    stats_path = os.path.join(index_root, "stats.json")
+    with open(stats_path + ".tmp", "w") as f:
         json.dump(
             {
                 "n_docs": n_docs,
@@ -148,17 +190,21 @@ def compact_segments(
                 "docs_per_segment": docs_per_segment,
                 "segs_per_shard": segs_per_shard,
                 "num_buckets": num_buckets,
+                "format_version": INDEX_FORMAT_VERSION,
+                "attr_fields": [attr_col] if attr_col else [],
             },
             f,
         )
+    os.replace(stats_path + ".tmp", stats_path)
     return BuiltIndex(
         index_root,
         index_df,
-        spark.read.parquet(os.path.join(index_root, "term_stats")),
+        spark.read.parquet(ts_path),
         n_docs,
         avgdl,
         num_buckets,
         docs_per_segment=docs_per_segment,
         segs_per_shard=segs_per_shard,
         sum_dl=sum_dl,
+        attr_fields=(attr_col,) if attr_col else (),
     )
