@@ -194,3 +194,65 @@ def test_emb_lsh_bucket_cap(emb, spark):
     capped = similarity.lsh_candidate_pairs(both, num_planes=8, max_bucket_size=25)
     big = {r for r in capped.collect() if r["vec_a"] >= 10_000}
     assert not big  # the duplicated cluster's quadratic bucket is gone
+
+
+def test_lsh_buckets_projection_equals_exploded(emb):
+    """Round-4: lsh_buckets is now a pure per-row projection (zip_with
+    against literal sign arrays — no explode, no shuffle); it must equal
+    the exploded reference form (the shape the DuckDB oracle mirrors)
+    bit-for-bit on real vectors."""
+    a = {r["vec_id"]: r["bucket"] for r in similarity.lsh_buckets(emb).collect()}
+    b = {
+        r["vec_id"]: r["bucket"]
+        for r in similarity.lsh_buckets_exploded(emb).collect()
+    }
+    assert a == b
+    # and the plan really is explode-free (no Generate, no Exchange)
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        similarity.lsh_buckets(emb).explain("formatted")
+    plan = buf.getvalue()
+    assert "Generate" not in plan and "Exchange" not in plan
+
+
+def test_ann_tombstones_probe_and_compact(emb, spark, tmp_path):
+    """ANN deletes (round-4): probe-time tombstones must equal the
+    inline IVF over the same corpus minus the deleted vectors, deleted
+    vec_ids must never appear, and compact_ann_index must fold the
+    deletes so an untombstoned probe over the compacted index serves
+    the same results."""
+    built = similarity.build_ann_index(spark, emb, str(tmp_path / "ann_t"))
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    tomb = emb.filter(F.col("vec_id") % 5 == 2).select("vec_id")
+    want = [
+        (r["vec_id"], round(r["cos_sim"], 6))
+        for r in similarity.ivf_topk(
+            emb, qvec, k=10, num_planes=8, probe_hamming=1, tombstones=tomb
+        ).collect()
+    ]
+    got = [
+        (r["vec_id"], round(r["cos_sim"], 6))
+        for r in similarity.ann_index_topk(
+            built, qvec, k=10, probe_hamming=1, tombstones=tomb
+        ).collect()
+    ]
+    assert got == want
+    deleted = {r["vec_id"] for r in tomb.collect()}
+    assert not deleted & {v for v, _ in got}
+    # fold: compacted index with NO query-time tombstones == probe with
+    n_before = built.n_vecs
+    compacted = similarity.compact_ann_index(spark, built, tomb)
+    assert compacted.n_vecs == n_before - len(deleted)
+    after = [
+        (r["vec_id"], round(r["cos_sim"], 6))
+        for r in similarity.ann_index_topk(
+            compacted, qvec, k=10, probe_hamming=1
+        ).collect()
+    ]
+    assert after == want
+    # reload sees the folded stats
+    re = similarity.load_ann_index(spark, compacted.root)
+    assert re.n_vecs == compacted.n_vecs

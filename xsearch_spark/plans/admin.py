@@ -353,10 +353,13 @@ def compact_incremental(
     shutil.rmtree(staging, ignore_errors=True)
     # restore the term sort inside rewritten buckets (parquet row-group
     # min/max skipping on `term`); one job writes the staging dirs — the
-    # purge UDF runs exactly once, no persist, no survivor-count job
+    # purge UDF runs exactly once, no persist, no survivor-count job.
+    # `bucket` leads the sort so the partitioned writer's required
+    # ordering is already satisfied — otherwise it injects its own
+    # bucket-only sort and destroys the term order.
     (
         new_rows.repartition("bucket")
-        .sortWithinPartitions("term", "shard", "first_doc_id")
+        .sortWithinPartitions("bucket", "term", "shard", "first_doc_id")
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(staging)
