@@ -79,14 +79,23 @@ def apply_doc_filters(
     postings_df: DataFrame,
     source_df: DataFrame | None,
     parsed: ParsedQuery,
+    allowed_df: DataFrame | None = None,
 ) -> DataFrame:
-    """Q5b field filter (lang:) and NOT (-term) as semi/anti joins."""
+    """Q5b field filter (lang:) and NOT (-term) as semi/anti joins.
+
+    ``allowed_df``: pre-computed (doc_id) allowlist for the lang filter —
+    a v5 index passes the decoded synthetic attr posting here so the
+    source table is never scanned; without it the allowlist comes from
+    filtering ``source_df``."""
     out = scored
     if parsed.lang is not None:
-        if source_df is None:
+        if allowed_df is not None:
+            out = out.join(allowed_df.select("doc_id"), "doc_id", "left_semi")
+        elif source_df is not None:
+            allowed = source_df.filter(F.col("lang") == parsed.lang).select("doc_id")
+            out = out.join(allowed, "doc_id", "left_semi")
+        else:
             raise ValueError("lang: filter requires the source table")
-        allowed = source_df.filter(F.col("lang") == parsed.lang).select("doc_id")
-        out = out.join(allowed, "doc_id", "left_semi")
     if parsed.exclude:
         bad = (
             postings_df.filter(F.col("term").isin(list(parsed.exclude)))

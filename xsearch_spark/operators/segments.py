@@ -237,9 +237,10 @@ def make_merge_iter(include_bucket: bool = False):
                 # term-granular carry for REAL terms (df needs all shards);
                 # synthetic attr terms (v5) get df=0 and carry per (term,
                 # shard) — a hot attr list (lang:en ~ half the corpus)
-                # must never be held whole in one frame
-                is_attr = np.array(
-                    [t.startswith(ATTR_TERM_PREFIX) for t in terms], dtype=bool
+                # must never be held whole in one frame. Vectorized
+                # prefix test: this runs over every run row of the merge.
+                is_attr = (
+                    pdf["term"].str.startswith(ATTR_TERM_PREFIX).to_numpy(bool)
                 )
                 cbounds = _group_bounds(terms, np.where(is_attr, shards, -1))
             else:

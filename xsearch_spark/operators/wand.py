@@ -649,7 +649,11 @@ def search_index_relational(
 
     ``tombstones`` (S5): a (doc_id) DataFrame of deleted docs, applied as
     a broadcast anti-join BEFORE top-k — the query-time delete path that
-    serves between compactions."""
+    serves between compactions.
+
+    ``lang:`` on a v5 index: the allowlist is the decoded synthetic attr
+    posting read through its own pruned scan — semantically the same
+    semi-join, but against index rows instead of a source-table scan."""
     from xsearch_spark.operators import search as rel
     from xsearch_spark.operators import segments as seg
     from xsearch_spark.operators.build import CollectionStats
@@ -659,7 +663,17 @@ def search_index_relational(
     long_postings = seg.decode_postings(rows)
     stats = CollectionStats(built.n_docs, built.avgdl)
     scored = rel.score_postings(long_postings, built.term_stats, None, stats, parsed)
-    scored = rel.apply_doc_filters(scored, long_postings, source_df, parsed)
+    allowed_df = None
+    if parsed.lang is not None and getattr(built, "has_attr", lambda f: False)(
+        "lang"
+    ):
+        attr_rows = pruned_index_scan(
+            built.index_df, [attr_term("lang", parsed.lang)], built.num_buckets
+        )
+        allowed_df = seg.decode_postings(attr_rows, include_attrs=True)
+    scored = rel.apply_doc_filters(
+        scored, long_postings, source_df, parsed, allowed_df=allowed_df
+    )
     if tombstones is not None:
         scored = scored.join(
             F.broadcast(tombstones.select("doc_id")), "doc_id", "left_anti"
