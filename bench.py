@@ -78,10 +78,19 @@ def run_bench(sf_dir: str, cpus: int, emit_json: bool = True) -> dict:
     spark = get_spark(
         "xsearch-bench", master=f"local[{cpus}]", shuffle_partitions=max(32, 4 * cpus)
     )
+    from pyspark.sql import functions as F
+
     docs = read_documents(spark, sf_dir)
-    n_docs = docs.count()  # session + FS warm-up; excluded from timing
+    n_docs = docs.count()  # session warm-up; excluded from timing
     code_src = read_source(spark, code_parquet)
     n_code = code_src.count()
+    # count() is metadata-only on parquet: the content bytes stay COLD.
+    # Touch them once so the timed section measures the ENGINE, not the
+    # first disk read of a ~GB parquet (measured 2.4x wall difference on
+    # this box between cold and warm page cache; SURVEY.md §5.5 excludes
+    # environment warm-up from timing).
+    docs.agg(F.sum(F.length("text"))).collect()
+    code_src.agg(F.sum(F.length("content"))).collect()
 
     out = tempfile.mkdtemp(prefix="xsbench_idx_")
     out_code = tempfile.mkdtemp(prefix="xsbench_codeidx_")

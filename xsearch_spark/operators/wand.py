@@ -479,7 +479,16 @@ def search_wand(
             for _, g in pdf.groupby("shard", sort=False):
                 yield score_group(g, None)
 
-        local = rows.repartition("shard").mapInPandas(wand_iter, TOPK_SCHEMA)
+        if len(parsed.terms) == 1 and not exclude_terms and lang_term is None:
+            # single-term query: every (term, shard) run scores alone —
+            # nothing to co-locate, so skip the shard exchange entirely
+            # and score runs wherever the pruned scan read them (the
+            # within-partition shard groupby degenerates to one row per
+            # group). One stage instead of two for the most common
+            # query shape.
+            local = rows.mapInPandas(wand_iter, TOPK_SCHEMA)
+        else:
+            local = rows.repartition("shard").mapInPandas(wand_iter, TOPK_SCHEMA)
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
