@@ -303,6 +303,14 @@ def _q_fingerprint(spark, sf_dir):
     return doc_fingerprint(_docs(spark, sf_dir), "text")
 
 
+def _q_text_chunks(spark, sf_dir):
+    """Token-bounded sliding chunks (round-4): the pre-training
+    sequence-packing primitive — map-only, no shuffle, no UDF."""
+    from xsearch_spark.functions.textops import chunk_docs
+
+    return chunk_docs(_docs(spark, sf_dir), "text", max_tokens=64, overlap=8)
+
+
 def _q_dedup_keep(spark, sf_dir):
     """S4-style exact dedup keep-set: min-doc_id row per content hash."""
     from xsearch_spark.operators.dedup import dedup_exact
@@ -533,6 +541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_score": _q_quality,
         "text_token_counts": _q_token_counts,
         "text_fingerprint": _q_fingerprint,
+        "text_chunks": _q_text_chunks,
         "dedup_exact_keep": _q_dedup_keep,
         "events_latest_per_user": _q_events_latest,
         "tokens_tf_cjk": _q_tf_cjk,
@@ -590,6 +599,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_score": op.quality_score_sql(),
         "text_token_counts": op.token_counts_sql(),
         "text_fingerprint": op.doc_fingerprint_sql(),
+        "text_chunks": op.chunk_docs_sql(64, 8),
         "dedup_exact_keep": """
 SELECT doc_id, text, lang, source, n_chars FROM documents
 WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))

@@ -256,3 +256,40 @@ def test_ann_tombstones_probe_and_compact(emb, spark, tmp_path):
     # reload sees the folded stats
     re = similarity.load_ann_index(spark, compacted.root)
     assert re.n_vecs == compacted.n_vecs
+
+
+def test_chunk_docs_coverage_and_overlap(spark):
+    """Sliding chunks: every token lands in >=1 chunk, consecutive
+    chunks overlap by exactly `overlap` tokens (except a short tail),
+    chunk 0 starts at token 1, and zero-token docs emit nothing."""
+    from xsearch_spark.functions.textops import chunk_docs
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c"),
+            (1, " ".join(f"t{i}" for i in range(64))),
+            (2, " ".join(f"t{i}" for i in range(65))),
+            (3, "!!! ???"),  # tokenizes to zero tokens
+            (4, " ".join(f"t{i}" for i in range(120))),
+        ],
+        "doc_id long, text string",
+    )
+    rows = chunk_docs(docs, "text", max_tokens=64, overlap=8).collect()
+    by_doc: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r["doc_id"], r["chunk_id"])):
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 3 not in by_doc
+    assert [r["n_tokens"] for r in by_doc[0]] == [3]
+    assert [r["n_tokens"] for r in by_doc[1]] == [64, 8]
+    assert [r["n_tokens"] for r in by_doc[2]] == [64, 9]
+    assert [r["n_tokens"] for r in by_doc[4]] == [64, 64, 8]
+    # stride semantics: chunk i starts at token i*(max-overlap); the
+    # first `overlap` tokens of chunk i+1 are the last of chunk i
+    c0, c1 = by_doc[4][0], by_doc[4][1]
+    assert c0["chunk_text"].split()[56:] == c1["chunk_text"].split()[:8]
+    # full coverage: concatenating de-overlapped chunks rebuilds the doc
+    toks = []
+    for i, r in enumerate(by_doc[4]):
+        parts = r["chunk_text"].split()
+        toks.extend(parts if i == 0 else parts[8:])
+    assert toks == [f"t{i}" for i in range(120)]

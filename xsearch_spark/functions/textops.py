@@ -144,3 +144,51 @@ def doc_fingerprint(df: DataFrame, text_col: str, id_col: str = "doc_id") -> Dat
         F.col(id_col).alias("doc_id"),
         F.array_min(hashes).alias("fingerprint"),
     )
+
+
+def chunk_docs(
+    df: DataFrame,
+    text_col: str,
+    max_tokens: int = 64,
+    overlap: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-bounded sliding chunks -> (doc_id, chunk_id, n_tokens,
+    chunk_text) — the pre-training sequence-packing primitive (long docs
+    split into model-window-sized pieces with ``overlap`` tokens of
+    context carried across the boundary).
+
+    Tokens are the frozen base analyzer; stride = max_tokens - overlap;
+    chunk i covers tokens [i*stride+1, i*stride+max_tokens] (1-based
+    slice bounds, matching SQL list_slice), emitted while
+    i*stride < n_tokens, so the final chunk may be short but is never
+    empty and every token lands in at least one chunk. Pure Column
+    expressions — one tokenize, one sequence+explode, no shuffle, no
+    UDF; at 100 TB this is a map-only stage that parallelizes with the
+    scan."""
+    stride = max_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than max_tokens")
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokenize_base_col(F.col(text_col)).alias("_toks"),
+    ).withColumn("_n", F.size("_toks"))
+    toks = toks.filter(F.col("_n") > 0)
+    out = toks.select(
+        "doc_id",
+        "_toks",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.floor((F.col("_n") - 1) / F.lit(stride)).cast("long")
+            )
+        ).alias("chunk_id"),
+    )
+    sl = F.slice(
+        F.col("_toks"), (F.col("chunk_id") * stride + 1).cast("int"), max_tokens
+    )
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(sl).cast("long").alias("n_tokens"),
+        F.array_join(sl, " ").alias("chunk_text"),
+    )

@@ -339,3 +339,33 @@ SELECT doc_id,
     'min') AS fingerprint
 FROM documents
 """
+
+
+def chunk_docs_sql(max_tokens: int = 64, overlap: int = 8) -> str:
+    """Token-bounded sliding chunks, mirroring textops.chunk_docs: same
+    frozen base tokenizer, stride = max_tokens - overlap, 1-based
+    inclusive slice bounds (DuckDB list_slice == Spark slice(start,
+    length) when end = start + length - 1)."""
+    from xsearch_spark.constants import TOKEN_SPLIT_REGEX
+
+    stride = max_tokens - overlap
+    rgx = TOKEN_SPLIT_REGEX.replace("'", "''")
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '{rgx}'), x -> x <> '') AS t
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, t,
+         unnest(generate_series(0, (len(t) - 1) // {stride})) AS chunk_id
+  FROM toks WHERE len(t) > 0
+)
+SELECT doc_id,
+       chunk_id::BIGINT AS chunk_id,
+       len(list_slice(t, chunk_id * {stride} + 1,
+                      chunk_id * {stride} + {max_tokens}))::BIGINT AS n_tokens,
+       array_to_string(list_slice(t, chunk_id * {stride} + 1,
+                                  chunk_id * {stride} + {max_tokens}), ' ') AS chunk_text
+FROM chunks
+"""
