@@ -269,6 +269,40 @@ def _merge_frame(
     out = []
     for s, e in zip(starts, ends):
         g = pdf.iloc[s:e]
+        if e - s == 1:
+            # single-run group: the posting bytes pass through UNCHANGED
+            # (LEB128 is canonical — re-encode(decode(b)) == b, so this
+            # is byte-identical to the slow path, microbenched), and
+            # block_last was already computed at pack time (it does not
+            # depend on avgdl). Only tfs/dls are decoded, to recompute
+            # block_max under the true global avgdl. On the synthetic
+            # Zipf corpus only ~6% of groups are single-run (small vocab,
+            # every term in most segments); on real source code the
+            # row count is dominated by the long identifier tail — terms
+            # unique to one file land in one segment — where this skips
+            # the doc_ids decode and the triple re-encode entirely.
+            r0 = g.iloc[0]
+            tfs1 = codec.decode_tfs(r0["tfs"])
+            dls1 = codec.decode_tfs(r0["dls"])
+            bstarts = np.arange(0, tfs1.size, BLOCK_SIZE)
+            row = {
+                "term": r0["term"],
+                "shard": int(r0["shard"]),
+                "n_docs": int(r0["n_docs"]),
+                "first_doc_id": int(r0["first_doc_id"]),
+                "last_doc_id": int(r0["last_doc_id"]),
+                "doc_ids": r0["doc_ids"],
+                "tfs": r0["tfs"],
+                "dls": r0["dls"],
+                "block_last": np.asarray(r0["block_last"], dtype=np.int64).tolist(),
+                "block_max": _recompute_block_max(
+                    tfs1, dls1, float(r0["avgdl"]), bstarts
+                ),
+            }
+            if include_bucket:
+                row["bucket"] = int(r0["bucket"])
+            out.append(row)
+            continue
         doc_ids = np.concatenate([codec.decode_doc_ids(b) for b in g["doc_ids"]])
         tfs = np.concatenate([codec.decode_tfs(b) for b in g["tfs"]])
         dls = np.concatenate([codec.decode_tfs(b) for b in g["dls"]])
