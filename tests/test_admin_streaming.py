@@ -395,3 +395,62 @@ def test_incremental_compact_property_sweep(spark, built_shared, tmp_path):
                 for r in search_wand(bi, parse(q), source_df=docs).collect()
             ]
             assert got == want[q], (case, mod, rem, victims, q)
+
+
+def test_streamed_index_tombstones_and_compaction(spark, tmp_path):
+    """§2.10 × S5 integration: a streamed-then-compacted index must
+    support the full delete lifecycle — query-time tombstones,
+    incremental compaction (frozen stats), and a truing full compact —
+    exactly like a batch-built one (the stats sidecar written by
+    compact_segments carries everything admin.compact depends on)."""
+    from xsearch_spark.streaming.ingest import compact_segments, start_ingest
+
+    docs = read_documents(spark, SF_DIR)
+    staging = str(tmp_path / "staging")
+    docs.repartition(4).write.parquet(staging)
+    root = str(tmp_path / "sidx")
+    q = start_ingest(spark, staging, root, avgdl_hint=1.0, docs_per_segment=128)
+    q.awaitTermination(120)
+    bi = compact_segments(
+        spark, root, segs_per_shard=2, num_buckets=8, docs_per_segment=128
+    )
+    assert bi.has_attr("lang")
+
+    parsed = parse("hash join")
+    victims = [
+        r["doc_id"] for r in search_wand(bi, parsed, k=3, source_df=docs).collect()
+    ]
+    tomb_df = spark.createDataFrame([(int(v),) for v in victims], "doc_id long")
+    want = {
+        qs: [
+            (r["doc_id"], round(r["score"], 6))
+            for r in search_wand(
+                bi, parse(qs), source_df=docs, tombstones=tomb_df
+            ).collect()
+        ]
+        for qs in ("hash join", "lang:zh spark", "the OR scan")
+    }
+    admin.append_tombstones(spark, root, victims)
+    assert admin.compact_incremental(spark, bi, max_dl_drift=0.9) == "incremental"
+    for qs, w in want.items():
+        got = [
+            (r["doc_id"], round(r["score"], 6))
+            for r in search_wand(bi, parse(qs), source_df=docs).collect()
+        ]
+        assert got == w, qs
+
+    # full compact trues up against a fresh build over source-minus-victims
+    admin.compact(spark, bi)
+    remaining = docs.filter(~F.col("doc_id").isin([int(v) for v in victims]))
+    fresh = engine.corpus_from_df(remaining, "text")
+    assert bi.n_docs == fresh.stats.n_docs
+    assert abs(bi.avgdl - fresh.stats.avgdl) < 1e-12
+    got = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in search_wand(bi, parse("lang:zh spark"), source_df=remaining).collect()
+    ]
+    wantf = [
+        (r["doc_id"], r["score"])
+        for r in engine.run_query(fresh, parse("lang:zh spark")).collect()
+    ]
+    assert got == wantf  # lang attr postings survive the full rebuild
