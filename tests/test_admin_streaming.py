@@ -454,3 +454,35 @@ def test_streamed_index_tombstones_and_compaction(spark, tmp_path):
         for r in engine.run_query(fresh, parse("lang:zh spark")).collect()
     ]
     assert got == wantf  # lang attr postings survive the full rebuild
+
+
+def test_streaming_compact_attr_claim_guard(spark, tmp_path):
+    """compact_segments must not claim attr support the segments cannot
+    serve: a stream ingested with attr_col=None compacts into an index
+    whose stats say NO attr fields, so lang: queries take the source
+    cogroup fallback (and agree with the naive evaluation) instead of
+    silently returning empty."""
+    from xsearch_spark.streaming.ingest import compact_segments, start_ingest
+
+    docs = read_documents(spark, SF_DIR)
+    staging = str(tmp_path / "staging")
+    docs.repartition(3).write.parquet(staging)
+    root = str(tmp_path / "noattr_sidx")
+    q = start_ingest(
+        spark, staging, root, avgdl_hint=1.0, docs_per_segment=128, attr_col=None
+    )
+    q.awaitTermination(120)
+    bi = compact_segments(
+        spark, root, segs_per_shard=2, num_buckets=8, docs_per_segment=128
+    )  # attr_col defaults to "lang" — the guard must override it
+    assert not bi.has_attr("lang")
+    corpus = engine.corpus_from_documents(spark, SF_DIR)
+    got = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in search_wand(bi, parse("lang:zh spark"), source_df=docs).collect()
+    ]
+    want = [
+        (r["doc_id"], r["score"])
+        for r in engine.run_query(corpus, parse("lang:zh spark")).collect()
+    ]
+    assert got == want

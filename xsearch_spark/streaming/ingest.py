@@ -174,6 +174,20 @@ def compact_segments(
     shutil.rmtree(out, ignore_errors=True)
     os.replace(tmp, out)
     index_df = spark.read.parquet(out)
+    if attr_col is not None:
+        # claim attr support only if the stream actually emitted the
+        # synthetic postings (a stats.json that promises lang the index
+        # cannot serve would make every lang: query silently empty —
+        # e.g. ingest started with attr_col=None, or a pre-v5 stream)
+        from xsearch_spark.constants import ATTR_TERM_PREFIX
+
+        has_attr_rows = bool(
+            index_df.filter(F.col("term").startswith(ATTR_TERM_PREFIX))
+            .limit(1)
+            .count()
+        )
+        if not has_attr_rows:
+            attr_col = None
     ts_path = os.path.join(index_root, "term_stats")
     ts_tmp = ts_path + "_compacting"
     shutil.rmtree(ts_tmp, ignore_errors=True)
