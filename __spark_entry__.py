@@ -250,6 +250,18 @@ def _q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def _q_near_dup_clusters(spark, sf_dir):
+    """Near-dup clustering (round-4): LSH pairs -> Jaccard-verified
+    edges -> connected components (iterative min-label propagation) ->
+    keeper per cluster. Oracle: recursive-CTE transitive closure — the
+    declarative fixpoint the iteration must converge to."""
+    from xsearch_spark.operators.dedup import near_dup_clusters
+
+    return near_dup_clusters(
+        _docs(spark, sf_dir), "text", num_hashes=16, bands=4, n=3, threshold=0.3
+    )
+
+
 def _q_simhash(spark, sf_dir):
     from xsearch_spark.operators.dedup import simhash
 
@@ -533,6 +545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_sigs": _q_minhash,
         "dedup_lsh_pairs": _q_lsh_pairs,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
+        "dedup_near_clusters": _q_near_dup_clusters,
         "dedup_simhash": _q_simhash,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_buckets": _q_ann_lsh_buckets,
@@ -591,6 +604,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_sigs": op.minhash_sql(16),
         "dedup_lsh_pairs": op.lsh_pairs_sql(16, 4),
         "dedup_ngram_jaccard": op.ngram_jaccard_sql(16, 4, 3),
+        "dedup_near_clusters": op.near_dup_clusters_sql(16, 4, 3, 0.3),
         "dedup_simhash": op.simhash_sql(),
         "ann_cosine_topk": op.cosine_topk_sql(0, 10),
         "ann_lsh_buckets": op.lsh_buckets_sql(8),

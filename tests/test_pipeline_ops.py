@@ -293,3 +293,41 @@ def test_chunk_docs_coverage_and_overlap(spark):
         parts = r["chunk_text"].split()
         toks.extend(parts if i == 0 else parts[8:])
     assert toks == [f"t{i}" for i in range(120)]
+
+
+def test_connected_components_transitive(spark):
+    """Near-duplication is transitive: a chain a-b, b-c must fold into
+    ONE cluster keyed by its min id even though (a, c) is not an edge;
+    disjoint pairs stay separate; the propagation must cross multi-hop
+    chains (diameter > 2)."""
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (30, 31), (50, 51), (51, 52), (52, 53), (53, 54)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["node"]: r["comp"] for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {
+        10: 10, 11: 10, 12: 10,
+        30: 30, 31: 30,
+        50: 50, 51: 50, 52: 50, 53: 50, 54: 50,
+    }
+
+
+def test_near_dup_clusters_on_planted_dups(spark):
+    """Planted near-dups: three near-identical variants of one doc (one
+    cluster, keeper = min id) plus unrelated docs (not emitted)."""
+    base = "the quick brown fox jumps over the lazy dog again and again " * 4
+    rows = [
+        (0, base),
+        (1, base + " tail token"),
+        (2, "prefix token " + base),
+        (3, "completely different content about spark query engines " * 6),
+        (4, "another unrelated document mentioning hash joins and scans " * 6),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["keeper_doc_id"]
+        for r in dedup.near_dup_clusters(docs, "text", threshold=0.5).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0}

@@ -377,3 +377,97 @@ def simhash_exploded(
             )
         ).alias("simhash"),
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over the undirected pair graph ->
+    (node, component) where component = min node id reachable.
+
+    Min-label propagation to fixpoint — the one deliberately ITERATIVE
+    operator in the engine (dedup clustering is transitive; no finite
+    SQL join expresses closure): each sweep is one join + min-aggregate
+    (both shuffle on node id), the loop runs O(graph diameter) sweeps
+    with an emptiness probe as the convergence check, and lineage is
+    truncated per sweep (localCheckpoint) so plans stay bounded. Near-dup
+    graphs are shallow (clusters are cliques-ish from LSH buckets), so
+    the diameter — and hence the sweep count — is small in practice;
+    the standard alternating-star optimizations drop in here unchanged
+    if ever needed.
+    """
+    e = pairs.select(
+        F.col(id_a).cast("long").alias("a"), F.col(id_b).cast("long").alias("b")
+    )
+    edges = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("b"), F.col("comp").alias("bcomp")
+                ),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("bcomp").alias("nbr"))
+            .withColumnRenamed("a", "node")
+        )
+        new = labels.join(nbr, "node", "left").select(
+            "node",
+            F.least(F.col("comp"), F.coalesce(F.col("nbr"), F.col("comp"))).alias(
+                "comp"
+            ),
+        ).localCheckpoint()
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The composed near-dup KEEP/DROP decision: LSH candidates ->
+    exact n-gram Jaccard >= threshold -> connected components ->
+    (doc_id, keeper_doc_id) for every doc in a qualifying cluster
+    (keeper = min doc_id of the component; docs in no cluster are
+    implicitly kept and not emitted). Pairwise dedup only finds edges —
+    near-duplication is transitive (A~B, B~C drops both B and C even if
+    A!~C directly), so the cluster step is what a 100 TB pipeline
+    actually acts on. The threshold compares the 6-decimal-rounded
+    Jaccard (engine/oracle float discipline)."""
+    pairs = lsh_candidate_pairs(df, text_col, num_hashes=num_hashes, bands=bands)
+    jp = ngram_jaccard_pairs(df, pairs, text_col, id_col, n)
+    qual = jp.filter(F.round(F.col("jaccard"), 6) >= threshold).select(
+        "doc_a", "doc_b"
+    )
+    comp = connected_components(qual)
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("keeper_doc_id")
+    )

@@ -369,3 +369,35 @@ SELECT doc_id,
                                   chunk_id * {stride} + {max_tokens}), ' ') AS chunk_text
 FROM chunks
 """
+
+
+def near_dup_clusters_sql(
+    num_hashes: int = 16, bands: int = 4, n: int = 3, threshold: float = 0.5
+) -> str:
+    """Near-dup clusters as a recursive transitive closure: qualifying
+    Jaccard pairs -> undirected edges -> reachability fixpoint ->
+    keeper = min reachable node. The recursive CTE IS the declarative
+    statement of what the engine's iterative min-label propagation
+    converges to — the strongest oracle an iterative operator can have.
+    The jaccard subquery emits round(j, 6), so >= threshold matches the
+    engine's rounded comparison exactly."""
+    return f"""
+WITH RECURSIVE qual AS (
+  SELECT doc_a, doc_b
+  FROM ({ngram_jaccard_sql(num_hashes, bands, n)})
+  WHERE jaccard >= {threshold}
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM qual
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM qual
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a::BIGINT AS doc_id,
+       least(a, min(b))::BIGINT AS keeper_doc_id
+FROM reach GROUP BY a
+"""
