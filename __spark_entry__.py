@@ -519,6 +519,15 @@ def _q_emb_pairs(spark, sf_dir):
     )
 
 
+def _q_emb_clusters(spark, sf_dir):
+    """Embedding near-dup clustering (round-4): the modality mirror of
+    dedup_near_clusters — cosine-verified LSH pairs -> connected
+    components -> keeper per cluster; recursive-closure oracle."""
+    from xsearch_spark.operators.similarity import embedding_near_dup_clusters
+
+    return embedding_near_dup_clusters(_emb(spark, sf_dir), threshold=0.2, num_planes=8)
+
+
 def _q_events_latest(spark, sf_dir):
     """S4 upsert demonstrated on the events stream table: latest event
     per user (ts desc, event_id desc tie-break) — window row_number."""
@@ -568,6 +577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_tombstone": _q_ann_ivf_tombstone,
         "bm25_batch_tombstone": _q_bm25_batch_tombstone,
         "emb_cosine_pairs": _q_emb_pairs,
+        "emb_near_clusters": _q_emb_clusters,
     }
     for name, qstr in _QUERY_SET.items():
         q[name] = _make_bm25_query(qstr)
@@ -659,6 +669,7 @@ WHERE f.quality >= 0.5
             for name, q in _QUERY_SET.items()
         ),
         "emb_cosine_pairs": op.emb_cosine_pairs_sql(0.2, 8),
+        "emb_near_clusters": op.emb_near_dup_clusters_sql(0.2, 8),
     }
     for name, qstr in _QUERY_SET.items():
         o[name] = oracles.bm25_sql(parse(qstr))

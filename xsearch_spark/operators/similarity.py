@@ -417,3 +417,27 @@ def compact_ann_index(
     return BuiltAnnIndex(
         built.root, table_df, built.num_planes, stats["n_vecs"], built.dim
     )
+
+
+def embedding_near_dup_clusters(
+    embeddings: DataFrame,
+    threshold: float,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """The embedding-modality keep/drop decision: cosine near-dup pairs
+    (LSH-bucketed, never all-pairs) -> connected components ->
+    (vec_id, keeper_vec_id). Same transitive-closure semantics and the
+    same iterative component operator as the text-side
+    dedup.near_dup_clusters — near-duplication is transitive in any
+    modality."""
+    from xsearch_spark.operators.dedup import connected_components
+
+    pairs = embedding_cosine_pairs(
+        embeddings, threshold, num_planes, id_col, emb_col
+    ).select("vec_a", "vec_b")
+    comp = connected_components(pairs, id_a="vec_a", id_b="vec_b")
+    return comp.select(
+        F.col("node").alias("vec_id"), F.col("comp").alias("keeper_vec_id")
+    )

@@ -401,3 +401,26 @@ SELECT a::BIGINT AS doc_id,
        least(a, min(b))::BIGINT AS keeper_doc_id
 FROM reach GROUP BY a
 """
+
+
+def emb_near_dup_clusters_sql(threshold: float, num_planes: int = 8) -> str:
+    """Embedding near-dup clusters: recursive transitive closure over
+    the cosine-verified LSH pairs (mirror of near_dup_clusters_sql)."""
+    return f"""
+WITH RECURSIVE qual AS (
+  SELECT vec_a, vec_b FROM ({emb_cosine_pairs_sql(threshold, num_planes)})
+),
+edges AS (
+  SELECT vec_a AS a, vec_b AS b FROM qual
+  UNION ALL
+  SELECT vec_b AS a, vec_a AS b FROM qual
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a::BIGINT AS vec_id,
+       least(a, min(b))::BIGINT AS keeper_vec_id
+FROM reach GROUP BY a
+"""
