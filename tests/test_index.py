@@ -357,3 +357,41 @@ def test_batch_random_querysets_with_tombstones(spark, built, corpus):
                 search_wand(built, parsed, source_df=docs, tombstones=tomb)
             )
             assert got.get(qid, []) == single, (qid, parsed)
+
+
+def test_lang_attr_with_null_langs(spark, tmp_path):
+    """Docs with a NULL lang emit no synthetic posting and can never
+    pass a lang: filter — exactly the semantics of the naive
+    source-filter path (lang = X is false for NULL). Both paths must
+    agree on a corpus containing nulls."""
+    rows = [
+        (0, "hash join table scan", "zh"),
+        (1, "hash join window sort", None),
+        (2, "hash merge spark table", "zh"),
+        (3, "join scan spark window", "en"),
+        (4, "hash join spark scan", None),
+        (5, "table hash join spark", "zh"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    bi = build_index(
+        spark, docs, str(tmp_path / "null_idx"),
+        text_col="text", variant="base",
+        docs_per_segment=2, segs_per_shard=2, num_buckets=4,
+    )
+    corpus = engine.corpus_from_df(docs, "text")
+    for q in ("lang:zh hash join", "lang:en spark", "lang:zh hash OR spark"):
+        naive = [
+            (r["doc_id"], r["score"]) for r in engine.run_query(corpus, q).collect()
+        ]
+        got = _rounded(search_wand(bi, parse(q)))  # index-only, no source
+        assert got == naive, q
+        rel = _rounded(search_index_relational(bi, parse(q)))
+        assert rel == naive, q
+    # null-lang docs are indexed for unfiltered queries
+    got_all = _rounded(search_wand(bi, parse("hash join")))
+    naive_all = [
+        (r["doc_id"], r["score"])
+        for r in engine.run_query(corpus, "hash join").collect()
+    ]
+    assert got_all == naive_all
+    assert {1, 4} & {d for d, _ in got_all}  # nulls present unfiltered

@@ -331,3 +331,41 @@ def test_near_dup_clusters_on_planted_dups(spark):
         for r in dedup.near_dup_clusters(docs, "text", threshold=0.5).collect()
     }
     assert got == {0: 0, 1: 0, 2: 0}
+
+
+def test_chunk_docs_randomized_python_parity(spark):
+    """Randomized parity: chunk_docs over random unicode-ish texts must
+    equal an independent pure-Python implementation of the frozen spec
+    (base tokenizer + stride slicing)."""
+    import random
+    import re
+
+    from xsearch_spark.constants import TOKEN_SPLIT_REGEX
+    from xsearch_spark.functions.textops import chunk_docs
+
+    rng = random.Random(2024)
+    alphabet = ["hash", "join", "Scan", "naïve", "x1", "_", "!!", "日本", "a" * 30, ""]
+    rows = []
+    for i in range(200):
+        n_words = rng.randint(0, 40)
+        rows.append((i, " ".join(rng.choice(alphabet) for _ in range(n_words))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    max_tokens, overlap = 7, 2
+    stride = max_tokens - overlap
+
+    def py_chunks(doc_id, text):
+        toks = [t for t in re.split(TOKEN_SPLIT_REGEX, text.lower()) if t]
+        out = []
+        i = 0
+        while i * stride < len(toks):
+            sl = toks[i * stride : i * stride + max_tokens]
+            out.append((doc_id, i, len(sl), " ".join(sl)))
+            i += 1
+        return out
+
+    want = sorted(c for did, t in rows for c in py_chunks(did, t))
+    got = sorted(
+        (r["doc_id"], r["chunk_id"], r["n_tokens"], r["chunk_text"])
+        for r in chunk_docs(docs, "text", max_tokens, overlap).collect()
+    )
+    assert got == want
