@@ -59,8 +59,51 @@ def _index(spark: SparkSession, sf_dir: str):
             docs_per_segment=1024,
             segs_per_shard=4,
             num_buckets=32,
+            # v5 generalized attrs (round-5): lang AND source ride the
+            # index as synthetic posting lists, so both filter surfaces
+            # are pruned index reads
+            attr_cols=("lang", "source"),
         )
     return _INDEX_CACHE[sf_dir]
+
+
+_ATTR_FIELDS = ("lang", "source")
+
+
+def _make_attr_query(
+    qstr: str, path: str = "wand"
+) -> Callable[[SparkSession, str], DataFrame]:
+    """Engine paths with generic field:value filters (v5 attrs) — the
+    filter surface beyond lang: (source/license/domain on a real
+    corpus). No source_df is passed: the allowlists must come from the
+    index. Oracle: the naive BM25 SQL with the same doc-id
+    IN-subqueries."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from xsearch_spark.operators.wand import (
+            search_index_relational,
+            search_wand,
+        )
+
+        built = _index(spark, sf_dir)
+        fn = search_wand if path == "wand" else search_index_relational
+        topk = fn(built, parse(qstr, attr_fields=_ATTR_FIELDS))
+        return topk.select(
+            "doc_id", F.round(F.col("score"), SCORE_ROUND_DECIMALS).alias("score")
+        )
+
+    return run
+
+
+# generic attr-filter gates (round-5): a source: filter on the WAND
+# path, a lang: x source: intersection, and the relational path with
+# source: + NOT — all served index-only (no source_df handed to the
+# engine)
+_ATTR_QUERY_SET = {
+    "bm25_wand_source_filter": ("source:src3 hash OR join", "wand"),
+    "bm25_wand_lang_source": ("lang:en source:src7 the", "wand"),
+    "bm25_rel_source_not": ("source:src5 hash -join", "rel"),
+}
 
 
 def _make_index_query(qstr: str, path: str) -> Callable[[SparkSession, str], DataFrame]:
@@ -221,6 +264,20 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+_EMB_DIM_CACHE: dict[str, int] = {}
+
+
+def _emb_dim(spark: SparkSession, sf_dir: str) -> int:
+    """Embedding dimensionality, probed ONCE per sf_dir (one tiny job)
+    and threaded to every LSH entry point so the hot paths plan with
+    zero extra Spark jobs (round-4 advisor: the per-invocation dim
+    probe)."""
+    if sf_dir not in _EMB_DIM_CACHE:
+        first = _emb(spark, sf_dir).select(F.size("embedding").alias("d")).first()
+        _EMB_DIM_CACHE[sf_dir] = int(first["d"]) if first else 0
+    return _EMB_DIM_CACHE[sf_dir]
+
+
 def _q_dedup_exact(spark, sf_dir):
     from xsearch_spark.operators.dedup import exact_dup_groups
 
@@ -282,7 +339,7 @@ def _q_ann_cosine(spark, sf_dir):
 def _q_ann_lsh_buckets(spark, sf_dir):
     from xsearch_spark.operators.similarity import lsh_buckets
 
-    return lsh_buckets(_emb(spark, sf_dir), num_planes=8)
+    return lsh_buckets(_emb(spark, sf_dir), num_planes=8, dim=_emb_dim(spark, sf_dir))
 
 
 def _q_lang_id(spark, sf_dir):
@@ -513,7 +570,9 @@ def _q_ann_ivf(spark, sf_dir):
 def _q_emb_pairs(spark, sf_dir):
     from xsearch_spark.operators.similarity import embedding_cosine_pairs
 
-    out = embedding_cosine_pairs(_emb(spark, sf_dir), threshold=0.2, num_planes=8)
+    out = embedding_cosine_pairs(
+        _emb(spark, sf_dir), threshold=0.2, num_planes=8, dim=_emb_dim(spark, sf_dir)
+    )
     return out.select(
         "vec_a", "vec_b", F.round("cos_sim", SCORE_ROUND_DECIMALS).alias("cos_sim")
     )
@@ -525,7 +584,9 @@ def _q_emb_clusters(spark, sf_dir):
     components -> keeper per cluster; recursive-closure oracle."""
     from xsearch_spark.operators.similarity import embedding_near_dup_clusters
 
-    return embedding_near_dup_clusters(_emb(spark, sf_dir), threshold=0.2, num_planes=8)
+    return embedding_near_dup_clusters(
+        _emb(spark, sf_dir), threshold=0.2, num_planes=8, dim=_emb_dim(spark, sf_dir)
+    )
 
 
 def _q_events_latest(spark, sf_dir):
@@ -583,6 +644,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q[name] = _make_bm25_query(qstr)
     for name, (qstr, path) in _INDEX_QUERY_SET.items():
         q[name] = _make_index_query(qstr, path)
+    for name, (qstr, path) in _ATTR_QUERY_SET.items():
+        q[name] = _make_attr_query(qstr, path)
     for name, qstr in _CODE_QUERY_SET.items():
         q[name] = _make_code_wand_query(qstr)
     return q
@@ -675,6 +738,8 @@ WHERE f.quality >= 0.5
         o[name] = oracles.bm25_sql(parse(qstr))
     for name, (qstr, _path) in _INDEX_QUERY_SET.items():
         o[name] = oracles.bm25_sql(parse(qstr))
+    for name, (qstr, _path) in _ATTR_QUERY_SET.items():
+        o[name] = oracles.bm25_sql(parse(qstr, attr_fields=_ATTR_FIELDS))
     for name, qstr in _CODE_QUERY_SET.items():
         o[name] = oracles.bm25_code_sql(parse(qstr, "code"))
     return o

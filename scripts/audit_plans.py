@@ -43,6 +43,7 @@ def main() -> None:
     built = build_index(
         spark, docs, out, text_col="text", variant="base",
         docs_per_segment=128, segs_per_shard=2, num_buckets=16,
+        attr_cols=("lang", "source"),
     )
 
     sections: list[tuple[str, str, list[str], str]] = []
@@ -110,6 +111,32 @@ def main() -> None:
         "rides the same bucket-pruned index scan as the query terms — "
         "one job, no source scan, no extra shuffle (asserted: the plan "
         "contains neither the source parquet nor a cogroup).",
+    ))
+
+    # 5a. generic field:value filter (round-5 generalized v5 attrs): a
+    # source: filter — alone and intersected with lang: — must serve
+    # from the index exactly like lang: (no source scan, no cogroup)
+    ws_plan = plan_of(
+        search_wand(
+            built,
+            parse("lang:en source:src3 hash join", attr_fields=("lang", "source")),
+        )
+    )
+    assert "documents.parquet" not in ws_plan, (
+        "source: query plan scans the source table — the generalized "
+        "attr-posting path is not engaged"
+    )
+    assert "FlatMapCoGroupsInPandas" not in ws_plan, (
+        "source: query fell back to a cogroup on an attr-indexed build"
+    )
+    sections.append((
+        "Q8 WAND with lang: + source: filters (generalized v5 attrs)",
+        ws_plan,
+        ["MapInPandas", "TakeOrderedAndProject"],
+        "Every attr filter is one more synthetic posting list riding the "
+        "same bucket-pruned scan; the scorer AND-intersects the "
+        "allowlists — one job regardless of filter count (asserted: "
+        "neither the source parquet nor a cogroup in the plan).",
     ))
 
     # 5b. lang + tombstones: deletes still ride the shard-keyed cogroup,

@@ -44,6 +44,7 @@ def built(spark, tmp_path_factory):
         docs_per_segment=128,
         segs_per_shard=2,
         num_buckets=16,
+        attr_cols=("lang", "source"),  # round-5 generalized v5 attrs
     )
     yield bi
     shutil.rmtree(out, ignore_errors=True)
@@ -147,7 +148,7 @@ def test_fused_build_equals_staged(spark, built, tmp_path):
         spark, docs, str(tmp_path / "fused_idx"),
         text_col="text", variant="base",
         docs_per_segment=128, segs_per_shard=2, num_buckets=16,
-        fused_merge=True,
+        fused_merge=True, attr_cols=("lang", "source"),
     )
     assert bi.n_docs == built.n_docs and bi.avgdl == built.avgdl
     a = {
@@ -253,6 +254,34 @@ def test_warm_query_needs_no_driver_stats(built, corpus):
     assert built._df_cache is None
 
 
+def test_single_term_fast_path_gated_on_unique_keys(built, corpus):
+    """Round-4 advisor: the single-term zero-exchange fast path may only
+    engage when every (term, shard) key is unique (merge_to_index
+    output). A merged BuiltIndex plans WITHOUT a shard exchange; the
+    same index with unique_term_shard=False (the ad-hoc-union default)
+    must take the guarded shuffled path — and both return identical
+    results."""
+    import dataclasses
+    import io
+    from contextlib import redirect_stdout
+
+    assert built.unique_term_shard
+    guarded = dataclasses.replace(built, unique_term_shard=False)
+
+    def plan(bi):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            search_wand(bi, parse("hash")).explain("formatted")
+        return buf.getvalue()
+
+    fast, slow = plan(built), plan(guarded)
+    assert "hashpartitioning(shard" not in fast
+    assert "hashpartitioning(shard" in slow
+    assert _rounded(search_wand(built, parse("hash"))) == _rounded(
+        search_wand(guarded, parse("hash"))
+    )
+
+
 def test_wand_tombstones_equal_relational(spark, built, corpus):
     """S5 on the engine path: search_wand with tombstones must equal the
     relational path's pre-top-k anti-join, across AND/OR/lang/NOT."""
@@ -298,7 +327,7 @@ def test_lang_fallback_without_attr_index(spark, corpus, tmp_path):
         spark, docs, str(tmp_path / "noattr_idx"),
         text_col="text", variant="base",
         docs_per_segment=128, segs_per_shard=2, num_buckets=16,
-        attr_col=None,
+        attr_cols=None,
     )
     from xsearch_spark.constants import ATTR_TERM_PREFIX
 
@@ -312,6 +341,63 @@ def test_lang_fallback_without_attr_index(spark, corpus, tmp_path):
         ]
         got = _rounded(search_wand(bi, parse(q), source_df=docs))
         assert got == naive, q
+
+
+def test_generic_attr_filters_index_only(spark, built, corpus):
+    """Round-5 generalized v5 attrs: source: (and lang: x source:
+    intersections) must agree with the naive evaluation on BOTH engine
+    paths WITHOUT being given the source table, and the plan must
+    contain neither the source parquet nor a cogroup. Filtering on an
+    unindexed field must raise."""
+    import io
+    from contextlib import redirect_stdout
+
+    import pytest
+
+    assert built.has_attr("source") and built.has_attr("lang")
+    fields = ("lang", "source")
+    queries = (
+        "source:src3 hash OR join",
+        "source:src5 hash -join",
+        "lang:en source:src7 the",
+        "source:src0 lang:zh spark",
+        "source:srcnope hash",  # value absent from the corpus -> empty
+    )
+    for q in queries:
+        parsed = parse(q, attr_fields=fields)
+        naive = [
+            (r["doc_id"], r["score"])
+            for r in engine.run_query(corpus, parsed).collect()
+        ]
+        assert _rounded(search_wand(built, parsed)) == naive, q
+        assert _rounded(search_index_relational(built, parsed)) == naive, q
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        search_wand(
+            built, parse("lang:en source:src7 the", attr_fields=fields)
+        ).explain("formatted")
+    plan = buf.getvalue()
+    assert "documents.parquet" not in plan
+    assert "FlatMapCoGroupsInPandas" not in plan
+    # batch path: attr queries mixed with plain ones, one job
+    from xsearch_spark.operators.wand import search_wand_batch
+
+    qset = {
+        "a": parse("source:src3 hash OR join", attr_fields=fields),
+        "b": parse("lang:en source:src7 the", attr_fields=fields),
+        "c": parse("hash join"),
+    }
+    batch = search_wand_batch(built, qset)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["doc_id"], round(r["score"], 6))
+        )
+    for qid, parsed in qset.items():
+        assert got.get(qid, []) == _rounded(search_wand(built, parsed)), qid
+    # unindexed field -> fail fast, never a silent source scan
+    with pytest.raises(ValueError, match="attr_cols"):
+        search_wand(built, parse("license:mit hash", attr_fields=("license",)))
 
 
 def test_batch_random_querysets_with_tombstones(spark, built, corpus):

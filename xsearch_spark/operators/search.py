@@ -80,13 +80,18 @@ def apply_doc_filters(
     source_df: DataFrame | None,
     parsed: ParsedQuery,
     allowed_df: DataFrame | None = None,
+    attr_allowed_dfs: list[DataFrame] | None = None,
 ) -> DataFrame:
-    """Q5b field filter (lang:) and NOT (-term) as semi/anti joins.
+    """Q5b field filter (lang: / generic field:value) and NOT (-term) as
+    semi/anti joins.
 
     ``allowed_df``: pre-computed (doc_id) allowlist for the lang filter —
     a v5 index passes the decoded synthetic attr posting here so the
     source table is never scanned; without it the allowlist comes from
-    filtering ``source_df``."""
+    filtering ``source_df``. ``attr_allowed_dfs``: the same, one per
+    ``parsed.attrs`` entry (positionally aligned); when absent the
+    filters fall back to equality predicates on ``source_df`` (the
+    naive/no-index path)."""
     out = scored
     if parsed.lang is not None:
         if allowed_df is not None:
@@ -96,6 +101,18 @@ def apply_doc_filters(
             out = out.join(allowed, "doc_id", "left_semi")
         else:
             raise ValueError("lang: filter requires the source table")
+    for i, (fld, val) in enumerate(getattr(parsed, "attrs", ())):
+        adf = attr_allowed_dfs[i] if attr_allowed_dfs else None
+        if adf is not None:
+            out = out.join(adf.select("doc_id"), "doc_id", "left_semi")
+        elif source_df is not None:
+            out = out.join(
+                source_df.filter(F.col(fld) == val).select("doc_id"),
+                "doc_id",
+                "left_semi",
+            )
+        else:
+            raise ValueError(f"{fld}: filter requires the source table")
     if parsed.exclude:
         bad = (
             postings_df.filter(F.col("term").isin(list(parsed.exclude)))

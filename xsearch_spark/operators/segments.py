@@ -468,7 +468,7 @@ def pack_from_source(
     docs_per_segment: int = DEFAULT_DOCS_PER_SEGMENT,
     num_partitions: int | None = None,
     n_docs: int | None = None,
-    attr_col: str | None = None,
+    attr_cols: "str | tuple[str, ...] | list[str] | None" = None,
 ) -> DataFrame:
     """ONE-PASS segment build: docs -> packed runs, no intermediate
     postings materialization (the shape xsearch itself uses — a shard
@@ -508,15 +508,20 @@ def pack_from_source(
       doc-range chunk key (>= 2 chunks per target partition, never
       coarser than a segment).
 
-    ``attr_col`` (index layout v5): additionally emit one SYNTHETIC
-    posting per doc — term = attr_term(attr_col, value), tf=0, dl=0 —
-    so per-doc attribute filters (``lang:``) become pruned index reads
-    at query time instead of per-query source scans. tf=0 keeps the
-    synthetic stream out of the sum_tf-derived avgdl; docs with a NULL
-    attribute emit nothing (they can never pass the filter). Zero-token
-    docs still emit their synthetic posting (membership in the
-    allowlist is independent of having scorable terms).
+    ``attr_cols`` (index layout v5; a string or a sequence of column
+    names): additionally emit one SYNTHETIC posting per (doc, field) —
+    term = attr_term(field, value), tf=0, dl=0 — so per-doc attribute
+    filters (``lang:``, ``source:``, license/domain on a real corpus)
+    become pruned index reads at query time instead of per-query source
+    scans. tf=0 keeps the synthetic stream out of the sum_tf-derived
+    avgdl; docs with a NULL attribute emit nothing for that field (they
+    can never pass its filter). Zero-token docs still emit their
+    synthetic postings (membership in an allowlist is independent of
+    having scorable terms).
     """
+    attrs: tuple[str, ...] = (
+        (attr_cols,) if isinstance(attr_cols, str) else tuple(attr_cols or ())
+    )
     par = source_df.sparkSession.sparkContext.defaultParallelism
     n = num_partitions or par * 2
     chunk = docs_per_segment
@@ -557,13 +562,20 @@ def pack_from_source(
                 continue
             b_ids = pdf[doc_id_col].to_numpy(np.int64)
             res = count_batch(pdf[text_col], b_ids, variant)
-            if attr_col is not None:
-                vals = pdf[attr_col]
-                ok = vals.notna().to_numpy()
-                syn_terms = np.array(
-                    [attr_term(attr_col, v) for v in vals[ok]], dtype=object
-                )
-                syn_ids = b_ids[ok]
+            if attrs:
+                syn_t_parts: list[np.ndarray] = []
+                syn_i_parts: list[np.ndarray] = []
+                for fld in attrs:
+                    vals = pdf[fld]
+                    ok = vals.notna().to_numpy()
+                    syn_t_parts.append(
+                        np.array(
+                            [attr_term(fld, v) for v in vals[ok]], dtype=object
+                        )
+                    )
+                    syn_i_parts.append(b_ids[ok])
+                syn_terms = np.concatenate(syn_t_parts)
+                syn_ids = np.concatenate(syn_i_parts)
                 zeros = np.zeros(syn_ids.size, np.int64)
                 if res is None:
                     terms, ids, tfs, dls = syn_terms, syn_ids, zeros, zeros
@@ -597,9 +609,7 @@ def pack_from_source(
         if acc["terms"]:
             yield flush()
 
-    docs = source_df.select(
-        doc_id_col, text_col, *([attr_col] if attr_col is not None else [])
-    )
+    docs = source_df.select(doc_id_col, text_col, *attrs)
     if docs.rdd.getNumPartitions() >= par:
         # input is already parallel enough: no exchange, no sort — the
         # packer handles arbitrary doc order via flush-on-seg-change

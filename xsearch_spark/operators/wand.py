@@ -330,6 +330,25 @@ _EMPTY_TOPK = {"doc_id": np.empty(0, np.int64), "score": np.empty(0, np.float64)
 _EMPTY_I64 = np.empty(0, np.int64)
 
 
+def _attr_filter_terms(built, parsed: ParsedQuery) -> list[str]:
+    """Synthetic index terms for the query's generic ``field:value``
+    filters (``parsed.attrs``). Unlike ``lang:`` (which keeps a pre-v5
+    source-cogroup fallback), these REQUIRE a v5 index carrying the
+    field — raising beats a silent per-query corpus scan at 10^12
+    docs."""
+    out: list[str] = []
+    has_attr = getattr(built, "has_attr", lambda f: False)
+    for fld, val in getattr(parsed, "attrs", ()):
+        if not has_attr(fld):
+            raise ValueError(
+                f"{fld}: filter requires an index built with attr_cols "
+                f"including {fld!r} (index layout v5); this index carries "
+                f"{getattr(built, 'attr_fields', ())!r}"
+            )
+        out.append(attr_term(fld, val))
+    return out
+
+
 def _aux_doc_side(
     lang: str | None,
     source_df: DataFrame | None,
@@ -393,6 +412,13 @@ def search_wand(
     lang-filtered source doc_ids co-shuffle with the index rows on the
     shard key and meet the scorer in a cogrouped Arrow UDF.
 
+    Generic ``field:value`` filters (round-5, ``parsed.attrs``): every
+    field indexed via ``attr_cols`` rides the same machinery — one
+    synthetic posting list per filter, all through the one pruned scan,
+    intersected in the scorer (AND semantics). These have no source-
+    table fallback: filtering on an unindexed field raises instead of
+    silently scanning the corpus per query.
+
     ``tombstones`` (S5, round-3): deleted doc_ids ride a shard-keyed
     cogroup (a tombstone is doc-range keyed exactly like the postings)
     and are applied inside the scorer as one more exclude list — the
@@ -404,7 +430,9 @@ def search_wand(
         built, "has_attr", lambda f: False
     )("lang")
     lang_term = attr_term("lang", parsed.lang) if use_attr_lang else None
-    scan_terms = all_terms + ([lang_term] if lang_term else [])
+    extra_attr_terms = _attr_filter_terms(built, parsed)
+    required_attr_terms = ([lang_term] if lang_term else []) + extra_attr_terms
+    scan_terms = all_terms + required_attr_terms
     rows = pruned_index_scan(built.index_df, scan_terms, built.num_buckets)
     row_df = "df" in rows.columns
     if row_df:
@@ -417,7 +445,7 @@ def search_wand(
     n_docs, avgdl = built.n_docs, built.avgdl
     exclude_terms = set(parsed.exclude)
     positive_terms = set(parsed.terms)
-    attr_set = {lang_term} if lang_term else frozenset()
+    attr_set = frozenset(required_attr_terms)
 
     def score_group(
         g: pd.DataFrame, allowed: np.ndarray | None, tombs: np.ndarray | None = None
@@ -430,8 +458,15 @@ def search_wand(
         lists, blocks, ex_lists, dfs, attr_lists = _assemble_shard(
             g, exclude_terms, avgdl, attr_set
         )
-        if lang_term is not None:
-            allowed = attr_lists.get(lang_term, _EMPTY_I64)
+        # AND-intersect every index-side attr allowlist into `allowed`
+        # (which may already hold the pre-v5 cogroup lang allowlist)
+        for t_attr in required_attr_terms:
+            lst = attr_lists.get(t_attr, _EMPTY_I64)
+            allowed = (
+                lst
+                if allowed is None
+                else np.intersect1d(allowed, lst, assume_unique=True)
+            )
         if tombs is not None and tombs.size:
             ex_lists = ex_lists + [tombs]
         idfs = (
@@ -479,13 +514,22 @@ def search_wand(
             for _, g in pdf.groupby("shard", sort=False):
                 yield score_group(g, None)
 
-        if len(parsed.terms) == 1 and not exclude_terms and lang_term is None:
+        if (
+            len(parsed.terms) == 1
+            and not exclude_terms
+            and not required_attr_terms
+            and getattr(built, "unique_term_shard", False)
+        ):
             # single-term query: every (term, shard) run scores alone —
             # nothing to co-locate, so skip the shard exchange entirely
             # and score runs wherever the pruned scan read them (the
             # within-partition shard groupby degenerates to one row per
             # group). One stage instead of two for the most common
-            # query shape.
+            # query shape. Gated on unique_term_shard (round-4 advisor):
+            # an index that can repeat (term, shard) keys — a raw union
+            # of epoch sidecars or of v4+ indexes — must take the
+            # shuffled path so _assemble_shard's duplicate-doc_id and
+            # per-sub-index-df guards see all runs of a key together.
             local = rows.mapInPandas(wand_iter, TOPK_SCHEMA)
         else:
             local = rows.repartition("shard").mapInPandas(wand_iter, TOPK_SCHEMA)
@@ -536,7 +580,10 @@ def search_wand_batch(
     lang_terms = (
         {lang: attr_term("lang", lang) for lang in langs} if use_attr_lang else {}
     )
-    scan_terms = all_terms + sorted(lang_terms.values())
+    # generic field:value filters per query (round-5): index-side only
+    q_attr_terms = {qid: _attr_filter_terms(built, p) for qid, p in queries.items()}
+    extra_attr_union = sorted({t for ts in q_attr_terms.values() for t in ts})
+    scan_terms = all_terms + sorted(lang_terms.values()) + extra_attr_union
     rows = pruned_index_scan(built.index_df, scan_terms, built.num_buckets)
     n_docs, avgdl = built.n_docs, built.avgdl
     if "df" in rows.columns:
@@ -545,7 +592,7 @@ def search_wand_batch(
         static_stats = built.df_of(all_terms)
     per_q = {qid: (p, set(p.exclude)) for qid, p in queries.items()}
     positive_all = {t for p in queries.values() for t in p.terms}
-    attr_set = set(lang_terms.values())
+    attr_set = set(lang_terms.values()) | set(extra_attr_union)
 
     def score_all(
         g: pd.DataFrame, allowed_by_lang: dict, tombs: np.ndarray | None = None
@@ -576,6 +623,13 @@ def search_wand_batch(
             allowed = allowed_by_lang.get(p.lang) if p.lang is not None else None
             if p.lang is not None and allowed is None:
                 allowed = np.empty(0, np.int64)
+            for t_attr in q_attr_terms[qid]:
+                lst = attr_lists.get(t_attr, _EMPTY_I64)
+                allowed = (
+                    lst
+                    if allowed is None
+                    else np.intersect1d(allowed, lst, assume_unique=True)
+                )
             ids_out, scores_out = score_shard(
                 q_lists, q_blocks, idfs, avgdl, p, k, ex, allowed
             )
@@ -680,8 +734,22 @@ def search_index_relational(
             built.index_df, [attr_term("lang", parsed.lang)], built.num_buckets
         )
         allowed_df = seg.decode_postings(attr_rows, include_attrs=True)
+    # generic field:value filters (round-5): one pruned-scan allowlist
+    # per filter, positionally aligned with parsed.attrs
+    attr_allowed_dfs = [
+        seg.decode_postings(
+            pruned_index_scan(built.index_df, [t], built.num_buckets),
+            include_attrs=True,
+        )
+        for t in _attr_filter_terms(built, parsed)
+    ]
     scored = rel.apply_doc_filters(
-        scored, long_postings, source_df, parsed, allowed_df=allowed_df
+        scored,
+        long_postings,
+        source_df,
+        parsed,
+        allowed_df=allowed_df,
+        attr_allowed_dfs=attr_allowed_dfs or None,
     )
     if tombstones is not None:
         scored = scored.join(

@@ -26,6 +26,24 @@ def _sql_quote(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
+def _doc_attr_filters(parsed: ParsedQuery, table_expr: str) -> str:
+    """lang: plus generic field:value filters (v5 attrs) as doc-id
+    IN-subqueries over the source table — the declarative statement of
+    what the engine's synthetic attr posting intersection computes."""
+    out = ""
+    if parsed.lang is not None:
+        out += (
+            f"AND tf.doc_id IN (SELECT doc_id FROM {table_expr} "
+            f"WHERE lang = {_sql_quote(parsed.lang)})"
+        )
+    for fld, val in getattr(parsed, "attrs", ()):
+        out += (
+            f" AND tf.doc_id IN (SELECT doc_id FROM {table_expr} "
+            f"WHERE {fld} = {_sql_quote(val)})"
+        )
+    return out
+
+
 def tokens_cte(table: str = "documents", text_col: str = "text") -> str:
     """tok(doc_id, term): the frozen base tokenizer in DuckDB SQL."""
     rgx = _sql_quote(TOKEN_SPLIT_REGEX)
@@ -151,12 +169,7 @@ def bm25_code_sql(
     having = (
         f"HAVING count(*) = {len(parsed.terms)}" if parsed.connective == "AND" else ""
     )
-    lang_filter = ""
-    if parsed.lang is not None:
-        lang_filter = (
-            f"AND tf.doc_id IN (SELECT doc_id FROM {table_expr} "
-            f"WHERE lang = {_sql_quote(parsed.lang)})"
-        )
+    lang_filter = _doc_attr_filters(parsed, table_expr)
     not_filter = ""
     if parsed.exclude:
         ex_list = ", ".join(_sql_quote(t) for t in parsed.exclude)
@@ -221,12 +234,7 @@ def bm25_sql(
     having = (
         f"HAVING count(*) = {len(parsed.terms)}" if parsed.connective == "AND" else ""
     )
-    lang_filter = ""
-    if parsed.lang is not None:
-        lang_filter = (
-            f"AND tf.doc_id IN (SELECT doc_id FROM {table} "
-            f"WHERE lang = {_sql_quote(parsed.lang)})"
-        )
+    lang_filter = _doc_attr_filters(parsed, table)
     not_filter = ""
     if parsed.exclude:
         ex_list = ", ".join(_sql_quote(t) for t in parsed.exclude)

@@ -72,6 +72,15 @@ class BuiltIndex:
     # on these fields never touch the source table (wand._aux_doc_side
     # fallback remains for pre-v5 indexes)
     attr_fields: tuple[str, ...] = ()
+    # True iff every (term, shard) key is unique — guaranteed by all
+    # merge_to_index-routed producers (build_index, load_index,
+    # streaming.compact_segments). wand's single-term zero-exchange fast
+    # path is gated on this: a hand-assembled UNION of indexes can
+    # legally repeat keys, and the fast path scores runs wherever the
+    # scan read them, bypassing _assemble_shard's duplicate/df guards
+    # (round-4 advisor). Defaults False so ad-hoc BuiltIndex wrappers
+    # take the guarded shuffled path.
+    unique_term_shard: bool = False
     _df_cache: dict | None = field(default=None, repr=False)
 
     def has_attr(self, fld: str) -> bool:
@@ -194,7 +203,7 @@ def build_index(
     source_fingerprint: str | None = None,
     n_docs: int | None = None,
     fused_merge: bool = False,
-    attr_col: str | None = "lang",
+    attr_cols: "str | tuple[str, ...] | list[str] | None" = "lang",
 ) -> BuiltIndex:
     """Build the packed index. Two build topologies:
 
@@ -211,20 +220,24 @@ def build_index(
       cache the packed runs (they are index-sized), the staged path when
       per-partition resumability matters more.
 
-    ``attr_col`` (v5, default "lang" when the source has it): index the
-    per-doc attribute as synthetic posting lists so attribute filters
-    are pruned index reads at query time.
+    ``attr_cols`` (v5; a string or a sequence, default "lang"; fields
+    missing from the source are dropped): index the per-doc attributes
+    as synthetic posting lists so attribute filters (``lang:``,
+    ``source:``, license/domain on a real corpus) are pruned index
+    reads at query time.
     """
     paths = _paths(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    if attr_col is not None and attr_col not in source_df.columns:
-        attr_col = None
+    attrs: tuple[str, ...] = (
+        (attr_cols,) if isinstance(attr_cols, str) else tuple(attr_cols or ())
+    )
+    attrs = tuple(c for c in attrs if c in source_df.columns)
     fp_base = _fingerprint(
         source_fingerprint
         or _fingerprint(text_col, variant, docs_per_segment, segs_per_shard, num_buckets, segs_per_group),
         INDEX_FORMAT_VERSION,
-        attr_col,
+        attrs,
     )
     t_start = time.monotonic()
 
@@ -232,7 +245,7 @@ def build_index(
         return _build_index_fused(
             spark, source_df, out_dir, paths, fp_base, text_col, doc_id_col,
             variant, docs_per_segment, segs_per_shard, num_buckets, n_docs, t_start,
-            attr_col,
+            attrs,
         )
 
     # ---- stage 1+2 fused: docs -> packed segments in ONE pass ------------
@@ -270,7 +283,7 @@ def build_index(
             packed = seg.pack_from_source(
                 todo, text_col, doc_id_col, variant, docs_per_segment,
                 n_docs=len(missing) * docs_per_group if done_groups else n_docs,
-                attr_col=attr_col,
+                attr_cols=attrs,
             ).withColumn(
                 "seg_group", (F.col("seg_id") / F.lit(segs_per_group)).cast("long")
             )
@@ -328,7 +341,7 @@ def build_index(
                     "segs_per_shard": segs_per_shard,
                     "num_buckets": num_buckets,
                     "format_version": INDEX_FORMAT_VERSION,
-                    "attr_fields": [attr_col] if attr_col else [],
+                    "attr_fields": list(attrs),
                 },
                 f,
             )
@@ -392,6 +405,7 @@ def build_index(
         segs_per_shard=segs_per_shard,
         sum_dl=int(sidecar.get("sum_dl", round(avgdl * n_docs))),
         attr_fields=tuple(sidecar.get("attr_fields", [])),
+        unique_term_shard=True,
     )
 
 
@@ -409,7 +423,7 @@ def _build_index_fused(
     num_buckets: int,
     n_docs: int | None,
     t_start: float,
-    attr_col: str | None = None,
+    attrs: tuple[str, ...] = (),
 ) -> BuiltIndex:
     """One-lineage build: tokenize+pack (Arrow UDF) -> cached runs ->
     salted merge -> index write. See :func:`build_index` docstring."""
@@ -422,7 +436,7 @@ def _build_index_fused(
         with ckpt.StageTimer() as t:
             packed = seg.pack_from_source(
                 source_df, text_col, doc_id_col, variant, docs_per_segment,
-                n_docs=n_docs, attr_col=attr_col,
+                n_docs=n_docs, attr_cols=attrs,
             ).persist(StorageLevel.MEMORY_AND_DISK)
             # one aggregate over the cached runs yields the exact avgdl
             # (sum of dl over docs == sum of tf over postings) and the
@@ -464,7 +478,7 @@ def _build_index_fused(
                     "segs_per_shard": segs_per_shard,
                     "num_buckets": num_buckets,
                     "format_version": INDEX_FORMAT_VERSION,
-                    "attr_fields": [attr_col] if attr_col else [],
+                    "attr_fields": list(attrs),
                 },
                 f,
             )
@@ -506,6 +520,7 @@ def _build_index_fused(
         segs_per_shard=segs_per_shard,
         sum_dl=int(sidecar.get("sum_dl", round(avgdl * n_docs))),
         attr_fields=tuple(sidecar.get("attr_fields", [])),
+        unique_term_shard=True,
     )
 
 
@@ -528,4 +543,5 @@ def load_index(spark: SparkSession, out_dir: str, num_buckets: int | None = None
         segs_per_shard=int(sidecar.get("segs_per_shard", seg.DEFAULT_SEGS_PER_SHARD)),
         sum_dl=int(sidecar.get("sum_dl", round(avgdl * n_docs))),
         attr_fields=tuple(sidecar.get("attr_fields", [])),
+        unique_term_shard=True,
     )

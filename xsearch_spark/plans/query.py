@@ -5,6 +5,13 @@ Grammar (xsearch-style free-text term bag, plus the pinned extensions):
   * bare terms           -> implicit AND over distinct analyzed terms
   * ``OR`` keyword       -> switches the connective to union
   * ``lang:X`` prefix    -> field filter on the ``lang`` column
+  * ``field:X`` prefix   -> generic attribute filter (round-5): any
+                            field named in ``attr_fields`` — matching
+                            the index's v5 synthetic attr postings
+                            (license/domain/source filters on a real
+                            corpus). ``lang`` keeps its dedicated slot
+                            (it alone has a pre-v5 cogroup fallback);
+                            other fields require an attr-indexed build.
   * ``-term``            -> NOT: exclude docs containing term
 
 Driver-side only — a query is one string; nothing to distribute.
@@ -13,9 +20,12 @@ Duplicate terms count once (FIXTURES.md §3.2).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
 from dataclasses import dataclass, field
 
 from xsearch_spark.functions.tokenize import tokenize_query
+
+DEFAULT_ATTR_FIELDS: tuple[str, ...] = ("lang",)
 
 
 @dataclass(frozen=True)
@@ -24,19 +34,37 @@ class ParsedQuery:
     connective: str = "AND"  # "AND" | "OR"
     lang: str | None = None
     exclude: tuple[str, ...] = field(default_factory=tuple)
+    # generic (field, value) attribute filters beyond lang (v5 attr
+    # postings); AND semantics with everything else
+    attrs: tuple[tuple[str, str], ...] = field(default_factory=tuple)
 
 
-def parse(query: str, variant: str = "base") -> ParsedQuery:
+def parse(
+    query: str,
+    variant: str = "base",
+    attr_fields: Sequence[str] = DEFAULT_ATTR_FIELDS,
+) -> ParsedQuery:
+    """``attr_fields``: the field names recognized as ``field:value``
+    filters — pass the index's ``attr_fields`` (plus "lang") so only
+    genuinely filterable fields are parsed as filters; anything else
+    stays query text (a colon inside prose must not silently become an
+    empty filter)."""
     connective = "AND"
     lang: str | None = None
     include: list[str] = []
     exclude: list[str] = []
+    attrs: list[tuple[str, str]] = []
+    fields = set(attr_fields)
     for token in query.split():
         if token == "OR":
             connective = "OR"
             continue
-        if token.startswith("lang:"):
-            lang = token[len("lang:") :]
+        fld, sep, val = token.partition(":")
+        if sep and fld in fields:
+            if fld == "lang":
+                lang = val
+            elif (fld, val) not in attrs:
+                attrs.append((fld, val))
             continue
         neg = token.startswith("-")
         body = token[1:] if neg else token
@@ -46,5 +74,9 @@ def parse(query: str, variant: str = "base") -> ParsedQuery:
             if term not in target:
                 target.append(term)
     return ParsedQuery(
-        terms=tuple(include), connective=connective, lang=lang, exclude=tuple(exclude)
+        terms=tuple(include),
+        connective=connective,
+        lang=lang,
+        exclude=tuple(exclude),
+        attrs=tuple(attrs),
     )

@@ -30,12 +30,15 @@ class PyRefIndex:
     n_docs: int
     avgdl: float
     lang: dict[int, str]
+    # generic per-doc attributes (round-5): field -> doc_id -> value
+    attrs: dict[str, dict[int, str]] | None = None
 
 
 def build(
     docs: list[tuple[int, str]],
     variant: str = "base",
     langs: dict[int, str] | None = None,
+    attrs: dict[str, dict[int, str]] | None = None,
 ) -> PyRefIndex:
     tokenizer = tokenize_base_py if variant == "base" else tokenize_code_py
     acc: dict[str, dict[int, int]] = {}
@@ -55,7 +58,7 @@ def build(
         postings[t] = (ids, tfs)
     n = len(docs)
     avgdl = (sum(dl.values()) / n) if n else 0.0
-    return PyRefIndex(postings, dl, n, avgdl, langs or {})
+    return PyRefIndex(postings, dl, n, avgdl, langs or {}, attrs or {})
 
 
 def _idf(n: int, df: int) -> float:
@@ -83,6 +86,9 @@ def search(index: PyRefIndex, query: str | ParsedQuery, k: int = 10, variant: st
         cand = [d for d in cand if hits[d] == len(parsed.terms)]
     if parsed.lang is not None:
         cand = [d for d in cand if index.lang.get(d) == parsed.lang]
+    for fld, val in getattr(parsed, "attrs", ()):
+        vals = (index.attrs or {}).get(fld, {})
+        cand = [d for d in cand if vals.get(d) == val]
     if parsed.exclude:
         banned: set[int] = set()
         for t in parsed.exclude:
