@@ -94,6 +94,51 @@ def test_ivf_topk_probe(emb):
     assert sims == sorted(sims, reverse=True)
 
 
+def test_probe_buckets_popcount_definition(emb):
+    """probe_buckets_of must equal the SQL oracle's definition —
+    {b : popcount(b XOR qbucket) <= h} — for every probe width (round-5
+    fix: the old single-bit-flip form silently served h=2 as h=1)."""
+    qvec = emb.filter(F.col("vec_id") == 3).select("embedding").collect()[0][0]
+    P = 8
+    qb = similarity.query_bucket_of(qvec, P)
+    for h in range(0, 4):
+        want = sorted(
+            b for b in range(1 << P) if bin(b ^ qb).count("1") <= h
+        )
+        got = similarity.probe_buckets_of(qvec, P, probe_hamming=h)
+        assert got == want, h
+
+
+def test_ann_recall_tracked_monotone(emb):
+    """The recall/latency dial must behave like one: recall@10 over the
+    bench query-vector set is non-decreasing in probe width, reaches
+    1.0 at the full-probe limit (hamming = num_planes == brute force),
+    and the hamming-1 floor stays above the documented 0.15 (gaussian
+    fixtures are data-limited — this floor catches a broken probe, not
+    an SLA; the tracked number lives in bench.py's ann_recall_at_10)."""
+    qvecs = [
+        r["embedding"]
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    recalls = {}
+    for h in (1, 2, 8):
+        hits = tot = 0
+        for v in qvecs:
+            brute = {r["vec_id"] for r in similarity.cosine_topk(emb, v, k=10).collect()}
+            probe = {
+                r["vec_id"]
+                for r in similarity.ivf_topk(
+                    emb, v, k=10, num_planes=8, probe_hamming=h
+                ).collect()
+            }
+            hits += len(brute & probe)
+            tot += len(brute)
+        recalls[h] = hits / tot
+    assert recalls[1] >= 0.15
+    assert recalls[1] <= recalls[2] <= recalls[8]
+    assert recalls[8] == 1.0
+
+
 def test_ann_index_probe_equals_inline_ivf(emb, spark, tmp_path):
     """The persisted bucket-partitioned ANN index must be invisible in
     the results: ann_index_topk == the declarative inline-bucketing
@@ -256,6 +301,36 @@ def test_ann_tombstones_probe_and_compact(emb, spark, tmp_path):
     # reload sees the folded stats
     re = similarity.load_ann_index(spark, compacted.root)
     assert re.n_vecs == compacted.n_vecs
+    # round-4 advisor: compaction deletes the directory the old handle's
+    # table_df pointed at — the passed-in handle must be mutated in
+    # place (admin.compact contract) so callers keeping it stay valid
+    assert compacted is built
+    assert built.n_vecs == re.n_vecs
+    still = [
+        (r["vec_id"], round(r["cos_sim"], 6))
+        for r in similarity.ann_index_topk(built, qvec, k=10, probe_hamming=1).collect()
+    ]
+    assert still == want
+
+
+def test_lsh_planning_zero_jobs_with_dim(emb, spark):
+    """Round-4 advisor: with ``dim`` supplied, constructing the LSH
+    plans (buckets / candidate pairs / cosine pairs) must launch ZERO
+    Spark jobs — planning is driver-side Python, the one-row dim probe
+    stays off every hot path."""
+    sc = spark.sparkContext
+    group = "lsh_plan_probe"
+    sc.setJobGroup(group, group)
+    try:
+        similarity.lsh_buckets(emb, num_planes=8, dim=8)
+        similarity.lsh_candidate_pairs(emb, num_planes=8, dim=8)
+        similarity.embedding_cosine_pairs(emb, threshold=0.2, num_planes=8, dim=8)
+    finally:
+        sc.setJobGroup(None, None)
+    assert sc.statusTracker().getJobIdsForGroup(group) == [], (
+        "LSH plan construction launched a Spark job — the dim probe is "
+        "back on the hot path"
+    )
 
 
 def test_chunk_docs_coverage_and_overlap(spark):
@@ -314,6 +389,56 @@ def test_connected_components_transitive(spark):
     }
 
 
+def test_connected_components_nonconvergence_raises(spark):
+    """Round-4 advisor (medium): hitting max_iter before the fixpoint
+    must RAISE, not silently return wrong (non-converged) labels — a
+    chain of diameter 5 cannot converge in 2 sweeps."""
+    import pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(chain, max_iter=2)
+    # with enough budget the same graph folds into one component
+    got = {
+        r["node"]: r["comp"]
+        for r in dedup.connected_components(chain, max_iter=10).collect()
+    }
+    assert got == {i: 0 for i in range(7)}
+
+
+def test_connected_components_one_heavy_action_per_sweep(spark):
+    """Round-5: the convergence probe rides the label-update pass (a
+    flag read back from the checkpointed partitions), not a second
+    labels⋈labels shuffle join. Measured per-sweep Spark job count on
+    this exact workload: 9 with the fused probe vs 12 with the round-4
+    join probe — pin a ceiling between them so the join probe cannot
+    silently come back."""
+    sc = spark.sparkContext
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "doc_a long, doc_b long"
+    )
+
+    def jobs_for(max_iter: int) -> int:
+        group = f"cc_sweep_{max_iter}"
+        sc.setJobGroup(group, group)
+        try:
+            try:
+                dedup.connected_components(chain, max_iter=max_iter)
+            except RuntimeError:
+                pass  # expected: the chain needs ~20 sweeps
+        finally:
+            sc.setJobGroup(None, None)
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    per_sweep = (jobs_for(5) - jobs_for(2)) / 3.0
+    assert per_sweep <= 10.5, (
+        f"{per_sweep} Spark jobs per sweep — the convergence probe is "
+        f"doing heavy per-iteration work again (round-4 shape measured 12)"
+    )
+
+
 def test_near_dup_clusters_on_planted_dups(spark):
     """Planted near-dups: three near-identical variants of one doc (one
     cluster, keeper = min id) plus unrelated docs (not emitted)."""
@@ -354,18 +479,36 @@ def test_chunk_docs_randomized_python_parity(spark):
     stride = max_tokens - overlap
 
     def py_chunks(doc_id, text):
-        toks = [t for t in re.split(TOKEN_SPLIT_REGEX, text.lower()) if t]
+        # independent span derivation: re.finditer over the LOWERED text
+        # (the frozen position reference), spans applied to the original
+        low = text.lower()
+        matches = list(re.finditer(r"[a-z0-9_]+", low))
+        toks = [m.group(0) for m in matches]
+        assert toks == [t for t in re.split(TOKEN_SPLIT_REGEX, low) if t]
         out = []
         i = 0
         while i * stride < len(toks):
             sl = toks[i * stride : i * stride + max_tokens]
-            out.append((doc_id, i, len(sl), " ".join(sl)))
+            first = matches[i * stride]
+            last = matches[min(i * stride + max_tokens, len(toks)) - 1]
+            cs, ce = first.start() + 1, last.end()  # 1-based inclusive
+            out.append(
+                (doc_id, i, len(sl), " ".join(sl), cs, ce, text[cs - 1 : ce])
+            )
             i += 1
         return out
 
     want = sorted(c for did, t in rows for c in py_chunks(did, t))
     got = sorted(
-        (r["doc_id"], r["chunk_id"], r["n_tokens"], r["chunk_text"])
+        (
+            r["doc_id"],
+            r["chunk_id"],
+            r["n_tokens"],
+            r["chunk_text"],
+            r["char_start"],
+            r["char_end"],
+            r["chunk_span"],
+        )
         for r in chunk_docs(docs, "text", max_tokens, overlap).collect()
     )
     assert got == want

@@ -30,6 +30,13 @@ B: float = 0.75
 # DuckDB string_split_regex for this character class.
 TOKEN_SPLIT_REGEX: str = r"[^a-z0-9_]+"
 
+# The COMPLEMENT of TOKEN_SPLIT_REGEX: a maximal token run. Splitting
+# the lowered text by THIS regex yields the inter-token separators
+# (sep_0 tok_1 sep_1 ... tok_n sep_n, leading/trailing possibly empty)
+# — the position arithmetic behind chunk byte spans (textops.chunk_docs)
+# depends on the two regexes staying exact complements.
+TOKEN_RUN_REGEX: str = r"[a-z0-9_]+"
+
 # code variant additionally emits sub-tokens of compound identifiers
 # (snake_case on '_', camelCase at lower->upper boundaries), lowercased,
 # compound kept first (Lucene WordDelimiter preserve_original style).

@@ -154,41 +154,83 @@ def chunk_docs(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Token-bounded sliding chunks -> (doc_id, chunk_id, n_tokens,
-    chunk_text) — the pre-training sequence-packing primitive (long docs
-    split into model-window-sized pieces with ``overlap`` tokens of
-    context carried across the boundary).
+    chunk_text, char_start, char_end, chunk_span) — the pre-training
+    sequence-packing primitive (long docs split into model-window-sized
+    pieces with ``overlap`` tokens of context carried across the
+    boundary).
 
     Tokens are the frozen base analyzer; stride = max_tokens - overlap;
     chunk i covers tokens [i*stride+1, i*stride+max_tokens] (1-based
     slice bounds, matching SQL list_slice), emitted while
     i*stride < n_tokens, so the final chunk may be short but is never
-    empty and every token lands in at least one chunk. Pure Column
-    expressions — one tokenize, one sequence+explode, no shuffle, no
-    UDF; at 100 TB this is a map-only stage that parallelizes with the
-    scan."""
+    empty and every token lands in at least one chunk.
+
+    Byte-span fidelity (round-5): ``char_start``/``char_end`` are the
+    1-based inclusive character positions of the chunk's first/last
+    token in the document, and ``chunk_span`` is the ORIGINAL substring
+    ``substr(text, char_start, char_end - char_start + 1)`` — original
+    whitespace/punctuation/case preserved, which is what a
+    sequence-packing pipeline actually feeds the model (``chunk_text``,
+    the space-joined lowered tokens, stays for analyzer-side uses).
+    Positions are computed arithmetically: splitting lower(text) by
+    TOKEN_RUN_REGEX (the exact complement of the tokenizer's split
+    class) yields the separator runs sep_0 tok_1 sep_1 ... tok_n sep_n,
+    so start(tok_i) = Σlen(sep_0..i-1) + Σlen(tok_1..i-1) + 1 — prefix
+    sums over array slices, still pure Column expressions. Caveat:
+    positions are measured on lower(text); they index the original text
+    exactly whenever lowercasing is length-preserving (all of ASCII and
+    the overwhelming mass of Unicode; the rare expanding case-pairs like
+    U+0130 shift spans by the expansion amount).
+
+    One tokenize, one sequence+explode, no shuffle, no UDF; at 100 TB
+    this is a map-only stage that parallelizes with the scan."""
+    from xsearch_spark.constants import TOKEN_RUN_REGEX
+
     stride = max_tokens - overlap
     if stride <= 0:
         raise ValueError("overlap must be smaller than max_tokens")
+
+    def len_sum(arr):  # Σ length over an array slice (0 on empty slice)
+        return F.aggregate(arr, F.lit(0), lambda a, x: a + F.length(x))
+
     toks = df.select(
         F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_text"),
         tokenize_base_col(F.col(text_col)).alias("_toks"),
+        F.split(F.lower(F.col(text_col)), TOKEN_RUN_REGEX).alias("_seps"),
     ).withColumn("_n", F.size("_toks"))
     toks = toks.filter(F.col("_n") > 0)
     out = toks.select(
         "doc_id",
+        "_text",
         "_toks",
+        "_seps",
+        "_n",
         F.explode(
             F.sequence(
                 F.lit(0), F.floor((F.col("_n") - 1) / F.lit(stride)).cast("long")
             )
         ).alias("chunk_id"),
     )
-    sl = F.slice(
-        F.col("_toks"), (F.col("chunk_id") * stride + 1).cast("int"), max_tokens
+    fi = (F.col("chunk_id") * stride + 1).cast("int")  # first token, 1-based
+    li = F.least(fi + F.lit(max_tokens - 1), F.col("_n").cast("int"))  # last
+    sl = F.slice(F.col("_toks"), fi, max_tokens)
+    char_start = (
+        len_sum(F.slice(F.col("_seps"), 1, fi))
+        + len_sum(F.slice(F.col("_toks"), 1, fi - F.lit(1)))
+        + F.lit(1)
+    )
+    char_end = len_sum(F.slice(F.col("_seps"), 1, li)) + len_sum(
+        F.slice(F.col("_toks"), 1, li)
     )
     return out.select(
         "doc_id",
         F.col("chunk_id").cast("long").alias("chunk_id"),
         F.size(sl).cast("long").alias("n_tokens"),
         F.array_join(sl, " ").alias("chunk_text"),
+        char_start.cast("long").alias("char_start"),
+        char_end.cast("long").alias("char_end"),
+        F.col("_text")
+        .substr(char_start, char_end - char_start + F.lit(1))
+        .alias("chunk_span"),
     )

@@ -178,6 +178,7 @@ def lsh_candidate_pairs(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     max_bucket_size: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-dup candidates: pairs sharing an LSH bucket (vec_a < vec_b).
 
@@ -185,8 +186,10 @@ def lsh_candidate_pairs(
     O(bucket²), so a mega-cluster of near-identical embeddings makes one
     bucket quadratic at corpus scale. Buckets above the cap are dropped
     (handle them by exact-dup hashing instead); None = exact semantics,
-    matching the SQL oracle."""
-    b = lsh_buckets(embeddings, num_planes, id_col, emb_col)
+    matching the SQL oracle. ``dim``: embedding dimensionality, threaded
+    to :func:`lsh_buckets` so planning stays zero-Spark-jobs (round-4
+    advisor: omitting it costs a one-row probe job per invocation)."""
+    b = lsh_buckets(embeddings, num_planes, id_col, emb_col, dim=dim)
     if max_bucket_size is not None:
         sizes = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bsz"))
         b = b.join(sizes, "bucket").filter(F.col("_bsz") <= max_bucket_size).drop("_bsz")
@@ -203,13 +206,15 @@ def embedding_cosine_pairs(
     num_planes: int = 8,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup: exact cosine on LSH-bucketed candidate
     pairs -> (vec_a, vec_b, cos_sim >= threshold). The threshold compares
     the 6-decimal-rounded similarity so the cut is reproducible across
     engines (Spark and DuckDB sums associate floats differently at the
-    last ulp — SURVEY.md §5.2 float discipline)."""
-    pairs = lsh_candidate_pairs(embeddings, num_planes, id_col, emb_col)
+    last ulp — SURVEY.md §5.2 float discipline). ``dim`` threads through
+    to the LSH planner (zero-job planning when known)."""
+    pairs = lsh_candidate_pairs(embeddings, num_planes, id_col, emb_col, dim=dim)
     ea = embeddings.select(F.col(id_col).alias("vec_a"), F.col(emb_col).alias("emb_a"))
     eb = embeddings.select(F.col(id_col).alias("vec_b"), F.col(emb_col).alias("emb_b"))
     joined = pairs.join(ea, "vec_a").join(eb, "vec_b")
@@ -244,12 +249,23 @@ def query_bucket_of(query_vec: list[float], num_planes: int = 8) -> int:
 def probe_buckets_of(
     query_vec: list[float], num_planes: int = 8, probe_hamming: int = 1
 ) -> list[int]:
-    """The probe set: the query's own bucket plus all buckets within
-    ``probe_hamming`` bit flips (recall/latency dial)."""
+    """The probe set: ALL buckets within ``probe_hamming`` bit flips of
+    the query's own bucket (recall/latency dial) — exactly
+    ``popcount(b XOR qbucket) <= probe_hamming``, matching the SQL
+    oracle's ``bit_count(xor(...))`` formulation. (Round-5 fix: the old
+    form only ever flipped single bits, so probe_hamming=2 silently
+    under-probed as 1 — pinned by a test against the popcount
+    definition.)"""
+    from itertools import combinations
+
     qbucket = query_bucket_of(query_vec, num_planes)
     probes = {qbucket}
-    if probe_hamming >= 1:
-        probes |= {qbucket ^ (1 << p) for p in range(num_planes)}
+    for h in range(1, min(probe_hamming, num_planes) + 1):
+        for bits in combinations(range(num_planes), h):
+            flip = 0
+            for p in bits:
+                flip |= 1 << p
+            probes.add(qbucket ^ flip)
     return sorted(probes)
 
 
@@ -389,7 +405,15 @@ def compact_ann_index(
     bucket-partitioned table minus the tombstoned vec_ids (bucket
     assignments are delete-independent, so surviving rows are simply
     kept — no re-hash). Write-temp-then-swap, same hygiene as the text
-    index's compaction."""
+    index's compaction.
+
+    The passed-in ``built`` is mutated IN PLACE (``table_df``/``n_vecs``
+    re-pointed at the rewritten directory, same contract as
+    ``admin.compact``): the old ``table_df`` references a parquet
+    directory this function deletes, so a caller holding the stale
+    handle would otherwise hit FileNotFound/empty scans at its next
+    action (round-4 advisor). The refreshed index is also returned for
+    convenience."""
     import shutil
 
     vectors_path = os.path.join(built.root, "vectors")
@@ -414,9 +438,9 @@ def compact_ann_index(
         os.path.join(built.root, "ann_stats.json.tmp"),
         os.path.join(built.root, "ann_stats.json"),
     )
-    return BuiltAnnIndex(
-        built.root, table_df, built.num_planes, stats["n_vecs"], built.dim
-    )
+    built.table_df = table_df
+    built.n_vecs = stats["n_vecs"]
+    return built
 
 
 def embedding_near_dup_clusters(
@@ -425,6 +449,7 @@ def embedding_near_dup_clusters(
     num_planes: int = 8,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """The embedding-modality keep/drop decision: cosine near-dup pairs
     (LSH-bucketed, never all-pairs) -> connected components ->
@@ -435,7 +460,7 @@ def embedding_near_dup_clusters(
     from xsearch_spark.operators.dedup import connected_components
 
     pairs = embedding_cosine_pairs(
-        embeddings, threshold, num_planes, id_col, emb_col
+        embeddings, threshold, num_planes, id_col, emb_col, dim=dim
     ).select("vec_a", "vec_b")
     comp = connected_components(pairs, id_a="vec_a", id_b="vec_b")
     return comp.select(

@@ -345,29 +345,54 @@ def chunk_docs_sql(max_tokens: int = 64, overlap: int = 8) -> str:
     """Token-bounded sliding chunks, mirroring textops.chunk_docs: same
     frozen base tokenizer, stride = max_tokens - overlap, 1-based
     inclusive slice bounds (DuckDB list_slice == Spark slice(start,
-    length) when end = start + length - 1)."""
-    from xsearch_spark.constants import TOKEN_SPLIT_REGEX
+    length) when end = start + length - 1). char_start/char_end/
+    chunk_span mirror the Spark prefix-sum position arithmetic: the
+    separator array comes from splitting lower(text) by TOKEN_RUN_REGEX
+    (complement of the tokenizer class), start(tok_i) =
+    Σlen(sep_0..i-1) + Σlen(tok_1..i-1) + 1; list_sum of an empty slice
+    is NULL in DuckDB, hence the coalesce."""
+    from xsearch_spark.constants import TOKEN_RUN_REGEX, TOKEN_SPLIT_REGEX
 
     stride = max_tokens - overlap
     rgx = TOKEN_SPLIT_REGEX.replace("'", "''")
+    run = TOKEN_RUN_REGEX.replace("'", "''")
+    fi = f"(chunk_id * {stride} + 1)"
+    li = f"least({fi} + {max_tokens - 1}, len(t))"
+    lensum = "coalesce(list_sum(list_transform(list_slice({arr}, 1, {hi}), x -> length(x))), 0)"
+    start = (
+        lensum.format(arr="s", hi=fi)
+        + " + "
+        + lensum.format(arr="t", hi=f"({fi} - 1)")
+        + " + 1"
+    )
+    end = lensum.format(arr="s", hi=li) + " + " + lensum.format(arr="t", hi=li)
     return f"""
 WITH toks AS (
-  SELECT doc_id,
-         list_filter(string_split_regex(lower(text), '{rgx}'), x -> x <> '') AS t
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '{rgx}'), x -> x <> '') AS t,
+         string_split_regex(lower(text), '{run}') AS s
   FROM documents
 ),
 chunks AS (
-  SELECT doc_id, t,
+  SELECT doc_id, text, t, s,
          unnest(generate_series(0, (len(t) - 1) // {stride})) AS chunk_id
   FROM toks WHERE len(t) > 0
+),
+spans AS (
+  SELECT doc_id, text, t, chunk_id,
+         ({start})::BIGINT AS char_start, ({end})::BIGINT AS char_end
+  FROM chunks
 )
 SELECT doc_id,
        chunk_id::BIGINT AS chunk_id,
        len(list_slice(t, chunk_id * {stride} + 1,
                       chunk_id * {stride} + {max_tokens}))::BIGINT AS n_tokens,
        array_to_string(list_slice(t, chunk_id * {stride} + 1,
-                                  chunk_id * {stride} + {max_tokens}), ' ') AS chunk_text
-FROM chunks
+                                  chunk_id * {stride} + {max_tokens}), ' ') AS chunk_text,
+       char_start,
+       char_end,
+       substr(text, char_start::INT, (char_end - char_start + 1)::INT) AS chunk_span
+FROM spans
 """
 
 
