@@ -135,6 +135,53 @@ def test_streaming_ingest_matches_batch(spark, tmp_path):
         assert got == want, qstr
 
 
+def test_streaming_epoch_redelivery_exactly_once(spark, tmp_path):
+    """§2.10 exactly-once evidence (round-5): the file-source replay
+    model is at-least-once, so a micro-batch re-delivered with the SAME
+    epoch id (Spark replays the epoch after a foreachBatch crash) must
+    leave the epoch output — and therefore the compacted index — in
+    exactly the state of single delivery. The epoch directory is
+    mode=overwrite and the stats sidecar temp-then-rename, so the
+    replay replaces its own output idempotently; asserted here as
+    byte-identity of every packed index row."""
+    from xsearch_spark.streaming.ingest import compact_segments, process_epoch
+
+    docs = read_documents(spark, SF_DIR)
+    slice0 = docs.filter(F.col("doc_id") < 25)
+    slice1 = docs.filter((F.col("doc_id") >= 25) & (F.col("doc_id") < 50))
+
+    def build(root: str, redeliver: bool):
+        os.makedirs(os.path.join(root, "segments"), exist_ok=True)
+        os.makedirs(os.path.join(root, "epoch_stats"), exist_ok=True)
+        process_epoch(spark, slice0, 0, root, avgdl_hint=1.0, docs_per_segment=128)
+        process_epoch(spark, slice1, 1, root, avgdl_hint=1.0, docs_per_segment=128)
+        if redeliver:  # at-least-once: epoch 0 arrives a second time
+            process_epoch(
+                spark, slice0, 0, root, avgdl_hint=1.0, docs_per_segment=128
+            )
+        return compact_segments(
+            spark, root, segs_per_shard=2, num_buckets=8, docs_per_segment=128
+        )
+
+    def rows_of(bi):
+        return {
+            (r["term"], r["shard"]): (
+                bytes(r["doc_ids"]),
+                bytes(r["tfs"]),
+                bytes(r["dls"]),
+                int(r["df"]),
+            )
+            for r in bi.index_df.collect()
+        }
+
+    once = build(str(tmp_path / "once"), redeliver=False)
+    replay = build(str(tmp_path / "redelivered"), redeliver=True)
+    assert rows_of(once) == rows_of(replay)
+    assert once.n_docs == replay.n_docs
+    assert once.avgdl == replay.avgdl
+    assert once.sum_dl == replay.sum_dl
+
+
 def test_incremental_compact_frozen_stats(spark, built):
     """Bounded-drift compaction: results must equal the PRE-delete index
     queried with tombstones applied (frozen-stats semantics — N/avgdl/df

@@ -69,36 +69,10 @@ def start_ingest(
     os.makedirs(os.path.join(index_root, "epoch_stats"), exist_ok=True)
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        n_docs = batch_df.count()
-        post = b.postings_with_dl_fused(batch_df, text_col, "doc_id", variant)
-        if attr_col is not None and attr_col in batch_df.columns:
-            from xsearch_spark.constants import attr_term
-
-            syn = batch_df.filter(F.col(attr_col).isNotNull()).select(
-                F.concat(
-                    F.lit(attr_term(attr_col, "")), F.col(attr_col)
-                ).alias("term"),
-                F.col("doc_id").cast("long").alias("doc_id"),
-                F.lit(0).cast("int").alias("tf"),
-                F.lit(0).cast("int").alias("dl"),
-            )
-            post = post.unionByName(syn)
-        packed = seg.build_segments(post, avgdl_hint, docs_per_segment)
-        # one directory per epoch: idempotent on redelivery (exactly-once)
-        out = os.path.join(index_root, "segments", f"epoch={epoch_id}")
-        packed.write.mode("overwrite").parquet(out)
-        # exact epoch stats for the global-avgdl recompute at compaction:
-        # sum(dl over epoch docs) == sum(sum_tf over the packed runs)
-        sum_dl = (
-            spark.read.parquet(out).agg(F.sum("sum_tf")).collect()[0][0] or 0
+        process_epoch(
+            spark, batch_df, epoch_id, index_root, avgdl_hint,
+            variant, text_col, docs_per_segment, attr_col,
         )
-        stats = {"epoch": int(epoch_id), "n_docs": int(n_docs), "sum_dl": int(sum_dl)}
-        sp = os.path.join(index_root, "epoch_stats", f"epoch={epoch_id}.json")
-        with open(sp + ".tmp", "w") as f:
-            json.dump(stats, f)
-        os.replace(sp + ".tmp", sp)
 
     stream = (
         spark.readStream.schema(DOCUMENTS_SCHEMA)
@@ -111,6 +85,58 @@ def start_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def process_epoch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    epoch_id: int,
+    index_root: str,
+    avgdl_hint: float,
+    variant: str = "base",
+    text_col: str = "text",
+    docs_per_segment: int = 4096,
+    attr_col: str | None = "lang",
+) -> None:
+    """One micro-batch -> its ``epoch=N`` segment directory + stats
+    sidecar. Module-level (not a closure) so exactly-once re-delivery is
+    testable in isolation: foreachBatch is at-least-once, and calling
+    this twice with the same (batch, epoch_id) must leave the epoch
+    directory and sidecar in the same state as one delivery — the epoch
+    dir is mode=overwrite and the sidecar a temp-then-rename, so
+    re-delivery replaces its own output idempotently (S4 semantics at
+    the epoch granularity; asserted byte-identical in
+    tests/test_admin_streaming.py)."""
+    if batch_df.isEmpty():
+        return
+    n_docs = batch_df.count()
+    post = b.postings_with_dl_fused(batch_df, text_col, "doc_id", variant)
+    if attr_col is not None and attr_col in batch_df.columns:
+        from xsearch_spark.constants import attr_term
+
+        syn = batch_df.filter(F.col(attr_col).isNotNull()).select(
+            F.concat(
+                F.lit(attr_term(attr_col, "")), F.col(attr_col)
+            ).alias("term"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.lit(0).cast("int").alias("tf"),
+            F.lit(0).cast("int").alias("dl"),
+        )
+        post = post.unionByName(syn)
+    packed = seg.build_segments(post, avgdl_hint, docs_per_segment)
+    # one directory per epoch: idempotent on redelivery (exactly-once)
+    out = os.path.join(index_root, "segments", f"epoch={epoch_id}")
+    packed.write.mode("overwrite").parquet(out)
+    # exact epoch stats for the global-avgdl recompute at compaction:
+    # sum(dl over epoch docs) == sum(sum_tf over the packed runs)
+    sum_dl = (
+        spark.read.parquet(out).agg(F.sum("sum_tf")).collect()[0][0] or 0
+    )
+    stats = {"epoch": int(epoch_id), "n_docs": int(n_docs), "sum_dl": int(sum_dl)}
+    sp = os.path.join(index_root, "epoch_stats", f"epoch={epoch_id}.json")
+    with open(sp + ".tmp", "w") as f:
+        json.dump(stats, f)
+    os.replace(sp + ".tmp", sp)
 
 
 def _epoch_totals(index_root: str) -> tuple[int, int]:
@@ -221,4 +247,5 @@ def compact_segments(
         segs_per_shard=segs_per_shard,
         sum_dl=sum_dl,
         attr_fields=(attr_col,) if attr_col else (),
+        unique_term_shard=True,
     )
