@@ -53,6 +53,21 @@ CODE_QUERIES = {
 }
 
 
+def _timed_steal(fn):
+    """Run ``fn`` and return (result, wall_s, steal_pct absorbed by the
+    section). BENCH_r04 printed a 1.85x phantom build regression that
+    was pure hypervisor steal (CLAUDE.md: bursts vary identical runs by
+    +-50%); stamping per-section steal makes every driver sample
+    self-adjudicating."""
+    t_tot0, t_st0 = _stat_snapshot()
+    t0 = time.monotonic()
+    out = fn()
+    wall = time.monotonic() - t0
+    t_tot1, t_st1 = _stat_snapshot()
+    steal = round(100.0 * (t_st1 - t_st0) / max(1, t_tot1 - t_tot0), 1)
+    return out, wall, steal
+
+
 def run_bench(sf_dir: str, cpus: int, emit_json: bool = True) -> dict:
     from xsearch_spark.operators.wand import search_wand
     from xsearch_spark.plans.build_index import build_index, checkpoint_source_ids
@@ -92,19 +107,32 @@ def run_bench(sf_dir: str, cpus: int, emit_json: bool = True) -> dict:
     docs.agg(F.sum(F.length("text"))).collect()
     code_src.agg(F.sum(F.length("content"))).collect()
 
-    out = tempfile.mkdtemp(prefix="xsbench_idx_")
-    out_code = tempfile.mkdtemp(prefix="xsbench_codeidx_")
+    tmp_dirs: list[str] = []
     per_query: dict[str, float] = {}
+    build_iters = int(os.environ.get("SPARK_GRAFT_BUILD_ITERS", "2"))
     try:
         # --- workload 1: documents table (driver fixture, base variant) --
-        t0 = time.monotonic()
-        built = build_index(
-            spark, docs, out,
-            text_col="text", variant="base",
-            docs_per_segment=4096, segs_per_shard=4, num_buckets=32,
-            n_docs=n_docs, fused_merge=True,
-        )
-        build_s = time.monotonic() - t0
+        # best-of-N fresh builds, each stamped with the hypervisor steal
+        # it absorbed: a single stolen window can no longer print a
+        # phantom regression (the BENCH_r04 lesson). Each run gets a
+        # fresh out dir so the checkpoint machinery never short-circuits.
+        doc_walls: list[float] = []
+        doc_steals: list[float] = []
+        built = None
+        for _ in range(build_iters):
+            out = tempfile.mkdtemp(prefix="xsbench_idx_")
+            tmp_dirs.append(out)
+            built, wall, steal = _timed_steal(
+                lambda o=out: build_index(
+                    spark, docs, o,
+                    text_col="text", variant="base",
+                    docs_per_segment=4096, segs_per_shard=4, num_buckets=32,
+                    n_docs=n_docs, fused_merge=True,
+                )
+            )
+            doc_walls.append(wall)
+            doc_steals.append(steal)
+        build_s = min(doc_walls)
         for _pass in range(2):  # second pass = warm
             for name, q in QUERIES.items():
                 tq = time.monotonic()
@@ -115,15 +143,30 @@ def run_bench(sf_dir: str, cpus: int, emit_json: bool = True) -> dict:
         # ids are checkpointed (stage 0) so the window shuffle runs once,
         # not once per consumer; the build itself is the fused one-lineage
         # topology (pack -> cached runs -> merge) — see build_index.
-        t0 = time.monotonic()
-        code_ids, _ = checkpoint_source_ids(spark, code_src, out_code)
-        built_code = build_index(
-            spark, code_ids, out_code,
-            text_col="content", variant="code",
-            docs_per_segment=4096, segs_per_shard=4, num_buckets=64,
-            n_docs=n_code, fused_merge=True,
-        )
-        code_build_s = time.monotonic() - t0
+        # Best-of-N with per-run steal, each run doing the FULL timed
+        # span (own ids checkpoint + build) so walls stay comparable
+        # with prior rounds' single-run numbers.
+        code_walls: list[float] = []
+        code_steals: list[float] = []
+        built_code, code_ids = None, None
+        for _ in range(build_iters):
+            out_code = tempfile.mkdtemp(prefix="xsbench_codeidx_")
+            tmp_dirs.append(out_code)
+
+            def _code_build(o=out_code):
+                ids, _n = checkpoint_source_ids(spark, code_src, o)
+                bi = build_index(
+                    spark, ids, o,
+                    text_col="content", variant="code",
+                    docs_per_segment=4096, segs_per_shard=4, num_buckets=64,
+                    n_docs=n_code, fused_merge=True,
+                )
+                return ids, bi
+
+            (code_ids, built_code), wall, steal = _timed_steal(_code_build)
+            code_walls.append(wall)
+            code_steals.append(steal)
+        code_build_s = min(code_walls)
         for _pass in range(2):
             for name, q in CODE_QUERIES.items():
                 tq = time.monotonic()
@@ -158,7 +201,11 @@ def run_bench(sf_dir: str, cpus: int, emit_json: bool = True) -> dict:
         )
 
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        qvec = emb.filter("vec_id = 0").select("embedding").first()[0]
+        qvecs = [
+            r["embedding"]
+            for r in emb.filter("vec_id < 8").orderBy("vec_id").select("embedding").collect()
+        ]
+        qvec = qvecs[0]
         ann_dir = tempfile.mkdtemp(prefix="xsbench_ann_")
         try:
             tq = time.monotonic()
@@ -171,6 +218,20 @@ def run_bench(sf_dir: str, cpus: int, emit_json: bool = True) -> dict:
                 tq = time.monotonic()
                 ann_index_topk(ann, qvec, k=10, probe_hamming=1).collect()
                 per_query["ann_probe"] = time.monotonic() - tq
+            # recall@10 of the Hamming-1 probe vs exact brute force over
+            # the bench query-vector set — the recall/latency trade-off
+            # is a tracked number, not a test-only property (round-4
+            # verdict item 6)
+            hits, want = 0, 0
+            for v in qvecs:
+                brute = {r["vec_id"] for r in cosine_topk(emb, v, k=10).collect()}
+                probe = {
+                    r["vec_id"]
+                    for r in ann_index_topk(ann, v, k=10, probe_hamming=1).collect()
+                }
+                hits += len(brute & probe)
+                want += len(brute)
+            ann_recall = round(hits / max(1, want), 4)
         finally:
             shutil.rmtree(ann_dir, ignore_errors=True)
 
@@ -193,14 +254,26 @@ def run_bench(sf_dir: str, cpus: int, emit_json: bool = True) -> dict:
             "docs_per_sec": round(n_code / code_build_s, 1),
             "query_p50_sec": round(p50, 4),
             "batch_qps": round(batch_qps, 1),
+            "ann_recall_at_10": ann_recall,
+            # self-adjudication (round-4 verdict item 1): all build walls
+            # + the hypervisor steal each absorbed; headline build times
+            # above are best-of-N
+            "build_runs": {
+                "documents": [round(w, 3) for w in doc_walls],
+                "code": [round(w, 3) for w in code_walls],
+            },
+            "steal_pct": {
+                "documents_builds": doc_steals,
+                "code_builds": code_steals,
+            },
             "cpus": cpus,
         }
         if emit_json:
             print(json.dumps(result))
         return result
     finally:
-        shutil.rmtree(out, ignore_errors=True)
-        shutil.rmtree(out_code, ignore_errors=True)
+        for d in tmp_dirs:
+            shutil.rmtree(d, ignore_errors=True)
         spark.stop()
 
 
@@ -324,7 +397,9 @@ def run_scaling(sf_dir: str) -> None:
             s1_tot, s1_st = _stat_snapshot()
             line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
             r = json.loads(line)
-            r["steal_pct"] = round(
+            # whole-run steal (run_bench's own steal_pct key holds the
+            # per-build-section breakdown)
+            r["steal_pct_run"] = round(
                 100.0 * (s1_st - s0_st) / max(1, s1_tot - s0_tot), 1
             )
             if best is None or r["docs_per_sec"] > best["docs_per_sec"]:
@@ -354,7 +429,7 @@ def run_scaling(sf_dir: str) -> None:
         return (
             f"| {c} | {r['queries']['index_build_documents']} "
             f"| {r['queries']['index_build_code']} | {r['docs_per_sec']} "
-            f"| {kern[c]} | {r['query_p50_sec']} | {r.get('steal_pct', '?')} |"
+            f"| {kern[c]} | {r['query_p50_sec']} | {r.get('steal_pct_run', '?')} |"
         )
 
     with open(md, "a") as f:
@@ -388,7 +463,7 @@ def run_scaling(sf_dir: str) -> None:
                 f"kernel{hi}": kern[hi],
                 "kernel_efficiency": round(kern_eff, 3),
                 "steal_pct": {
-                    str(c): results[c].get("steal_pct") for c in (lo, hi)
+                    str(c): results[c].get("steal_pct_run") for c in (lo, hi)
                 },
             }
         )
