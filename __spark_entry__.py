@@ -63,6 +63,10 @@ def _index(spark: SparkSession, sf_dir: str):
             # index as synthetic posting lists, so both filter surfaces
             # are pruned index reads
             attr_cols=("lang", "source"),
+            # v6 positional stream (round-5): phrase queries are pruned
+            # index reads too — every index-backed entry runs over the
+            # positional layout
+            positions=True,
         )
     return _INDEX_CACHE[sf_dir]
 
@@ -95,14 +99,16 @@ def _make_attr_query(
     return run
 
 
-# generic attr-filter gates (round-5): a source: filter on the WAND
-# path, a lang: x source: intersection, and the relational path with
-# source: + NOT — all served index-only (no source_df handed to the
-# engine)
+# generic attr-filter + phrase gates (round-5): a source: filter on the
+# WAND path, a lang: x source: intersection, the relational path with
+# source: + NOT, and phrase adjacency (v6 positional stream) on both
+# paths — all served index-only (no source_df handed to the engine)
 _ATTR_QUERY_SET = {
     "bm25_wand_source_filter": ("source:src3 hash OR join", "wand"),
     "bm25_wand_lang_source": ("lang:en source:src7 the", "wand"),
     "bm25_rel_source_not": ("source:src5 hash -join", "rel"),
+    "bm25_wand_phrase": ('"hash join" spark', "wand"),
+    "bm25_rel_phrase_lang": ('lang:en "scan merge"', "rel"),
 }
 
 

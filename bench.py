@@ -40,6 +40,7 @@ QUERIES = {
     "q06_not": "hash -join",
     "q07_and4": "scan merge window sort",
     "q08_absent": "zzzznotaterm",
+    "q14_phrase": '"hash join" spark',  # v6 positional adjacency
 }
 
 # code-aware pipeline over the synthetic prod-schema table (the
@@ -128,6 +129,11 @@ def run_bench(sf_dir: str, cpus: int, emit_json: bool = True) -> dict:
                     text_col="text", variant="base",
                     docs_per_segment=4096, segs_per_shard=4, num_buckets=32,
                     n_docs=n_docs, fused_merge=True,
+                    # v6 (round-5): the documents index carries the
+                    # positional stream so q14_phrase runs; the HEADLINE
+                    # code build stays non-positional for wall
+                    # comparability across rounds
+                    positions=True,
                 )
             )
             doc_walls.append(wall)

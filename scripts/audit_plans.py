@@ -43,7 +43,7 @@ def main() -> None:
     built = build_index(
         spark, docs, out, text_col="text", variant="base",
         docs_per_segment=128, segs_per_shard=2, num_buckets=16,
-        attr_cols=("lang", "source"),
+        attr_cols=("lang", "source"), positions=True,
     )
 
     sections: list[tuple[str, str, list[str], str]] = []
@@ -137,6 +137,27 @@ def main() -> None:
         "same bucket-pruned scan; the scorer AND-intersects the "
         "allowlists — one job regardless of filter count (asserted: "
         "neither the source parquet nor a cogroup in the plan).",
+    ))
+
+    # 5c. phrase query (v6 positional stream): adjacency is decoded from
+    # the SAME pruned index scan (phrase terms are scoring terms) — one
+    # job, no source scan, no cogroup, no second read
+    wp_plan = plan_of(search_wand(built, parse('"hash join" spark')))
+    assert "documents.parquet" not in wp_plan, (
+        "phrase plan scans the source table — positional adjacency is "
+        "not being served from the index"
+    )
+    assert "FlatMapCoGroupsInPandas" not in wp_plan, (
+        "phrase query fell back to a cogroup"
+    )
+    sections.append((
+        "Q8 WAND phrase query (v6 positional stream — index-only)",
+        wp_plan,
+        ["MapInPandas", "TakeOrderedAndProject"],
+        "Phrase members are ordinary scoring terms; their positional "
+        "substreams ride the same pruned rows and the scorer intersects "
+        "shifted (doc, pos) keys — adjacency costs zero extra reads "
+        "and zero extra shuffles.",
     ))
 
     # 5b. lang + tombstones: deletes still ride the shard-keyed cogroup,

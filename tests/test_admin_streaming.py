@@ -135,6 +135,64 @@ def test_streaming_ingest_matches_batch(spark, tmp_path):
         assert got == want, qstr
 
 
+def test_compaction_preserves_positions(spark, tmp_path):
+    """v6 positional stream survives BOTH compaction paths: incremental
+    (the purge UDF drops deleted postings' substreams with the same
+    keep-mask) and full (decode_positions rides the rebuild). Oracle:
+    phrase queries over the compacted index equal the naive evaluation
+    over source-minus-victims."""
+    docs = read_documents(spark, SF_DIR)
+    bi = build_index(
+        spark, docs, str(tmp_path / "pos_idx"),
+        text_col="text", variant="base",
+        docs_per_segment=128, segs_per_shard=2, num_buckets=8,
+        positions=True,
+    )
+    assert bi.has_positions
+    phrase = parse('"hash join" spark')
+    before = [r["doc_id"] for r in search_wand(bi, phrase).collect()]
+    assert before
+    victims = before[:2]
+
+    # incremental: frozen stats, purged postings AND positions
+    admin.append_tombstones(spark, bi.root, victims)
+    assert admin.compact_incremental(spark, bi, max_dl_drift=1.0) == "incremental"
+    got_inc = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in search_wand(bi, phrase).collect()
+    ]
+    assert not set(victims) & {d for d, _ in got_inc}
+    # frozen-stats semantics: == pre-delete index + tombstone filter
+    assert got_inc == [
+        (r["doc_id"], round(r["score"], 6))
+        for r in search_wand(
+            bi,
+            phrase,
+            tombstones=spark.createDataFrame(
+                [(int(v),) for v in victims], "doc_id long"
+            ),
+        ).collect()
+    ]
+
+    # full: trued-up stats; equals a fresh naive evaluation over the
+    # surviving corpus
+    more = [d for d, _ in got_inc][:1]
+    admin.append_tombstones(spark, bi.root, more)
+    admin.compact(spark, bi)
+    remaining = docs.filter(~F.col("doc_id").isin([int(v) for v in victims + more]))
+    fresh = engine.corpus_from_df(remaining, "text")
+    for q in ('"hash join" spark', '"the hash"', '"scan merge"'):
+        p = parse(q)
+        got = [
+            (r["doc_id"], round(r["score"], 6))
+            for r in search_wand(bi, p).collect()
+        ]
+        want = [
+            (r["doc_id"], r["score"]) for r in engine.run_query(fresh, p).collect()
+        ]
+        assert got == want, q
+
+
 def test_streaming_epoch_redelivery_exactly_once(spark, tmp_path):
     """§2.10 exactly-once evidence (round-5): the file-source replay
     model is at-least-once, so a micro-batch re-delivered with the SAME

@@ -45,6 +45,7 @@ def built(spark, tmp_path_factory):
         segs_per_shard=2,
         num_buckets=16,
         attr_cols=("lang", "source"),  # round-5 generalized v5 attrs
+        positions=True,  # round-5 v6 positional stream (phrase queries)
     )
     yield bi
     shutil.rmtree(out, ignore_errors=True)
@@ -148,15 +149,19 @@ def test_fused_build_equals_staged(spark, built, tmp_path):
         spark, docs, str(tmp_path / "fused_idx"),
         text_col="text", variant="base",
         docs_per_segment=128, segs_per_shard=2, num_buckets=16,
-        fused_merge=True, attr_cols=("lang", "source"),
+        fused_merge=True, attr_cols=("lang", "source"), positions=True,
     )
     assert bi.n_docs == built.n_docs and bi.avgdl == built.avgdl
     a = {
-        (r["term"], r["shard"]): (bytes(r["doc_ids"]), bytes(r["tfs"]), bytes(r["dls"]))
+        (r["term"], r["shard"]): (
+            bytes(r["doc_ids"]), bytes(r["tfs"]), bytes(r["dls"]), bytes(r["poss"])
+        )
         for r in built.index_df.collect()
     }
     b = {
-        (r["term"], r["shard"]): (bytes(r["doc_ids"]), bytes(r["tfs"]), bytes(r["dls"]))
+        (r["term"], r["shard"]): (
+            bytes(r["doc_ids"]), bytes(r["tfs"]), bytes(r["dls"]), bytes(r["poss"])
+        )
         for r in bi.index_df.collect()
     }
     assert a == b
@@ -341,6 +346,107 @@ def test_lang_fallback_without_attr_index(spark, corpus, tmp_path):
         ]
         got = _rounded(search_wand(bi, parse(q), source_df=docs))
         assert got == naive, q
+
+
+PHRASE_QUERIES = [
+    '"hash join"',
+    '"hash join" spark',
+    '"the hash"',
+    'lang:en "scan merge"',
+    '"hash join" OR scan',  # phrases force AND (frozen)
+    '"zzz qqq"',
+    '"hash join" -window',
+]
+
+
+def test_phrase_parse():
+    """Quoted spans -> analyzed phrase tuples; phrase terms join the
+    scored set; any phrase forces AND; 0/1-token spans degrade to text."""
+    p = parse('"hash join" spark')
+    assert p.phrases == (("hash", "join"),)
+    assert set(p.terms) == {"hash", "join", "spark"}
+    assert p.connective == "AND"
+    p2 = parse('"hash join" OR scan')
+    assert p2.connective == "AND" and p2.phrases == (("hash", "join"),)
+    p3 = parse('"hash" scan')  # single-term span: no phrase
+    assert p3.phrases == () and set(p3.terms) == {"hash", "scan"}
+    p4 = parse('"" scan')
+    assert p4.phrases == () and p4.terms == ("scan",)
+
+
+@pytest.mark.parametrize("q", PHRASE_QUERIES)
+def test_phrase_paths_agree(spark, built, corpus, q):
+    """v6 phrase adjacency: WAND (positional-stream intersection) and
+    the relational path (decode_positions k-way semi-join) must both
+    equal the naive evaluation (token-array exists expression) — and
+    scoring must be IDENTICAL to the unquoted query restricted to
+    adjacency survivors (frozen semantics)."""
+    parsed = parse(q)
+    naive = [
+        (r["doc_id"], r["score"]) for r in engine.run_query(corpus, parsed).collect()
+    ]
+    assert naive == _rounded(search_wand(built, parsed)), q
+    assert naive == _rounded(search_index_relational(built, parsed)), q
+
+
+def test_phrase_requires_positions_raises_without_v6(spark, corpus, tmp_path):
+    """An index built WITHOUT positions must refuse phrase queries
+    instead of silently dropping adjacency."""
+    docs = corpus.source
+    bi = build_index(
+        spark, docs, str(tmp_path / "nopos_idx"),
+        text_col="text", variant="base",
+        docs_per_segment=128, segs_per_shard=2, num_buckets=16,
+        attr_cols=None, positions=False,
+    )
+    assert not bi.has_positions
+    with pytest.raises(ValueError, match="positions=True"):
+        search_wand(bi, parse('"hash join"'))
+    with pytest.raises(ValueError, match="positions=True"):
+        search_index_relational(bi, parse('"hash join"'))
+
+
+def test_phrase_batch_equals_singles(spark, built):
+    """Phrase queries mixed into one batch job reproduce each
+    single-query result."""
+    from xsearch_spark.operators.wand import search_wand_batch
+
+    qset = {
+        "p1": parse('"hash join" spark'),
+        "p2": parse('"the hash"'),
+        "plain": parse("hash OR join"),
+        "pl": parse('lang:en "scan merge"'),
+    }
+    got = {}
+    for r in search_wand_batch(built, qset).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["doc_id"], round(r["score"], 6))
+        )
+    for qid, parsed in qset.items():
+        assert got.get(qid, []) == _rounded(search_wand(built, parsed)), qid
+
+
+def test_decode_positions_matches_tokenizer(spark, built, corpus):
+    """The decoded (term, doc_id, pos) stream must equal the positions
+    re-derived from the tokenizer directly (1-based emitted-stream
+    index), for every posting of a sample of docs."""
+    from xsearch_spark.functions.tokenize import tokenize_base_py
+
+    got: dict[tuple, list[int]] = {}
+    rows = seg.decode_positions(
+        built.index_df.filter(F.col("shard") == 0)
+    ).collect()
+    for r in rows:
+        got.setdefault((r["term"], r["doc_id"]), []).append(r["pos"])
+    docs_in_shard = {d for (_t, d) in got}
+    want: dict[tuple, list[int]] = {}
+    for r in corpus.source.filter(
+        F.col("doc_id") < built.docs_per_shard
+    ).collect():
+        for i, t in enumerate(tokenize_base_py(r["text"]), start=1):
+            want.setdefault((t, r["doc_id"]), []).append(i)
+    assert docs_in_shard
+    assert {k: sorted(v) for k, v in got.items()} == want
 
 
 def test_generic_attr_filters_index_only(spark, built, corpus):

@@ -62,6 +62,7 @@ def run_query(
         corpus.stats,
         parsed,
         k,
+        tokenized_df=corpus.tokenized,
     )
     return topk.select(
         "doc_id", F.round(F.col("score"), SCORE_ROUND_DECIMALS).alias("score")
@@ -80,6 +81,7 @@ def run_query_fetch(
         corpus.stats,
         parsed,
         k,
+        tokenized_df=corpus.tokenized,
     )
     fetched = search.fetch_docs(topk, corpus.source, fetch_cols)
     return fetched.select(

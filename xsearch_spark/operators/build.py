@@ -61,10 +61,18 @@ def postings_with_dl(tokenized: DataFrame, doc_id_col: str = "doc_id") -> DataFr
     )
 
 
-def count_batch(texts, ids, variant: str):
+def count_batch(texts, ids, variant: str, with_positions: bool = False):
     """Tokenize+count one Arrow batch -> (terms, doc_ids, tfs, dls) numpy
     arrays sorted by doc_id. Shared by the fused postings UDF and the
-    one-pass segment packer. Returns None for an all-empty batch."""
+    one-pass segment packer. Returns None for an all-empty batch.
+
+    ``with_positions`` (index layout v6): additionally return a fifth
+    array ``pos_flat`` — the 1-based token-stream positions of every
+    occurrence, grouped per returned posting in posting order (posting
+    j's positions are ``pos_flat[cumsum(tfs)[j-1]:cumsum(tfs)[j]]``,
+    ascending). Position = index in the analyzer's EMITTED token stream
+    (frozen; equals the filtered-token index for the base variant, which
+    is what the SQL oracle reproduces)."""
     import itertools
 
     import numpy as np
@@ -100,12 +108,22 @@ def count_batch(texts, ids, variant: str):
     u, counts = np.unique(combined, return_counts=True)
     r = (u // n_codes).astype(np.int64)
     c = (u % n_codes).astype(np.int64)
-    return (
+    out = (
         np.asarray(uniques, dtype=object)[c],
         ids[r],
         counts.astype(np.int64),
         lens[r],
     )
+    if not with_positions:
+        return out
+    # positions: stable-sort the token stream by (row, code) key — within
+    # a group the original (ascending-position) order is preserved, so
+    # the sorted position column is already grouped per posting in the
+    # same order np.unique returned the postings
+    doc_starts = np.cumsum(lens) - lens
+    pos = np.arange(total, dtype=np.int64) - doc_starts[row_idx] + 1
+    order = np.argsort(combined, kind="stable")
+    return out + (pos[order],)
 
 
 def postings_with_dl_fused(

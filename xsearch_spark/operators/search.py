@@ -74,6 +74,23 @@ def score_postings(
     return agg.select("doc_id", "score")
 
 
+def phrase_match_col(tokens: "F.Column", phrase: tuple[str, ...]) -> "F.Column":
+    """True iff the token array contains the phrase's terms at
+    consecutive positions in order — a pure Column expression (exists
+    over start offsets), the same shape as the DuckDB oracle's
+    list_filter(generate_series) predicate."""
+    k = len(phrase)
+    idxs = F.sequence(F.lit(1), F.size(tokens) - F.lit(k - 1))
+
+    def hit(i):
+        cond = F.element_at(tokens, i) == phrase[0]
+        for j in range(1, k):
+            cond = cond & (F.element_at(tokens, i + F.lit(j)) == phrase[j])
+        return cond
+
+    return F.when(F.size(tokens) >= k, F.exists(idxs, hit)).otherwise(F.lit(False))
+
+
 def apply_doc_filters(
     scored: DataFrame,
     postings_df: DataFrame,
@@ -81,6 +98,7 @@ def apply_doc_filters(
     parsed: ParsedQuery,
     allowed_df: DataFrame | None = None,
     attr_allowed_dfs: list[DataFrame] | None = None,
+    tokenized_df: DataFrame | None = None,
 ) -> DataFrame:
     """Q5b field filter (lang: / generic field:value) and NOT (-term) as
     semi/anti joins.
@@ -113,6 +131,17 @@ def apply_doc_filters(
             )
         else:
             raise ValueError(f"{fld}: filter requires the source table")
+    for ph in getattr(parsed, "phrases", ()):
+        if tokenized_df is None:
+            raise ValueError(
+                "phrase filter on the no-index path requires the tokenized "
+                "corpus (pass tokenized_df) — the index path reads the v6 "
+                "positional stream instead"
+            )
+        match = tokenized_df.filter(
+            phrase_match_col(F.col("tokens"), ph)
+        ).select("doc_id")
+        out = out.join(match, "doc_id", "left_semi")
     if parsed.exclude:
         bad = (
             postings_df.filter(F.col("term").isin(list(parsed.exclude)))
@@ -144,8 +173,13 @@ def search_relational(
     stats: CollectionStats,
     parsed: ParsedQuery,
     k: int = DEFAULT_TOP_K,
+    tokenized_df: DataFrame | None = None,
 ) -> DataFrame:
-    """Full Q1→Q7 pipeline over long-form postings -> (doc_id, score)."""
+    """Full Q1→Q7 pipeline over long-form postings -> (doc_id, score).
+    ``tokenized_df``: (doc_id, tokens) — required only for phrase
+    queries on this no-index path."""
     scored = score_postings(postings_df, term_stats_df, doc_stats_df, stats, parsed)
-    scored = apply_doc_filters(scored, postings_df, source_df, parsed)
+    scored = apply_doc_filters(
+        scored, postings_df, source_df, parsed, tokenized_df=tokenized_df
+    )
     return top_k(scored, k)

@@ -67,6 +67,11 @@ PACKED_SCHEMA = StructType(
         StructField("doc_ids", BinaryType(), False),
         StructField("tfs", BinaryType(), False),
         StructField("dls", BinaryType(), False),
+        # v6 positional stream: plain-varint 1-based token positions,
+        # grouped per posting (substream lengths = the tfs stream), or
+        # b"" when the index is built without positions — phrase queries
+        # need it, everything else ignores it
+        StructField("poss", BinaryType(), False),
         # segment-level block_max is PROVISIONAL (zeros when packed before
         # avgdl is known — the one-pass build); the merge recomputes real
         # block maxima and only the MERGED index is WAND-queried
@@ -92,9 +97,12 @@ def _pack_group(
     tfs: np.ndarray,
     dls: np.ndarray,
     avgdl: float | None,
+    positions: np.ndarray | None = None,
 ) -> dict:
     """Encode one (seg_id, term) posting run. doc_ids pre-sorted unique.
-    avgdl=None -> provisional zero block maxima (merge recomputes)."""
+    avgdl=None -> provisional zero block maxima (merge recomputes).
+    ``positions``: flat per-posting position substreams (lengths = tfs)
+    for the v6 positional stream; None -> non-positional (b"")."""
     n = doc_ids.size
     if n > 1 and not np.all(doc_ids[1:] > doc_ids[:-1]):
         # fail fast: duplicates here mean two documents share a doc_id
@@ -119,9 +127,30 @@ def _pack_group(
         "doc_ids": codec.encode_doc_ids(doc_ids),
         "tfs": codec.encode_tfs(tfs),
         "dls": codec.encode_tfs(dls),
+        "poss": b"" if positions is None else codec.encode_tfs(positions),
         "block_last": block_last.astype(np.int64).tolist(),
         "block_max": block_max.tolist(),
     }
+
+
+def _gather_substreams(
+    flat: np.ndarray, counts: np.ndarray, perm: np.ndarray
+) -> np.ndarray:
+    """Reorder variable-length per-posting substreams of ``flat``
+    (lengths = ``counts``) by the posting permutation ``perm`` —
+    vectorized grouped gather, no per-posting Python loop."""
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    l2 = counts[perm]
+    e2 = np.cumsum(l2)
+    if e2.size == 0 or e2[-1] == 0:
+        return flat[:0]
+    idx = (
+        np.arange(e2[-1], dtype=np.int64)
+        - np.repeat(e2 - l2, l2)
+        + np.repeat(starts[perm], l2)
+    )
+    return flat[idx]
 
 
 def _group_bounds(*key_arrays: np.ndarray) -> np.ndarray:
@@ -176,12 +205,28 @@ def _pack_frame(pdf: pd.DataFrame, starts: np.ndarray, avgdl: float) -> pd.DataF
     segs = pdf["seg_id"].to_numpy()
     terms = pdf["term"].to_numpy()
     ends = np.append(starts[1:], doc_ids.size)
-    rows = [
-        _pack_group(
-            segs[s], terms[s], doc_ids[s:e], tfs[s:e], dls[s:e], avgdl
-        )
-        for s, e in zip(starts, ends)
-    ]
+    if "poss" in pdf.columns:
+        # long postings carrying per-posting position lists (v6 — the
+        # compaction rebuild path): re-pack each group's flat stream
+        pos_cells = pdf["poss"].to_numpy(object)
+        rows = [
+            _pack_group(
+                segs[s], terms[s], doc_ids[s:e], tfs[s:e], dls[s:e], avgdl,
+                np.concatenate(
+                    [np.asarray(c, dtype=np.int64) for c in pos_cells[s:e]]
+                )
+                if e > s
+                else np.empty(0, np.int64),
+            )
+            for s, e in zip(starts, ends)
+        ]
+    else:
+        rows = [
+            _pack_group(
+                segs[s], terms[s], doc_ids[s:e], tfs[s:e], dls[s:e], avgdl
+            )
+            for s, e in zip(starts, ends)
+        ]
     return pd.DataFrame(rows, columns=[f.name for f in PACKED_SCHEMA.fields])
 
 
@@ -226,6 +271,8 @@ def make_merge_iter(include_bucket: bool = False):
     def merge_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry: pd.DataFrame | None = None
         for pdf in batches:
+            if "poss" not in pdf.columns:  # pre-v6 packed runs
+                pdf = pdf.assign(poss=b"")
             if carry is not None:
                 pdf = pd.concat([carry, pdf], ignore_index=True)
                 carry = None
@@ -294,6 +341,7 @@ def _merge_frame(
                 "doc_ids": r0["doc_ids"],
                 "tfs": r0["tfs"],
                 "dls": r0["dls"],
+                "poss": _poss_bytes(r0["poss"]),
                 "block_last": np.asarray(r0["block_last"], dtype=np.int64).tolist(),
                 "block_max": _recompute_block_max(
                     tfs1, dls1, float(r0["avgdl"]), bstarts
@@ -306,10 +354,32 @@ def _merge_frame(
         doc_ids = np.concatenate([codec.decode_doc_ids(b) for b in g["doc_ids"]])
         tfs = np.concatenate([codec.decode_tfs(b) for b in g["tfs"]])
         dls = np.concatenate([codec.decode_tfs(b) for b in g["dls"]])
+        poss_list = [_poss_bytes(b) for b in g["poss"]]
+        poss_out = b"".join(poss_list)  # run-order concat == posting order
+        if poss_out and any(
+            len(b) == 0 and int(st) > 0
+            for b, st in zip(poss_list, g["sum_tf"], strict=False)
+        ):
+            raise ValueError(
+                f"positional stream out of sync for term={g['term'].iloc[0]!r}: "
+                f"a scoring run with sum_tf>0 carries no positions — mixing "
+                f"positional and non-positional runs of one index is unsupported"
+            )
         if not np.all(doc_ids[1:] > doc_ids[:-1]):
             # batch builds produce disjoint presorted ranges (pure concat);
             # streaming epochs may interleave ranges -> k-way sort-merge
             order = np.argsort(doc_ids, kind="mergesort")
+            if poss_out:
+                # per-posting position substreams ride the same permutation
+                flat = np.concatenate([codec.decode_tfs(b) for b in poss_list])
+                if flat.size != int(tfs.sum()):
+                    raise ValueError(
+                        f"positional stream out of sync for term="
+                        f"{g['term'].iloc[0]!r}: {flat.size} positions vs "
+                        f"sum(tf)={int(tfs.sum())} — mixing positional and "
+                        f"non-positional runs of one index is unsupported"
+                    )
+                poss_out = codec.encode_tfs(_gather_substreams(flat, tfs, order))
             doc_ids, tfs, dls = doc_ids[order], tfs[order], dls[order]
             if not np.all(doc_ids[1:] > doc_ids[:-1]):
                 pos = int(np.nonzero(~(doc_ids[1:] > doc_ids[:-1]))[0][0])
@@ -337,6 +407,7 @@ def _merge_frame(
             "doc_ids": codec.encode_doc_ids(doc_ids.astype(np.uint64)),
             "tfs": codec.encode_tfs(tfs),
             "dls": codec.encode_tfs(dls),
+            "poss": poss_out,
             "block_last": doc_ids[
                 np.minimum(block_starts + BLOCK_SIZE - 1, n - 1)
             ].astype(np.int64).tolist(),
@@ -363,6 +434,11 @@ def _merge_frame(
     return pd.DataFrame(out, columns=[f.name for f in schema.fields])
 
 
+def _poss_bytes(b) -> bytes:
+    """Normalize a positions cell (bytes/bytearray/None) to bytes."""
+    return b"" if b is None else bytes(b)
+
+
 MERGED_SCHEMA = StructType(
     [
         StructField("term", StringType(), False),
@@ -373,6 +449,7 @@ MERGED_SCHEMA = StructType(
         StructField("doc_ids", BinaryType(), False),
         StructField("tfs", BinaryType(), False),
         StructField("dls", BinaryType(), False),
+        StructField("poss", BinaryType(), False),  # v6 positions (b"" = none)
         StructField("block_last", ArrayType(LongType()), False),
         StructField("block_max", ArrayType(DoubleType()), False),
     ]
@@ -469,6 +546,7 @@ def pack_from_source(
     num_partitions: int | None = None,
     n_docs: int | None = None,
     attr_cols: "str | tuple[str, ...] | list[str] | None" = None,
+    positions: bool = False,
 ) -> DataFrame:
     """ONE-PASS segment build: docs -> packed runs, no intermediate
     postings materialization (the shape xsearch itself uses — a shard
@@ -518,6 +596,11 @@ def pack_from_source(
     can never pass its filter). Zero-token docs still emit their
     synthetic postings (membership in an allowlist is independent of
     having scorable terms).
+
+    ``positions`` (index layout v6): pack the 1-based token-stream
+    position of every occurrence into the ``poss`` varint stream
+    (per-posting substreams, lengths = tf) — the input of phrase-query
+    adjacency. Off by default: positions roughly double posting bytes.
     """
     attrs: tuple[str, ...] = (
         (attr_cols,) if isinstance(attr_cols, str) else tuple(attr_cols or ())
@@ -533,7 +616,9 @@ def pack_from_source(
     def pack_docs_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from xsearch_spark.operators.build import count_batch
 
-        acc: dict[str, list] = {"terms": [], "ids": [], "tfs": [], "dls": []}
+        acc: dict[str, list] = {
+            "terms": [], "ids": [], "tfs": [], "dls": [], "pos": []
+        }
         cur_seg: int | None = None
 
         def flush() -> pd.DataFrame:
@@ -541,7 +626,10 @@ def pack_from_source(
             ids = np.concatenate(acc["ids"])
             tfs = np.concatenate(acc["tfs"])
             dls = np.concatenate(acc["dls"])
-            acc["terms"], acc["ids"], acc["tfs"], acc["dls"] = [], [], [], []
+            pos = np.concatenate(acc["pos"]) if positions else None
+            acc["terms"], acc["ids"], acc["tfs"], acc["dls"], acc["pos"] = (
+                [], [], [], [], []
+            )
             # group by term WITHOUT a string sort: factorize to codes and
             # lexsort ints; group order inside a file is irrelevant (the
             # merge re-sorts), parquet stats come from the merged index
@@ -551,17 +639,34 @@ def pack_from_source(
             starts = _group_bounds(codes)
             ends = np.append(starts[1:], codes.size)
             uniq = np.asarray(uniques, dtype=object)
-            rows = [
-                _pack_group(cur_seg, uniq[codes[s]], ids_s[s:e], tfs_s[s:e], dls_s[s:e], None)
-                for s, e in zip(starts, ends)
-            ]
+            if positions:
+                # the per-posting position substreams ride the same perm;
+                # cumtf gives each sorted posting's substream boundaries
+                pos_s = _gather_substreams(pos, tfs, order)
+                cumtf = np.concatenate([[0], np.cumsum(tfs_s)])
+                rows = [
+                    _pack_group(
+                        cur_seg, uniq[codes[s]], ids_s[s:e], tfs_s[s:e],
+                        dls_s[s:e], None, pos_s[cumtf[s]:cumtf[e]],
+                    )
+                    for s, e in zip(starts, ends)
+                ]
+            else:
+                rows = [
+                    _pack_group(cur_seg, uniq[codes[s]], ids_s[s:e], tfs_s[s:e], dls_s[s:e], None)
+                    for s, e in zip(starts, ends)
+                ]
             return pd.DataFrame(rows, columns=[f.name for f in PACKED_SCHEMA.fields])
 
         for pdf in batches:
             if pdf.empty:
                 continue
             b_ids = pdf[doc_id_col].to_numpy(np.int64)
-            res = count_batch(pdf[text_col], b_ids, variant)
+            res = count_batch(pdf[text_col], b_ids, variant, with_positions=positions)
+            pos_flat = None
+            if res is not None and positions:
+                pos_flat = res[4]
+                res = res[:4]
             if attrs:
                 syn_t_parts: list[np.ndarray] = []
                 syn_i_parts: list[np.ndarray] = []
@@ -589,14 +694,25 @@ def pack_from_source(
                 # re-establish doc-contiguity so the seg-change flush sees
                 # each segment once per batch (stable: real before synthetic)
                 order = np.argsort(ids, kind="stable")
+                if positions:
+                    # synthetic postings carry tf=0 -> empty substreams,
+                    # so the pre-perm counts array is just `tfs`
+                    if pos_flat is None:
+                        pos_flat = np.empty(0, np.int64)
+                    pos_flat = _gather_substreams(pos_flat, tfs, order)
                 terms, ids, tfs, dls = terms[order], ids[order], tfs[order], dls[order]
             else:
                 if res is None:
                     continue
                 terms, ids, tfs, dls = res
+            if positions and pos_flat is None:
+                pos_flat = np.empty(0, np.int64)
             segs = ids // docs_per_segment
             bounds = _group_bounds(segs)
             ends = np.append(bounds[1:], segs.size)
+            cumtf = (
+                np.concatenate([[0], np.cumsum(tfs)]) if positions else None
+            )
             for s, e in zip(bounds, ends):
                 seg = int(segs[s])
                 if cur_seg is not None and seg != cur_seg and acc["terms"]:
@@ -606,6 +722,8 @@ def pack_from_source(
                 acc["ids"].append(ids[s:e])
                 acc["tfs"].append(tfs[s:e])
                 acc["dls"].append(dls[s:e])
+                if positions:
+                    acc["pos"].append(pos_flat[cumtf[s]:cumtf[e]])
         if acc["terms"]:
             yield flush()
 
@@ -619,7 +737,11 @@ def pack_from_source(
     return docs.drop("_chunk").mapInPandas(pack_docs_iter, PACKED_SCHEMA)
 
 
-def decode_postings(packed: DataFrame, include_attrs: bool = False) -> DataFrame:
+def decode_postings(
+    packed: DataFrame,
+    include_attrs: bool = False,
+    include_positions: bool = False,
+) -> DataFrame:
     """Q3: mirror of the packing codec — packed runs back to long form.
     Vectorized: one NumPy concat per Arrow batch, never per-posting
     Python. A v4 index's denormalized ``df`` column is carried through
@@ -629,15 +751,18 @@ def decode_postings(packed: DataFrame, include_attrs: bool = False) -> DataFrame
     Synthetic attribute runs (v5, tf=0 filter carriers) are excluded by
     default — they are not document postings; ``include_attrs=True``
     keeps them (compaction's decode->rebuild path must carry the
-    attribute lists through to the new index)."""
+    attribute lists through to the new index). ``include_positions``
+    (v6): add a ``poss`` array<long> column (per-posting position list)
+    so compaction's rebuild re-packs the positional stream too."""
     if not include_attrs:
         packed = packed.filter(~F.col("term").startswith(ATTR_TERM_PREFIX))
     with_df = "df" in packed.columns
-    schema = (
-        StructType(LONG_SCHEMA.fields + [StructField("df", LongType(), False)])
-        if with_df
-        else LONG_SCHEMA
-    )
+    fields = list(LONG_SCHEMA.fields)
+    if with_df:
+        fields.append(StructField("df", LongType(), False))
+    if include_positions:
+        fields.append(StructField("poss", ArrayType(LongType()), False))
+    schema = StructType(fields)
 
     def decode_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -656,6 +781,69 @@ def decode_postings(packed: DataFrame, include_attrs: bool = False) -> DataFrame
             }
             if with_df:
                 cols["df"] = np.repeat(pdf["df"].to_numpy(np.int64), lens)
-            yield pd.DataFrame(cols)
+            out = pd.DataFrame(cols)
+            if include_positions:
+                per_post: list[np.ndarray] = []
+                for t_arr, b in zip(tfs, pdf["poss"]):
+                    flat = codec.decode_tfs(_poss_bytes(b)).astype(np.int64)
+                    if flat.size != int(t_arr.sum()):
+                        raise ValueError(
+                            "include_positions on an index row without a "
+                            "positional stream — build with positions=True"
+                        )
+                    per_post.extend(np.split(flat, np.cumsum(t_arr)[:-1]))
+                out["poss"] = pd.Series(per_post, dtype=object)
+            yield out
 
     return packed.mapInPandas(decode_iter, schema)
+
+
+POSITIONS_SCHEMA = StructType(
+    [
+        StructField("term", StringType(), False),
+        StructField("doc_id", LongType(), False),
+        StructField("pos", LongType(), False),
+    ]
+)
+
+
+def decode_positions(packed: DataFrame) -> DataFrame:
+    """v6: packed positional runs -> long (term, doc_id, pos) rows, one
+    per token OCCURRENCE (1-based position in the analyzer's emitted
+    stream) — the relational input of phrase adjacency (a phrase match
+    is a k-way self-equijoin on (doc_id, pos + offset)). Vectorized like
+    :func:`decode_postings`; synthetic attr runs carry tf=0 and emit
+    nothing. Raises if a scoring run lacks positions (the index was
+    built without ``positions=True``)."""
+    packed = packed.filter(~F.col("term").startswith(ATTR_TERM_PREFIX))
+
+    def decode_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = [codec.decode_doc_ids(b) for b in pdf["doc_ids"]]
+            tfs = [codec.decode_tfs(b) for b in pdf["tfs"]]
+            poss = [codec.decode_tfs(_poss_bytes(b)) for b in pdf["poss"]]
+            for i, (t, p) in enumerate(zip(tfs, poss)):
+                if p.size != int(t.sum()):
+                    raise ValueError(
+                        f"index row for term={pdf['term'].iloc[i]!r} has "
+                        f"{p.size} positions for sum(tf)={int(t.sum())} — "
+                        f"build the index with positions=True to serve "
+                        f"phrase queries"
+                    )
+            row_tf = np.concatenate(tfs).astype(np.int64)
+            row_ids = np.concatenate(ids).astype(np.int64)
+            run_lens = np.array([a.size for a in ids])
+            cols = {
+                "term": np.repeat(
+                    np.repeat(pdf["term"].to_numpy(), run_lens), row_tf
+                ),
+                "doc_id": np.repeat(row_ids, row_tf),
+                "pos": np.concatenate(poss).astype(np.int64)
+                if poss
+                else np.empty(0, np.int64),
+            }
+            yield pd.DataFrame(cols)
+
+    return packed.mapInPandas(decode_iter, POSITIONS_SCHEMA)

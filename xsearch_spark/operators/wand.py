@@ -114,9 +114,12 @@ def score_shard(
     k: int,
     exclude_lists: list[np.ndarray] | None = None,
     allowed: np.ndarray | None = None,
+    pos_lists: dict[str, tuple] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact local top-k for one shard. ``lists``: term -> (doc_ids, tfs,
-    dls); ``blocks``: term -> (block_last, block_max_factor)."""
+    dls); ``blocks``: term -> (block_last, block_max_factor);
+    ``pos_lists`` (v6): term -> (doc_ids, flat_positions, offsets) for
+    phrase adjacency."""
     present = [t for t in parsed.terms if t in lists]
     if not present:
         return np.empty(0, np.int64), np.empty(0, np.float64)
@@ -135,10 +138,67 @@ def score_shard(
             present, lists, blocks, idfs, avgdl, k, exclude_lists, allowed
         )
     cand = _apply_filters(cand, exclude_lists, allowed)
+    if getattr(parsed, "phrases", ()):
+        cand = _phrase_filter(cand, parsed.phrases, pos_lists or {})
     if cand.size == 0:
         return np.empty(0, np.int64), np.empty(0, np.float64)
     scores, _ = _gather_scores(cand, {t: lists[t] for t in present}, idfs, avgdl)
     return _local_topk(cand, scores, k)
+
+
+_POS_KEY_BASE = np.int64(1) << np.int64(32)
+
+
+def _phrase_filter(
+    cand: np.ndarray,
+    phrases: tuple[tuple[str, ...], ...],
+    pos_lists: dict[str, tuple],
+) -> np.ndarray:
+    """Keep candidates containing every phrase: doc matches phrase
+    (t_0..t_{m-1}) iff the intersection over j of the shifted position
+    sets {(doc, pos - j) : pos in positions(t_j, doc)} is non-empty —
+    one vectorized composite-key ``np.intersect1d`` chain across ALL
+    candidates at once, no per-doc Python loop. Keys are
+    local_doc_index * 2^32 + (pos - j + 64) (positions are 1-based and
+    phrase length << 64, so the offset keeps keys positive)."""
+    for ph in phrases:
+        if cand.size == 0:
+            return cand
+        keys = None
+        for j, t in enumerate(ph):
+            pl = pos_lists.get(t)
+            if pl is None:  # term absent from this shard: no match here
+                return np.empty(0, np.int64)
+            ids_t, flat_t, off_t = pl
+            idx = np.searchsorted(ids_t, cand)
+            idx_c = np.minimum(idx, ids_t.size - 1)
+            if not ((idx < ids_t.size) & (ids_t[idx_c] == cand)).all():
+                # AND semantics guarantee every candidate holds every
+                # phrase term — a miss means caller wiring is broken
+                raise ValueError(
+                    f"phrase term {t!r} missing from a candidate's postings"
+                )
+            starts = off_t[idx]
+            cnts = off_t[idx + 1] - off_t[idx]
+            ends = np.cumsum(cnts)
+            total = int(ends[-1]) if ends.size else 0
+            gather = (
+                np.arange(total, dtype=np.int64)
+                - np.repeat(ends - cnts, cnts)
+                + np.repeat(starts, cnts)
+            )
+            pos_c = flat_t[gather]
+            drep = np.repeat(np.arange(cand.size, dtype=np.int64), cnts)
+            keys_t = drep * _POS_KEY_BASE + (pos_c - j + 64)
+            keys = (
+                keys_t
+                if keys is None
+                else np.intersect1d(keys, keys_t, assume_unique=True)
+            )
+            if keys.size == 0:
+                return np.empty(0, np.int64)
+        cand = cand[np.unique(keys // _POS_KEY_BASE)]
+    return cand
 
 
 def _apply_filters(
@@ -238,10 +298,14 @@ def _assemble_shard(
     exclude_terms: set[str],
     avgdl: float,
     attr_terms: set[str] | frozenset[str] = frozenset(),
-) -> tuple[dict, dict, list[np.ndarray], dict[str, int], dict[str, np.ndarray]]:
+    position_terms: set[str] | frozenset[str] = frozenset(),
+) -> tuple:
     """Decode one shard's index rows into per-term posting arrays.
 
-    Returns (lists, blocks, exclude_lists, dfs, attr_lists). ``dfs`` is
+    Returns (lists, blocks, exclude_lists, dfs, attr_lists, pos_lists).
+    ``pos_lists`` (v6, only for ``position_terms`` — phrase members) maps
+    term -> (doc_ids, flat_positions, offsets) where posting i's
+    positions are ``flat[offsets[i]:offsets[i+1]]``. ``dfs`` is
     the global per-term df read from the v4 index rows (every row of a
     term carries the same collection-wide value, stamped at merge time)
     — this is what lets a warm query compute idf executor-side with zero
@@ -268,6 +332,7 @@ def _assemble_shard(
     dfs: dict[str, int] = {}
     attr_acc: dict[str, list[np.ndarray]] = {}
     has_df = "df" in g.columns
+    has_poss = "poss" in g.columns
     for r in g.itertuples(index=False):
         ids = codec.decode_doc_ids(r.doc_ids).astype(np.int64)
         if r.term in exclude_terms:
@@ -278,6 +343,9 @@ def _assemble_shard(
             continue
         if has_df:
             dfs[r.term] = dfs.get(r.term, 0) + int(r.df)
+        poss_b = (
+            bytes(r.poss) if has_poss and r.term in position_terms and r.poss else b""
+        )
         acc.setdefault(r.term, []).append(
             (
                 ids,
@@ -285,13 +353,18 @@ def _assemble_shard(
                 codec.decode_tfs(r.dls).astype(np.int64),
                 np.asarray(r.block_last, dtype=np.int64),
                 np.asarray(r.block_max, dtype=np.float64),
+                poss_b,
             )
         )
     lists: dict[str, tuple] = {}
     blocks: dict[str, tuple] = {}
+    pos_lists: dict[str, tuple] = {}
     for t, runs in acc.items():
+        flat = None
         if len(runs) == 1:
-            ids, tfs, dls, bl, bm = runs[0]
+            ids, tfs, dls, bl, bm, poss_b = runs[0]
+            if t in position_terms:
+                flat = codec.decode_tfs(poss_b).astype(np.int64)
         else:
             if has_df:
                 raise ValueError(
@@ -306,8 +379,18 @@ def _assemble_shard(
             ids = np.concatenate([r[0] for r in runs])
             tfs = np.concatenate([r[1] for r in runs])
             dls = np.concatenate([r[2] for r in runs])
+            if t in position_terms:
+                flat = np.concatenate(
+                    [codec.decode_tfs(r[5]) for r in runs]
+                ).astype(np.int64)
             if not np.all(ids[1:] > ids[:-1]):
                 order = np.argsort(ids, kind="mergesort")
+                if flat is not None and flat.size:
+                    from xsearch_spark.operators.segments import (
+                        _gather_substreams,
+                    )
+
+                    flat = _gather_substreams(flat, tfs, order)
                 ids, tfs, dls = ids[order], tfs[order], dls[order]
                 if not np.all(ids[1:] > ids[:-1]):
                     raise ValueError(
@@ -319,15 +402,41 @@ def _assemble_shard(
             bm = np.maximum.reduceat(_bm25_factor(tfs, dls, avgdl), starts)
         lists[t] = (ids, tfs, dls)
         blocks[t] = (bl, bm)
+        if t in position_terms:
+            if flat is None or flat.size != int(tfs.sum()):
+                raise ValueError(
+                    f"phrase query needs positions for term={t!r} but the "
+                    f"index rows carry none — build with positions=True "
+                    f"(index layout v6)"
+                )
+            pos_lists[t] = (
+                ids,
+                flat,
+                np.concatenate([[0], np.cumsum(tfs)]).astype(np.int64),
+            )
     attr_lists: dict[str, np.ndarray] = {}
     for t, runs_a in attr_acc.items():
         ids_a = runs_a[0] if len(runs_a) == 1 else np.sort(np.concatenate(runs_a))
         attr_lists[t] = ids_a
-    return lists, blocks, ex_lists, dfs, attr_lists
+    return lists, blocks, ex_lists, dfs, attr_lists, pos_lists
 
 
 _EMPTY_TOPK = {"doc_id": np.empty(0, np.int64), "score": np.empty(0, np.float64)}
 _EMPTY_I64 = np.empty(0, np.int64)
+
+
+def _phrase_terms(built, parsed: ParsedQuery) -> frozenset[str]:
+    """The union of phrase-member terms (v6). Raises unless the index
+    carries the positional stream — a phrase cannot be served without
+    it, and falling back to a source scan would be the 10^12-doc
+    anti-pattern."""
+    terms = {t for ph in getattr(parsed, "phrases", ()) for t in ph}
+    if terms and not getattr(built, "has_positions", False):
+        raise ValueError(
+            "phrase query requires an index built with positions=True "
+            "(index layout v6 positional stream)"
+        )
+    return frozenset(terms)
 
 
 def _attr_filter_terms(built, parsed: ParsedQuery) -> list[str]:
@@ -432,6 +541,7 @@ def search_wand(
     lang_term = attr_term("lang", parsed.lang) if use_attr_lang else None
     extra_attr_terms = _attr_filter_terms(built, parsed)
     required_attr_terms = ([lang_term] if lang_term else []) + extra_attr_terms
+    phrase_terms = _phrase_terms(built, parsed)
     scan_terms = all_terms + required_attr_terms
     rows = pruned_index_scan(built.index_df, scan_terms, built.num_buckets)
     row_df = "df" in rows.columns
@@ -455,8 +565,8 @@ def search_wand(
         # otherwise decode huge allowlists in shards the term never hits)
         if not g["term"].isin(positive_terms).any():
             return pd.DataFrame(_EMPTY_TOPK)
-        lists, blocks, ex_lists, dfs, attr_lists = _assemble_shard(
-            g, exclude_terms, avgdl, attr_set
+        lists, blocks, ex_lists, dfs, attr_lists, pos_lists = _assemble_shard(
+            g, exclude_terms, avgdl, attr_set, phrase_terms
         )
         # AND-intersect every index-side attr allowlist into `allowed`
         # (which may already hold the pre-v5 cogroup lang allowlist)
@@ -475,7 +585,7 @@ def search_wand(
             else static_idfs
         )
         ids_out, scores_out = score_shard(
-            lists, blocks, idfs, avgdl, parsed, k, ex_lists, allowed
+            lists, blocks, idfs, avgdl, parsed, k, ex_lists, allowed, pos_lists
         )
         return pd.DataFrame({"doc_id": ids_out, "score": scores_out})
 
@@ -583,6 +693,10 @@ def search_wand_batch(
     # generic field:value filters per query (round-5): index-side only
     q_attr_terms = {qid: _attr_filter_terms(built, p) for qid, p in queries.items()}
     extra_attr_union = sorted({t for ts in q_attr_terms.values() for t in ts})
+    # phrase members per batch (v6): decode positions once for the union
+    phrase_terms_all = frozenset(
+        t for p in queries.values() for t in _phrase_terms(built, p)
+    )
     scan_terms = all_terms + sorted(lang_terms.values()) + extra_attr_union
     rows = pruned_index_scan(built.index_df, scan_terms, built.num_buckets)
     n_docs, avgdl = built.n_docs, built.avgdl
@@ -603,8 +717,8 @@ def search_wand_batch(
             )
         out = []
         # decode once per UNION of terms; slice per query
-        lists, blocks, _, dfs, attr_lists = _assemble_shard(
-            g, set(), avgdl, attr_set
+        lists, blocks, _, dfs, attr_lists, pos_lists = _assemble_shard(
+            g, set(), avgdl, attr_set, phrase_terms_all
         )
         if use_attr_lang:
             allowed_by_lang = {
@@ -631,7 +745,7 @@ def search_wand_batch(
                     else np.intersect1d(allowed, lst, assume_unique=True)
                 )
             ids_out, scores_out = score_shard(
-                q_lists, q_blocks, idfs, avgdl, p, k, ex, allowed
+                q_lists, q_blocks, idfs, avgdl, p, k, ex, allowed, pos_lists
             )
             out.append(
                 pd.DataFrame(
@@ -743,14 +857,37 @@ def search_index_relational(
         )
         for t in _attr_filter_terms(built, parsed)
     ]
+    # phrases are served index-side below (positional stream), so the
+    # generic filter application must not see them
+    import dataclasses
+
     scored = rel.apply_doc_filters(
         scored,
         long_postings,
         source_df,
-        parsed,
+        dataclasses.replace(parsed, phrases=()),
         allowed_df=allowed_df,
         attr_allowed_dfs=attr_allowed_dfs or None,
     )
+    # phrase adjacency (v6), declaratively: decode (term, doc_id, pos)
+    # for the phrase members and express "consecutive positions" as a
+    # k-way semi-join chain on (doc_id, pos + offset) — the relational
+    # statement of what the scorer's composite-key intersection computes
+    if _phrase_terms(built, parsed):
+        for ph in parsed.phrases:
+            rows_p = pruned_index_scan(
+                built.index_df, sorted(set(ph)), built.num_buckets
+            )
+            posr = seg.decode_positions(rows_p)
+            anchors = posr.filter(F.col("term") == ph[0]).select("doc_id", "pos")
+            for j in range(1, len(ph)):
+                nxt = posr.filter(F.col("term") == ph[j]).select(
+                    "doc_id", (F.col("pos") - j).alias("pos")
+                )
+                anchors = anchors.join(nxt, ["doc_id", "pos"], "left_semi")
+            scored = scored.join(
+                anchors.select("doc_id").distinct(), "doc_id", "left_semi"
+            )
     if tombstones is not None:
         scored = scored.join(
             F.broadcast(tombstones.select("doc_id")), "doc_id", "left_anti"

@@ -161,6 +161,11 @@ def bm25_code_sql(
     AND terms). ``derived_compounds``: run over the snake_case-fused
     derived table (the code-shaped stand-in corpus)."""
     table_expr = compound_documents_sql(table) if derived_compounds else table
+    if getattr(parsed, "phrases", ()):
+        raise ValueError(
+            "phrase oracle is base-variant only: the code analyzer's "
+            "token emission order is not reproducible in this SQL form"
+        )
     if not parsed.terms:
         return "SELECT doc_id, 0.0::DOUBLE AS score FROM documents WHERE false"
     terms_list = ", ".join(_sql_quote(t) for t in parsed.terms)
@@ -243,20 +248,51 @@ def bm25_sql(
             f"WHERE term IN ({ex_list}))"
         )
     extra = f"AND ({extra_doc_pred})" if extra_doc_pred else ""
+    phrase_filter, tarr_cte = _phrase_sql(parsed, table)
     return f"""
-WITH {corpus_ctes(table)},
+WITH {corpus_ctes(table)}{tarr_cte},
 w AS (
   SELECT tf.doc_id, {w} AS w
   FROM tf
   JOIN tdf USING (term)
   JOIN dl ON dl.doc_id = tf.doc_id
   CROSS JOIN stats s
-  WHERE tf.term IN ({terms_list}) {lang_filter} {not_filter} {extra}
+  WHERE tf.term IN ({terms_list}) {lang_filter} {not_filter} {extra} {phrase_filter}
 ),
 scored AS (SELECT doc_id, sum(w) AS raw_score FROM w GROUP BY doc_id {having})
 SELECT doc_id, round(raw_score, {R}) AS score
 FROM scored ORDER BY raw_score DESC, doc_id ASC LIMIT {k}
 """
+
+
+def _phrase_sql(parsed: ParsedQuery, table: str) -> tuple[str, str]:
+    """(predicate, extra CTE) for phrase adjacency (v6): a doc matches
+    iff some start offset i has t[i..i+k-1] equal to the phrase — the
+    declarative twin of the positional-index intersection. Base-variant
+    tokenization only (the code variant's emission order is not
+    reproducible in this SQL form)."""
+    phrases = getattr(parsed, "phrases", ())
+    if not phrases:
+        return "", ""
+    from xsearch_spark.constants import TOKEN_SPLIT_REGEX
+
+    rgx = _sql_quote(TOKEN_SPLIT_REGEX)
+    pred = ""
+    for ph in phrases:
+        k = len(ph)
+        conds = " AND ".join(
+            f"t[i + {j}] = {_sql_quote(w)}" for j, w in enumerate(ph)
+        )
+        pred += (
+            f" AND tf.doc_id IN (SELECT doc_id FROM tarr WHERE len(t) >= {k}"
+            f" AND len(list_filter(generate_series(1, len(t) - {k - 1}),"
+            f" i -> {conds})) > 0)"
+        )
+    cte = (
+        f",\ntarr AS (SELECT doc_id, list_filter(string_split_regex("
+        f"lower(text), {rgx}), x -> x <> '') AS t FROM {table})"
+    )
+    return pred, cte
 
 
 def bm25_fetch_sql(

@@ -141,7 +141,11 @@ def compact(
     # the v5 lang allowlists — are decoded too so the rebuilt index keeps
     # serving lang: filters, minus the deleted docs)
     kept = (
-        seg.decode_postings(idx, include_attrs=True)
+        seg.decode_postings(
+            idx,
+            include_attrs=True,
+            include_positions=getattr(built, "has_positions", False),
+        )
         .drop("df")
         .join(t, "doc_id", "left_anti")
     )
@@ -317,8 +321,24 @@ def compact_incremental(
             if not keep.any():
                 continue  # whole run deleted
             ids_k = ids[keep]
-            tfs_k = codec.decode_tfs(r.tfs).astype(np.int64)[keep]
+            tfs_full = codec.decode_tfs(r.tfs).astype(np.int64)
+            tfs_k = tfs_full[keep]
             dls_k = codec.decode_tfs(r.dls).astype(np.int64)[keep]
+            if getattr(r, "poss", b""):
+                # v6: the positional stream is purged with the same
+                # keep-mask (kept postings keep their substreams intact)
+                from xsearch_spark.operators.segments import (
+                    _gather_substreams,
+                )
+
+                flat = codec.decode_tfs(bytes(r.poss)).astype(np.int64)
+                row.update(
+                    poss=codec.encode_tfs(
+                        _gather_substreams(
+                            flat, tfs_full, np.nonzero(keep)[0]
+                        )
+                    )
+                )
             starts = np.arange(0, ids_k.size, BLOCK_SIZE)
             row.update(
                 n_docs=int(ids_k.size),

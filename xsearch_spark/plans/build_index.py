@@ -42,7 +42,7 @@ from xsearch_spark.plans import checkpoints as ckpt
 
 DEFAULT_NUM_BUCKETS = 64
 SEGS_PER_GROUP = 8  # seg_group = seg_id // SEGS_PER_GROUP: resume + layout unit
-INDEX_FORMAT_VERSION = 5  # bump on any on-disk layout/codec change:
+INDEX_FORMAT_VERSION = 6  # bump on any on-disk layout/codec change:
 # invalidates pre-existing checkpoints so a resume never mixes formats
 # (v3: md5-based bucket layout — see functions/buckets.py;
 #  v4: global per-term df denormalized into every index row at merge
@@ -50,7 +50,10 @@ INDEX_FORMAT_VERSION = 5  # bump on any on-disk layout/codec change:
 #  never collects the term dictionary;
 #  v5: per-doc attributes indexed as synthetic posting lists
 #  (constants.ATTR_TERM_PREFIX, tf=0/dl=0/df=0) — a lang: filter is a
-#  bucket-pruned index read, never a per-query source scan+shuffle)
+#  bucket-pruned index read, never a per-query source scan+shuffle;
+#  v6: every row carries a ``poss`` varint positional stream (b"" when
+#  built without positions=True) — phrase-query adjacency reads it
+#  through the same pruned scan)
 
 
 @dataclass
@@ -81,6 +84,8 @@ class BuiltIndex:
     # (round-4 advisor). Defaults False so ad-hoc BuiltIndex wrappers
     # take the guarded shuffled path.
     unique_term_shard: bool = False
+    # v6: rows carry the positional stream (phrase queries allowed)
+    has_positions: bool = False
     _df_cache: dict | None = field(default=None, repr=False)
 
     def has_attr(self, fld: str) -> bool:
@@ -204,6 +209,7 @@ def build_index(
     n_docs: int | None = None,
     fused_merge: bool = False,
     attr_cols: "str | tuple[str, ...] | list[str] | None" = "lang",
+    positions: bool = False,
 ) -> BuiltIndex:
     """Build the packed index. Two build topologies:
 
@@ -238,6 +244,7 @@ def build_index(
         or _fingerprint(text_col, variant, docs_per_segment, segs_per_shard, num_buckets, segs_per_group),
         INDEX_FORMAT_VERSION,
         attrs,
+        positions,
     )
     t_start = time.monotonic()
 
@@ -245,7 +252,7 @@ def build_index(
         return _build_index_fused(
             spark, source_df, out_dir, paths, fp_base, text_col, doc_id_col,
             variant, docs_per_segment, segs_per_shard, num_buckets, n_docs, t_start,
-            attrs,
+            attrs, positions,
         )
 
     # ---- stage 1+2 fused: docs -> packed segments in ONE pass ------------
@@ -283,7 +290,7 @@ def build_index(
             packed = seg.pack_from_source(
                 todo, text_col, doc_id_col, variant, docs_per_segment,
                 n_docs=len(missing) * docs_per_group if done_groups else n_docs,
-                attr_cols=attrs,
+                attr_cols=attrs, positions=positions,
             ).withColumn(
                 "seg_group", (F.col("seg_id") / F.lit(segs_per_group)).cast("long")
             )
@@ -342,6 +349,7 @@ def build_index(
                     "num_buckets": num_buckets,
                     "format_version": INDEX_FORMAT_VERSION,
                     "attr_fields": list(attrs),
+                    "positions": positions,
                 },
                 f,
             )
@@ -406,6 +414,7 @@ def build_index(
         sum_dl=int(sidecar.get("sum_dl", round(avgdl * n_docs))),
         attr_fields=tuple(sidecar.get("attr_fields", [])),
         unique_term_shard=True,
+        has_positions=bool(sidecar.get("positions", False)),
     )
 
 
@@ -424,6 +433,7 @@ def _build_index_fused(
     n_docs: int | None,
     t_start: float,
     attrs: tuple[str, ...] = (),
+    positions: bool = False,
 ) -> BuiltIndex:
     """One-lineage build: tokenize+pack (Arrow UDF) -> cached runs ->
     salted merge -> index write. See :func:`build_index` docstring."""
@@ -436,7 +446,7 @@ def _build_index_fused(
         with ckpt.StageTimer() as t:
             packed = seg.pack_from_source(
                 source_df, text_col, doc_id_col, variant, docs_per_segment,
-                n_docs=n_docs, attr_cols=attrs,
+                n_docs=n_docs, attr_cols=attrs, positions=positions,
             ).persist(StorageLevel.MEMORY_AND_DISK)
             # one aggregate over the cached runs yields the exact avgdl
             # (sum of dl over docs == sum of tf over postings) and the
@@ -479,6 +489,7 @@ def _build_index_fused(
                     "num_buckets": num_buckets,
                     "format_version": INDEX_FORMAT_VERSION,
                     "attr_fields": list(attrs),
+                    "positions": positions,
                 },
                 f,
             )
@@ -521,6 +532,7 @@ def _build_index_fused(
         sum_dl=int(sidecar.get("sum_dl", round(avgdl * n_docs))),
         attr_fields=tuple(sidecar.get("attr_fields", [])),
         unique_term_shard=True,
+        has_positions=bool(sidecar.get("positions", False)),
     )
 
 
@@ -544,4 +556,5 @@ def load_index(spark: SparkSession, out_dir: str, num_buckets: int | None = None
         sum_dl=int(sidecar.get("sum_dl", round(avgdl * n_docs))),
         attr_fields=tuple(sidecar.get("attr_fields", [])),
         unique_term_shard=True,
+        has_positions=bool(sidecar.get("positions", False)),
     )

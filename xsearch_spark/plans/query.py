@@ -13,6 +13,16 @@ Grammar (xsearch-style free-text term bag, plus the pinned extensions):
                             (it alone has a pre-v5 cogroup fallback);
                             other fields require an attr-indexed build.
   * ``-term``            -> NOT: exclude docs containing term
+  * ``"quoted span"``    -> PHRASE (round 5, v6 positional index): the
+                            analyzed terms must occur at consecutive
+                            positions in order. Phrase terms also join
+                            the scored term set, and a query containing
+                            any phrase is forced to AND semantics —
+                            frozen: scoring is IDENTICAL to the same
+                            query unquoted; the phrase only adds an
+                            adjacency predicate (so the naive-SQL
+                            oracle is the unquoted AND query plus a
+                            token-array adjacency filter).
 
 Driver-side only — a query is one string; nothing to distribute.
 Duplicate terms count once (FIXTURES.md §3.2).
@@ -20,12 +30,15 @@ Duplicate terms count once (FIXTURES.md §3.2).
 
 from __future__ import annotations
 
+import re
 from collections.abc import Sequence
 from dataclasses import dataclass, field
 
 from xsearch_spark.functions.tokenize import tokenize_query
 
 DEFAULT_ATTR_FIELDS: tuple[str, ...] = ("lang",)
+
+_PHRASE_RE = re.compile(r'"([^"]*)"')
 
 
 @dataclass(frozen=True)
@@ -37,6 +50,9 @@ class ParsedQuery:
     # generic (field, value) attribute filters beyond lang (v5 attr
     # postings); AND semantics with everything else
     attrs: tuple[tuple[str, str], ...] = field(default_factory=tuple)
+    # phrases (v6 positional index): each is the analyzed term sequence
+    # of one quoted span, len >= 2 (shorter spans degrade to plain terms)
+    phrases: tuple[tuple[str, ...], ...] = field(default_factory=tuple)
 
 
 def parse(
@@ -54,7 +70,21 @@ def parse(
     include: list[str] = []
     exclude: list[str] = []
     attrs: list[tuple[str, str]] = []
+    phrases: list[tuple[str, ...]] = []
     fields = set(attr_fields)
+
+    def _take_phrase(m: "re.Match[str]") -> str:
+        toks = tuple(tokenize_query(m.group(1), variant))
+        if len(toks) >= 2:
+            if toks not in phrases:
+                phrases.append(toks)
+            for t in toks:  # phrase terms are scored like bare terms
+                if t not in include:
+                    include.append(t)
+            return " "
+        return " " + m.group(1) + " "  # 0/1-term span: plain text
+
+    query = _PHRASE_RE.sub(_take_phrase, query)
     for token in query.split():
         if token == "OR":
             connective = "OR"
@@ -73,10 +103,13 @@ def parse(
             target = exclude if neg else include
             if term not in target:
                 target.append(term)
+    if phrases:
+        connective = "AND"  # frozen: phrases force conjunctive semantics
     return ParsedQuery(
         terms=tuple(include),
         connective=connective,
         lang=lang,
         exclude=tuple(exclude),
         attrs=tuple(attrs),
+        phrases=tuple(phrases),
     )

@@ -32,6 +32,8 @@ class PyRefIndex:
     lang: dict[int, str]
     # generic per-doc attributes (round-5): field -> doc_id -> value
     attrs: dict[str, dict[int, str]] | None = None
+    # per-doc emitted token stream (round-5, phrase adjacency)
+    tokens: dict[int, list[str]] | None = None
 
 
 def build(
@@ -43,8 +45,10 @@ def build(
     tokenizer = tokenize_base_py if variant == "base" else tokenize_code_py
     acc: dict[str, dict[int, int]] = {}
     dl: dict[int, int] = {}
+    streams: dict[int, list[str]] = {}
     for doc_id, text in docs:
         toks = tokenizer(text)
+        streams[doc_id] = toks
         dl[doc_id] = len(toks)
         counts: dict[str, int] = {}
         for t in toks:
@@ -58,7 +62,7 @@ def build(
         postings[t] = (ids, tfs)
     n = len(docs)
     avgdl = (sum(dl.values()) / n) if n else 0.0
-    return PyRefIndex(postings, dl, n, avgdl, langs or {}, attrs or {})
+    return PyRefIndex(postings, dl, n, avgdl, langs or {}, attrs or {}, streams)
 
 
 def _idf(n: int, df: int) -> float:
@@ -89,6 +93,16 @@ def search(index: PyRefIndex, query: str | ParsedQuery, k: int = 10, variant: st
     for fld, val in getattr(parsed, "attrs", ()):
         vals = (index.attrs or {}).get(fld, {})
         cand = [d for d in cand if vals.get(d) == val]
+    for ph in getattr(parsed, "phrases", ()):
+        want = list(ph)
+        m = len(want)
+        streams = index.tokens or {}
+
+        def _has(d: int) -> bool:
+            s = streams.get(d, [])
+            return any(s[i : i + m] == want for i in range(len(s) - m + 1))
+
+        cand = [d for d in cand if _has(d)]
     if parsed.exclude:
         banned: set[int] = set()
         for t in parsed.exclude:

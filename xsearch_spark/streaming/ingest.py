@@ -232,6 +232,9 @@ def compact_segments(
                 "num_buckets": num_buckets,
                 "format_version": INDEX_FORMAT_VERSION,
                 "attr_fields": [attr_col] if attr_col else [],
+                # the streaming pack path (build_segments over long
+                # postings) carries no positional stream
+                "positions": False,
             },
             f,
         )
