@@ -203,7 +203,9 @@ _CODE_QUERY_SET = {
 }
 
 
-# FIXTURES.md §4 reference query set (documents/base slice)
+# FIXTURES.md §4 reference query set (documents/base slice).
+# bm25_phrase (round-5) rides this set so the naive path AND both batch
+# entries (incl. phrases x tombstones) are driver-gated automatically.
 _QUERY_SET = {
     "bm25_single_rare": "hash",
     "bm25_hot_term": "the",
@@ -213,6 +215,7 @@ _QUERY_SET = {
     "bm25_not": "hash -join",
     "bm25_and4": "scan merge window sort",
     "bm25_absent_term": "zzzznotaterm",
+    "bm25_phrase": '"hash join" spark',
 }
 
 

@@ -426,6 +426,30 @@ def test_phrase_batch_equals_singles(spark, built):
         assert got.get(qid, []) == _rounded(search_wand(built, parsed)), qid
 
 
+def test_positions_survive_interleaved_merge(spark, corpus, tmp_path):
+    """Regression (found by the sf0.1 pinned bench): when the pack input
+    is already parallel enough, partial runs reach the merge
+    doc-UNSORTED and the merge takes the k-way resort path — the
+    positional substreams must ride the same permutation (and the
+    uint64 varint-decode output must not poison the gather arithmetic).
+    Force that path by feeding the build a many-partition, shuffled-
+    order source, then check phrase parity against the naive path."""
+    docs = corpus.source.repartition(8)  # >= parallelism: no exchange
+    bi = build_index(
+        spark, docs, str(tmp_path / "interleaved_pos_idx"),
+        text_col="text", variant="base",
+        docs_per_segment=128, segs_per_shard=2, num_buckets=16,
+        fused_merge=True, positions=True,
+    )
+    for q in ('"hash join" spark', '"the hash"', '"scan merge"'):
+        parsed = parse(q)
+        naive = [
+            (r["doc_id"], r["score"])
+            for r in engine.run_query(corpus, parsed).collect()
+        ]
+        assert naive == _rounded(search_wand(bi, parsed)), q
+
+
 def test_decode_positions_matches_tokenizer(spark, built, corpus):
     """The decoded (term, doc_id, pos) stream must equal the positions
     re-derived from the tokenizer directly (1-based emitted-stream

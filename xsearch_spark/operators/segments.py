@@ -139,6 +139,10 @@ def _gather_substreams(
     """Reorder variable-length per-posting substreams of ``flat``
     (lengths = ``counts``) by the posting permutation ``perm`` —
     vectorized grouped gather, no per-posting Python loop."""
+    # the varint decoder hands back uint64; mixed uint/int arithmetic
+    # makes np.repeat raise a safe-cast error (hit on the interleaved
+    # merge path at sf0.1 — partial pack runs arrive doc-unsorted)
+    counts = np.asarray(counts).astype(np.int64)
     ends = np.cumsum(counts)
     starts = ends - counts
     l2 = counts[perm]
