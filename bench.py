@@ -380,7 +380,19 @@ def run_scaling(sf_dir: str) -> None:
             # protocol (steal spikes would otherwise be attributed to
             # the engine); each run also records the steal%% it absorbed
             env = dict(
-                os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=str(cpus)
+                os.environ,
+                SPARK_GRAFT_SF_DIR=sf_dir,
+                SPARK_GRAFT_CPUS=str(cpus),
+                # scaling children run ONE cold build each (fresh JVM,
+                # same protocol as every prior round): the default
+                # in-process best-of-2 reports the WARM-JVM wall, which
+                # flatters the small config (JIT warmup is a larger
+                # share of its first build) and corrupts the N-vs-4N
+                # ratio — measured: 4-core docs/s jumped 1191->1580
+                # under best-of-2 while 16-core stayed ~1600.
+                SPARK_GRAFT_BUILD_ITERS=os.environ.get(
+                    "SPARK_GRAFT_SCALING_BUILD_ITERS", "1"
+                ),
             )
             cmd = [sys.executable, os.path.abspath(__file__)]
             if os.environ.get("SPARK_GRAFT_PIN") == "1":

@@ -136,6 +136,122 @@ def test_wand_equals_naive_with_filters(
         assert abs(g - w) < 1e-9
 
 
+@settings(max_examples=200, deadline=None)
+@given(
+    seed=st.integers(0, 100_000),
+    n_docs=st.integers(1, 120),
+    phrase_len=st.integers(2, 4),
+    extra_term=st.booleans(),
+    two_phrases=st.booleans(),
+)
+def test_phrase_filter_equals_stream_scan(
+    seed, n_docs, phrase_len, extra_term, two_phrases
+):
+    """v6 phrase adjacency: the scorer's shifted composite-key
+    intersection must equal a direct token-stream scan, on random
+    mini-corpora over a TINY vocab (heavy collisions, repeated-term
+    phrases like "a a b" included by construction) — the frozen
+    semantics: scoring identical to the unquoted AND query restricted
+    to adjacency survivors."""
+    rng = np.random.default_rng(seed)
+    vocab = ["a", "b", "c", "d"]
+    streams = {
+        d: [vocab[i] for i in rng.integers(0, len(vocab), rng.integers(0, 24))]
+        for d in range(n_docs)
+    }
+    # plant the phrase into a few docs so matches exist often
+    phrase = tuple(vocab[i] for i in rng.integers(0, len(vocab), phrase_len))
+    for d in rng.choice(n_docs, size=min(3, n_docs), replace=False):
+        s = streams[int(d)]
+        cut = int(rng.integers(0, len(s) + 1))
+        streams[int(d)] = s[:cut] + list(phrase) + s[cut:]
+    phrases = [phrase]
+    if two_phrases:
+        phrases.append(tuple(vocab[i] for i in rng.integers(0, len(vocab), 2)))
+    # derive lists + positional streams exactly as the index would
+    lists, pos_lists = {}, {}
+    for t in vocab:
+        ids, tfs, dls, flats = [], [], [], []
+        for d in sorted(streams):
+            pos = [i + 1 for i, w in enumerate(streams[d]) if w == t]
+            if pos:
+                ids.append(d)
+                tfs.append(len(pos))
+                dls.append(len(streams[d]))
+                flats.extend(pos)
+        if ids:
+            ids_a = np.array(ids, dtype=np.int64)
+            tfs_a = np.array(tfs, dtype=np.int64)
+            lists[t] = (ids_a, tfs_a, np.array(dls, dtype=np.int64))
+            pos_lists[t] = (
+                ids_a,
+                np.array(flats, dtype=np.int64),
+                np.concatenate([[0], np.cumsum(tfs_a)]).astype(np.int64),
+            )
+    terms = sorted({w for ph in phrases for w in ph})
+    if extra_term:
+        terms = sorted(set(terms) | {vocab[int(rng.integers(0, len(vocab)))]})
+    avgdl = max(
+        1.0, float(np.mean([len(s) for s in streams.values()])) if streams else 1.0
+    )
+    idfs = {
+        t: math.log(1 + (n_docs - len(v[0]) + 0.5) / (len(v[0]) + 0.5))
+        for t, v in lists.items()
+    }
+    parsed = ParsedQuery(
+        terms=tuple(terms), connective="AND", phrases=tuple(phrases)
+    )
+    k = 10
+    if any(t not in lists for t in terms):
+        got_ids, _ = score_shard(
+            lists, {t: (v[0][-1:], np.array([9.9])) for t, v in lists.items()},
+            idfs, avgdl, parsed, k, pos_lists=pos_lists,
+        )
+        assert got_ids.size == 0
+        return
+    blocks = {}
+    for t, (ids, tfs, dls) in lists.items():
+        starts = np.arange(0, ids.size, BLOCK_SIZE)
+        fac = tfs * (K1 + 1.0) / (tfs + K1 * (1 - B + B * dls / avgdl))
+        blocks[t] = (
+            ids[np.minimum(starts + BLOCK_SIZE - 1, ids.size - 1)],
+            np.maximum.reduceat(fac, starts),
+        )
+    got_ids, got_scores = score_shard(
+        lists, blocks, idfs, avgdl, parsed, k, pos_lists=pos_lists
+    )
+
+    # naive: AND over terms, adjacency via direct stream scan
+    def matches(d: int) -> bool:
+        s = streams[d]
+        for ph in phrases:
+            m = len(ph)
+            if not any(
+                tuple(s[i : i + m]) == ph for i in range(len(s) - m + 1)
+            ):
+                return False
+        return True
+
+    want = []
+    for d, s in streams.items():
+        if not s or not all(
+            d in lists[t][0] for t in terms
+        ) or not matches(d):
+            continue
+        score = 0.0
+        for t in terms:
+            tf = s.count(t)
+            score += idfs[t] * tf * (K1 + 1.0) / (
+                tf + K1 * (1 - B + B * len(s) / avgdl)
+            )
+        want.append((d, score))
+    want.sort(key=lambda x: (-x[1], x[0]))
+    want = want[:k]
+    assert [int(i) for i in got_ids] == [d for d, _ in want]
+    for g, (_, w) in zip(got_scores.tolist(), want):
+        assert abs(g - w) < 1e-9
+
+
 @settings(max_examples=50, deadline=None)
 @given(seed=st.integers(0, 10_000))
 def test_wand_tie_boundary(seed):
