@@ -135,6 +135,107 @@ def test_streaming_ingest_matches_batch(spark, tmp_path):
         assert got == want, qstr
 
 
+def test_streaming_positional_multiattr_index(spark, tmp_path):
+    """Round-5 streaming generality: micro-batches can pack the v6
+    positional stream AND multiple attr fields; compact_segments
+    SELF-DETECTS both from the merged rows (no config to keep in sync).
+    The compacted streamed index must serve phrase, source:, and
+    combined queries identically to the batch naive evaluation, and its
+    decoded positions must equal a batch positional build's."""
+    from xsearch_spark.streaming.ingest import compact_segments, start_ingest
+
+    docs = read_documents(spark, SF_DIR)
+    staging = str(tmp_path / "staging")
+    docs.repartition(5).write.parquet(staging)
+    root = str(tmp_path / "pos_stream_idx")
+    q = start_ingest(
+        spark, staging, root, avgdl_hint=1.0, docs_per_segment=128,
+        attr_cols=("lang", "source"), positions=True,
+    )
+    q.awaitTermination(120)
+    bi = compact_segments(
+        spark, root, segs_per_shard=2, num_buckets=8, docs_per_segment=128
+    )
+    assert bi.has_positions
+    assert sorted(bi.attr_fields) == ["lang", "source"]
+
+    corpus = engine.corpus_from_documents(spark, SF_DIR)
+    for qs in (
+        '"hash join" spark',
+        'lang:en "scan merge"',
+        "source:src3 hash OR join",
+        'source:src1 "the hash"',
+    ):
+        p = parse(qs, attr_fields=("lang", "source"))
+        got = [
+            (r["doc_id"], round(r["score"], 6))
+            for r in search_wand(bi, p).collect()  # index-only: no source
+        ]
+        want = [
+            (r["doc_id"], r["score"])
+            for r in engine.run_query(corpus, p).collect()
+        ]
+        assert got == want, qs
+
+    # positional stream parity vs a batch-built positional index
+    batch = build_index(
+        spark, docs, str(tmp_path / "pos_batch_idx"),
+        text_col="text", variant="base",
+        docs_per_segment=128, segs_per_shard=2, num_buckets=8,
+        positions=True, attr_cols=("lang", "source"),
+    )
+    def pos_set(ix):
+        return {
+            (r["term"], r["doc_id"], r["pos"])
+            for r in seg.decode_positions(ix.index_df).collect()
+        }
+    assert pos_set(bi) == pos_set(batch)
+
+
+def test_streaming_multivalue_attr(spark, tmp_path):
+    """Streaming twin of the multi-value attr path: an array<string>
+    column exploded to one DISTINCT synthetic posting per element per
+    doc inside the micro-batch; compaction self-detects the field and
+    tags: queries serve index-only, matching the naive evaluation."""
+    import os as _os
+
+    from xsearch_spark.streaming.ingest import compact_segments, process_epoch
+
+    rows = [
+        (0, "hash join scan", ["mit", "web", "mit"]),  # repeated element
+        (1, "hash the table", ["gpl"]),
+        (2, "join merge hash", None),
+        (3, "hash join the", ["mit", "gpl"]),
+        (4, "scan scan hash", []),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, tags array<string>"
+    )
+    root = str(tmp_path / "tags_stream_idx")
+    _os.makedirs(_os.path.join(root, "segments"), exist_ok=True)
+    _os.makedirs(_os.path.join(root, "epoch_stats"), exist_ok=True)
+    process_epoch(
+        spark, docs, 0, root, avgdl_hint=1.0, docs_per_segment=4,
+        attr_cols=("tags",),
+    )
+    bi = compact_segments(
+        spark, root, segs_per_shard=2, num_buckets=4, docs_per_segment=4
+    )
+    assert bi.attr_fields == ("tags",)
+    c = engine.corpus_from_df(docs, "text")
+    for q in ("tags:mit hash", "tags:gpl hash", "tags:nope hash"):
+        parsed = parse(q, attr_fields=("tags",))
+        got = [
+            (r["doc_id"], round(r["score"], 6))
+            for r in search_wand(bi, parsed).collect()
+        ]
+        want = [
+            (r["doc_id"], r["score"])
+            for r in engine.run_query(c, parsed).collect()
+        ]
+        assert got == want, q
+
+
 def test_compaction_preserves_positions(spark, tmp_path):
     """v6 positional stream survives BOTH compaction paths: incremental
     (the purge UDF drops deleted postings' substreams with the same
@@ -574,12 +675,12 @@ def test_streaming_compact_attr_claim_guard(spark, tmp_path):
     docs.repartition(3).write.parquet(staging)
     root = str(tmp_path / "noattr_sidx")
     q = start_ingest(
-        spark, staging, root, avgdl_hint=1.0, docs_per_segment=128, attr_col=None
+        spark, staging, root, avgdl_hint=1.0, docs_per_segment=128, attr_cols=None
     )
     q.awaitTermination(120)
     bi = compact_segments(
         spark, root, segs_per_shard=2, num_buckets=8, docs_per_segment=128
-    )  # attr_col defaults to "lang" — the guard must override it
+    )  # detection must find NO synthetic rows and claim no fields
     assert not bi.has_attr("lang")
     corpus = engine.corpus_from_documents(spark, SF_DIR)
     got = [

@@ -530,6 +530,62 @@ def test_generic_attr_filters_index_only(spark, built, corpus):
         search_wand(built, parse("license:mit hash", attr_fields=("license",)))
 
 
+def test_multivalue_attr_filters(spark, tmp_path, duck):
+    """Round-5 multi-value attrs: an array<string> attribute column
+    (tags/licenses) indexes one synthetic posting per DISTINCT element
+    per doc; ``tags:x`` matches membership. WAND and relational paths
+    (index-only) must agree with the naive evaluation (array_contains
+    fallback) AND with a DuckDB list_contains oracle; repeated elements
+    must not trip the duplicate-doc_id invariant."""
+    import duckdb
+
+    rows = []
+    tag_pool = ["gpl", "mit", "web", "code", "news"]
+    import random
+
+    rng = random.Random(7)
+    words = ["hash", "join", "scan", "merge", "the", "spark", "table"]
+    for d in range(120):
+        text = " ".join(rng.choice(words) for _ in range(rng.randint(3, 30)))
+        tags = [rng.choice(tag_pool) for _ in range(rng.randint(0, 4))]
+        if d % 17 == 0:
+            tags = tags + tags  # planted duplicates
+        if d % 29 == 0:
+            tags = None
+        rows.append((d, text, tags))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, tags array<string>"
+    )
+    bi = build_index(
+        spark, docs, str(tmp_path / "tags_idx"),
+        text_col="text", variant="base",
+        docs_per_segment=32, segs_per_shard=2, num_buckets=8,
+        attr_cols=("tags",),
+    )
+    assert bi.has_attr("tags")
+    c = engine.corpus_from_df(docs, "text")
+    con = duckdb.connect()
+    con.register("tagdocs", docs.toPandas())
+    for q in ("tags:mit hash", "tags:gpl hash OR join", "tags:nope hash"):
+        parsed = parse(q, attr_fields=("tags",))
+        naive = [
+            (r["doc_id"], r["score"])
+            for r in engine.run_query(c, parsed).collect()
+        ]
+        assert naive == _rounded(search_wand(bi, parsed)), q
+        assert naive == _rounded(search_index_relational(bi, parsed)), q
+        # independent DuckDB check of the allowlist semantics
+        tag = q.split()[0].split(":")[1]
+        allowed = {
+            r[0]
+            for r in con.execute(
+                "SELECT doc_id FROM tagdocs WHERE tags IS NOT NULL "
+                f"AND list_contains(tags, '{tag}')"
+            ).fetchall()
+        }
+        assert {d for d, _ in naive} <= allowed or not naive
+
+
 def test_batch_random_querysets_with_tombstones(spark, built, corpus):
     """Randomized mixed query SETS (AND/OR/NOT/lang) with tombstones:
     the batch slicing (score_all's shared _assemble_shard + per-query

@@ -131,6 +131,7 @@ def postings_with_dl_fused(
     text_col: str,
     doc_id_col: str = "doc_id",
     variant: str = "base",
+    positions: bool = False,
 ) -> DataFrame:
     """B1+B2 fused INTO the tokenizer UDF: source -> (term, doc_id, tf,
     dl) in one ``mapInPandas``, no explode, no shuffle, no JVM hash-agg.
@@ -146,11 +147,17 @@ def postings_with_dl_fused(
     Python, and the JVM only ever sees the final compact postings.
 
     Must produce exactly the rows of :func:`postings_with_dl` (tested).
+
+    ``positions`` (v6): add a ``poss`` array<long> column — the
+    per-posting 1-based position list — so a streaming micro-batch can
+    pack a positional epoch (``build_segments`` -> ``_pack_frame``
+    re-encodes it into the varint stream).
     """
     import numpy as np
     import pandas as pd
 
     from pyspark.sql.types import (
+        ArrayType,
         IntegerType,
         LongType,
         StringType,
@@ -158,26 +165,33 @@ def postings_with_dl_fused(
         StructType,
     )
 
-    schema = StructType(
-        [
-            StructField("term", StringType(), False),
-            StructField("doc_id", LongType(), False),
-            StructField("tf", IntegerType(), False),
-            StructField("dl", IntegerType(), False),
-        ]
-    )
+    fields = [
+        StructField("term", StringType(), False),
+        StructField("doc_id", LongType(), False),
+        StructField("tf", IntegerType(), False),
+        StructField("dl", IntegerType(), False),
+    ]
+    if positions:
+        fields.append(StructField("poss", ArrayType(LongType()), False))
+    schema = StructType(fields)
 
     def it(batches):
         for pdf in batches:
             if pdf.empty:
                 continue
             res = count_batch(
-                pdf[text_col], pdf[doc_id_col].to_numpy(np.int64), variant
+                pdf[text_col],
+                pdf[doc_id_col].to_numpy(np.int64),
+                variant,
+                with_positions=positions,
             )
             if res is None:
                 continue
-            terms, doc_ids, tfs, dls = res
-            yield pd.DataFrame(
+            if positions:
+                terms, doc_ids, tfs, dls, flat = res
+            else:
+                terms, doc_ids, tfs, dls = res
+            out = pd.DataFrame(
                 {
                     "term": terms,
                     "doc_id": doc_ids,
@@ -185,6 +199,11 @@ def postings_with_dl_fused(
                     "dl": dls.astype(np.int32),
                 }
             )
+            if positions:
+                out["poss"] = pd.Series(
+                    np.split(flat, np.cumsum(tfs)[:-1]), dtype=object
+                )
+            yield out
 
     out = source_df.select(doc_id_col, text_col)
     # the tokenizer must not be gated by coarse input splits (a 200 MB

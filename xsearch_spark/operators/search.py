@@ -124,10 +124,18 @@ def apply_doc_filters(
         if adf is not None:
             out = out.join(adf.select("doc_id"), "doc_id", "left_semi")
         elif source_df is not None:
+            from pyspark.sql.types import ArrayType
+
+            col_type = dict(
+                (f.name, f.dataType) for f in source_df.schema.fields
+            ).get(fld)
+            pred = (
+                F.array_contains(F.col(fld), val)
+                if isinstance(col_type, ArrayType)
+                else F.col(fld) == val
+            )  # multi-value attrs: membership, not equality
             out = out.join(
-                source_df.filter(F.col(fld) == val).select("doc_id"),
-                "doc_id",
-                "left_semi",
+                source_df.filter(pred).select("doc_id"), "doc_id", "left_semi"
             )
         else:
             raise ValueError(f"{fld}: filter requires the source table")

@@ -157,6 +157,50 @@ def _gather_substreams(
     return flat[idx]
 
 
+def _attr_pairs(vals: pd.Series, b_ids: np.ndarray, fld: str):
+    """(synthetic_terms, doc_ids) for one attribute column of a batch.
+    Scalar columns emit one pair per non-null doc; ARRAY columns
+    (round-5 multi-value attrs — tags/licenses) emit one pair per
+    DISTINCT element per doc (a repeated element must not produce a
+    duplicate (term, doc) posting — that trips the pack invariant).
+    Distinctness via the factorize+combined-key trick, no per-element
+    Python beyond the attr_term formatting."""
+    ok = vals.notna().to_numpy()
+    cells = vals[ok]
+    fld_ids = b_ids[ok]
+    if len(cells) == 0:
+        return np.empty(0, object), np.empty(0, np.int64)
+    first = cells.iloc[0]
+    if not isinstance(first, (list, tuple, np.ndarray)):
+        return (
+            np.array([attr_term(fld, v) for v in cells], dtype=object),
+            fld_ids,
+        )
+    import itertools
+
+    lens = cells.map(len).to_numpy(np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, object), np.empty(0, np.int64)
+    rep_ids = np.repeat(fld_ids, lens)
+    flat = np.fromiter(
+        itertools.chain.from_iterable(cells), dtype=object, count=total
+    )
+    keep = np.array([v is not None for v in flat], dtype=bool)
+    flat, rep_ids = flat[keep], rep_ids[keep]
+    if flat.size == 0:
+        return np.empty(0, object), np.empty(0, np.int64)
+    codes, uniques = pd.factorize(flat)
+    combined = rep_ids * np.int64(len(uniques)) + codes
+    u = np.unique(combined)
+    u_ids = (u // len(uniques)).astype(np.int64)
+    u_vals = np.asarray(uniques, dtype=object)[(u % len(uniques)).astype(np.int64)]
+    return (
+        np.array([attr_term(fld, v) for v in u_vals], dtype=object),
+        u_ids,
+    )
+
+
 def _group_bounds(*key_arrays: np.ndarray) -> np.ndarray:
     """Start indices of consecutive equal-key groups (arrays pre-sorted)."""
     n = key_arrays[0].size
@@ -675,14 +719,9 @@ def pack_from_source(
                 syn_t_parts: list[np.ndarray] = []
                 syn_i_parts: list[np.ndarray] = []
                 for fld in attrs:
-                    vals = pdf[fld]
-                    ok = vals.notna().to_numpy()
-                    syn_t_parts.append(
-                        np.array(
-                            [attr_term(fld, v) for v in vals[ok]], dtype=object
-                        )
-                    )
-                    syn_i_parts.append(b_ids[ok])
+                    f_terms, f_ids = _attr_pairs(pdf[fld], b_ids, fld)
+                    syn_t_parts.append(f_terms)
+                    syn_i_parts.append(f_ids)
                 syn_terms = np.concatenate(syn_t_parts)
                 syn_ids = np.concatenate(syn_i_parts)
                 zeros = np.zeros(syn_ids.size, np.int64)

@@ -92,7 +92,14 @@ def search(index: PyRefIndex, query: str | ParsedQuery, k: int = 10, variant: st
         cand = [d for d in cand if index.lang.get(d) == parsed.lang]
     for fld, val in getattr(parsed, "attrs", ()):
         vals = (index.attrs or {}).get(fld, {})
-        cand = [d for d in cand if vals.get(d) == val]
+
+        def _ok(d: int) -> bool:
+            v = vals.get(d)
+            if isinstance(v, (list, tuple, set, frozenset)):
+                return val in v  # multi-value attrs: membership
+            return v == val
+
+        cand = [d for d in cand if _ok(d)]
     for ph in getattr(parsed, "phrases", ()):
         want = list(ph)
         m = len(want)

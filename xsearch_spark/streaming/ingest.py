@@ -52,7 +52,8 @@ def start_ingest(
     variant: str = "base",
     text_col: str = "text",
     docs_per_segment: int = 4096,
-    attr_col: str | None = "lang",
+    attr_cols: "str | tuple[str, ...] | list[str] | None" = "lang",
+    positions: bool = False,
 ):
     """Start the streaming ingest; returns the StreamingQuery.
 
@@ -60,10 +61,14 @@ def start_ingest(
     ``compact_segments`` recomputes real maxima under the exact global
     avgdl, and only the merged index serves WAND queries.
 
-    ``attr_col`` (v5): each micro-batch also emits the synthetic
-    attribute postings (tf=0/dl=0 filter carriers) so the compacted
-    streamed index serves ``lang:`` filters from the index exactly like
-    a batch-built one; pass the same value to ``compact_segments``.
+    ``attr_cols`` (v5, field-generic since round 5): each micro-batch
+    also emits the synthetic attribute postings (tf=0/dl=0 filter
+    carriers) for every listed column, so the compacted streamed index
+    serves ``lang:``/``source:`` filters from the index exactly like a
+    batch-built one. ``positions`` (v6): micro-batches pack the
+    positional stream so the compacted streamed index serves phrase
+    queries. ``compact_segments`` self-detects both from the merged
+    rows — no configuration to keep in sync.
     """
     os.makedirs(os.path.join(index_root, "segments"), exist_ok=True)
     os.makedirs(os.path.join(index_root, "epoch_stats"), exist_ok=True)
@@ -71,7 +76,7 @@ def start_ingest(
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         process_epoch(
             spark, batch_df, epoch_id, index_root, avgdl_hint,
-            variant, text_col, docs_per_segment, attr_col,
+            variant, text_col, docs_per_segment, attr_cols, positions,
         )
 
     stream = (
@@ -96,7 +101,8 @@ def process_epoch(
     variant: str = "base",
     text_col: str = "text",
     docs_per_segment: int = 4096,
-    attr_col: str | None = "lang",
+    attr_cols: "str | tuple[str, ...] | list[str] | None" = "lang",
+    positions: bool = False,
 ) -> None:
     """One micro-batch -> its ``epoch=N`` segment directory + stats
     sidecar. Module-level (not a closure) so exactly-once re-delivery is
@@ -110,18 +116,48 @@ def process_epoch(
     if batch_df.isEmpty():
         return
     n_docs = batch_df.count()
-    post = b.postings_with_dl_fused(batch_df, text_col, "doc_id", variant)
-    if attr_col is not None and attr_col in batch_df.columns:
+    attrs = (
+        (attr_cols,) if isinstance(attr_cols, str) else tuple(attr_cols or ())
+    )
+    attrs = tuple(c for c in attrs if c in batch_df.columns)
+    post = b.postings_with_dl_fused(
+        batch_df, text_col, "doc_id", variant, positions=positions
+    )
+    from pyspark.sql.types import ArrayType
+
+    col_types = {f.name: f.dataType for f in batch_df.schema.fields}
+    for fld in attrs:
         from xsearch_spark.constants import attr_term
 
-        syn = batch_df.filter(F.col(attr_col).isNotNull()).select(
-            F.concat(
-                F.lit(attr_term(attr_col, "")), F.col(attr_col)
-            ).alias("term"),
-            F.col("doc_id").cast("long").alias("doc_id"),
-            F.lit(0).cast("int").alias("tf"),
-            F.lit(0).cast("int").alias("dl"),
-        )
+        if isinstance(col_types[fld], ArrayType):
+            # multi-value attr (tags/licenses): one synthetic posting per
+            # DISTINCT element per doc (distinct or repeated elements
+            # would trip the merge's duplicate-doc_id invariant)
+            pairs = (
+                batch_df.select(
+                    F.col("doc_id").cast("long").alias("doc_id"),
+                    F.explode(fld).alias("_v"),
+                )
+                .filter(F.col("_v").isNotNull())
+                .distinct()
+            )
+            syn = pairs.select(
+                F.concat(F.lit(attr_term(fld, "")), F.col("_v")).alias("term"),
+                "doc_id",
+                F.lit(0).cast("int").alias("tf"),
+                F.lit(0).cast("int").alias("dl"),
+            )
+        else:
+            syn = batch_df.filter(F.col(fld).isNotNull()).select(
+                F.concat(F.lit(attr_term(fld, "")), F.col(fld)).alias("term"),
+                F.col("doc_id").cast("long").alias("doc_id"),
+                F.lit(0).cast("int").alias("tf"),
+                F.lit(0).cast("int").alias("dl"),
+            )
+        if positions:  # synthetic filter carriers have no occurrences
+            syn = syn.withColumn(
+                "poss", F.array().cast("array<long>")
+            )
         post = post.unionByName(syn)
     packed = seg.build_segments(post, avgdl_hint, docs_per_segment)
     # one directory per epoch: idempotent on redelivery (exactly-once)
@@ -160,7 +196,6 @@ def compact_segments(
     segs_per_shard: int = 4,
     num_buckets: int = 32,
     docs_per_segment: int = 4096,
-    attr_col: str | None = "lang",
 ):
     """The background-merge analogue: fold all streamed epoch segments
     into a queryable merged index (B5) and return a BuiltIndex.
@@ -200,20 +235,28 @@ def compact_segments(
     shutil.rmtree(out, ignore_errors=True)
     os.replace(tmp, out)
     index_df = spark.read.parquet(out)
-    if attr_col is not None:
-        # claim attr support only if the stream actually emitted the
-        # synthetic postings (a stats.json that promises lang the index
-        # cannot serve would make every lang: query silently empty —
-        # e.g. ingest started with attr_col=None, or a pre-v5 stream)
-        from xsearch_spark.constants import ATTR_TERM_PREFIX
+    # SELF-DETECT the serveable capabilities from the merged rows (a
+    # stats.json that promises filters/phrases the index cannot serve
+    # would make those queries silently empty or raise): attr fields =
+    # the distinct \x01field: prefixes actually present; positions =
+    # any non-empty poss stream. Two tiny limit/distinct jobs at
+    # compaction time — zero config to keep in sync with the ingest.
+    from xsearch_spark.constants import ATTR_TERM_PREFIX
 
-        has_attr_rows = bool(
-            index_df.filter(F.col("term").startswith(ATTR_TERM_PREFIX))
-            .limit(1)
-            .count()
+    attr_fields = sorted(
+        r["f"]
+        for r in index_df.filter(F.col("term").startswith(ATTR_TERM_PREFIX))
+        .select(
+            F.substring_index(
+                F.expr("substring(term, 2)"), ":", 1
+            ).alias("f")
         )
-        if not has_attr_rows:
-            attr_col = None
+        .distinct()
+        .collect()
+    )
+    has_positions = bool(
+        index_df.filter(F.octet_length("poss") > 0).limit(1).count()
+    )
     ts_path = os.path.join(index_root, "term_stats")
     ts_tmp = ts_path + "_compacting"
     shutil.rmtree(ts_tmp, ignore_errors=True)
@@ -231,10 +274,8 @@ def compact_segments(
                 "segs_per_shard": segs_per_shard,
                 "num_buckets": num_buckets,
                 "format_version": INDEX_FORMAT_VERSION,
-                "attr_fields": [attr_col] if attr_col else [],
-                # the streaming pack path (build_segments over long
-                # postings) carries no positional stream
-                "positions": False,
+                "attr_fields": attr_fields,
+                "positions": has_positions,
             },
             f,
         )
@@ -249,6 +290,7 @@ def compact_segments(
         docs_per_segment=docs_per_segment,
         segs_per_shard=segs_per_shard,
         sum_dl=sum_dl,
-        attr_fields=(attr_col,) if attr_col else (),
+        attr_fields=tuple(attr_fields),
         unique_term_shard=True,
+        has_positions=has_positions,
     )
