@@ -42,6 +42,13 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # zstd for every parquet the engine writes: measured 36% fewer
+        # bytes than snappy on the ids checkpoint (the build's largest
+        # materialization — text content) at equal-or-better wall, and
+        # the host's disk-bandwidth windows are the dominant build-wall
+        # noise on this box (BENCH/BASELINE.md round-5 notes). At 100 TB
+        # this is also simply the right cold-data codec.
+        .config("spark.sql.parquet.compression.codec", "zstd")
     )
     return builder.getOrCreate()
 
