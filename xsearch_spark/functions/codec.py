@@ -77,6 +77,56 @@ def decode_varints(buf: bytes) -> np.ndarray:
     return np.bitwise_or.reduceat(contrib, starts)
 
 
+def encode_varints_segmented(values: np.ndarray, starts: np.ndarray) -> list[bytes]:
+    """Per-group LEB128 blobs for CONTIGUOUS groups of ``values`` (group
+    g = values[starts[g] : starts[g+1]], last group runs to the end) —
+    byte-identical to calling :func:`encode_varints` once per group, but
+    ONE vectorized pass over the whole batch plus a cheap bytes-slice
+    per group. This is what makes packing ~10^6 posting runs per task
+    O(vector ops + memcpy), not 10^6 codec invocations (round-5: the
+    per-run overhead, not tokenization, dominated the build wall)."""
+    starts = np.asarray(starts, dtype=np.int64)
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = v.size
+    if n == 0:
+        return [b""] * starts.size
+    mat = np.zeros((n, _MAX_VARINT_BYTES), dtype=np.uint8)
+    mask = np.zeros((n, _MAX_VARINT_BYTES), dtype=bool)
+    rem = v.copy()
+    active = np.ones(n, dtype=bool)
+    for i in range(_MAX_VARINT_BYTES):
+        if not active.any():
+            break
+        mat[active, i] = (rem[active] & _U64_0x7F).astype(np.uint8)
+        mask[active, i] = True
+        rem = rem >> _U64_7
+        active = rem > 0
+    counts = mask.sum(axis=1)
+    cont = mask.copy()
+    cont[np.arange(n), counts - 1] = False
+    mat[cont] |= 0x80
+    flat = mat[mask].tobytes()
+    byte_cum = np.concatenate([[0], np.cumsum(counts)])
+    ends = np.append(starts[1:], n)
+    bs = byte_cum[starts]
+    be = byte_cum[ends]
+    return [flat[s:e] for s, e in zip(bs.tolist(), be.tolist())]
+
+
+def encode_doc_ids_segmented(doc_ids: np.ndarray, starts: np.ndarray) -> list[bytes]:
+    """Segmented twin of :func:`encode_doc_ids`: per-group delta (first
+    value of EACH group kept absolute) + varint, one pass."""
+    starts = np.asarray(starts, dtype=np.int64)
+    d = np.ascontiguousarray(doc_ids, dtype=np.uint64)
+    if d.size == 0:
+        return [b""] * starts.size
+    deltas = d.copy()
+    deltas[1:] -= d[:-1]
+    valid = starts[starts < d.size]
+    deltas[valid] = d[valid]  # reset to absolute at every group start
+    return encode_varints_segmented(deltas, starts)
+
+
 def encode_doc_ids(doc_ids: np.ndarray) -> bytes:
     """Delta(+first-absolute) then varint encode a sorted unique run."""
     d = np.ascontiguousarray(doc_ids, dtype=np.uint64)

@@ -201,6 +201,85 @@ def _attr_pairs(vals: pd.Series, b_ids: np.ndarray, fld: str):
     )
 
 
+def _pack_groups_frame(
+    group_segs: np.ndarray,
+    group_terms: np.ndarray,
+    ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    starts: np.ndarray,
+    avgdl: float | None,
+    pos_flat: np.ndarray | None = None,
+) -> pd.DataFrame:
+    """Pack ALL (seg, term) groups of one flush in vectorized passes —
+    semantically (and byte-) identical to calling :func:`_pack_group`
+    per group, but the codec/block/metadata work is one NumPy pass each
+    plus a bytes-slice per group. Round-5 finding: per-run Python
+    overhead (~10^6 tiny codec calls + dict-row DataFrame construction),
+    not tokenization, dominated the build wall; segmented packing is
+    the fix. ``group_segs``/``group_terms``: one entry per group;
+    ``starts``: group start offsets into the posting arrays."""
+    n = ids.size
+    ends = np.append(starts[1:], n)
+    n_docs = (ends - starts).astype(np.int64)
+    # strictly-increasing invariant within every group (S2 injectivity)
+    if n > 1:
+        ok = ids[1:] > ids[:-1]
+        ok[starts[1:] - 1] = True  # group boundaries exempt
+        if not ok.all():
+            bad = int(np.nonzero(~ok)[0][0]) + 1
+            g = int(np.searchsorted(starts, bad, side="right")) - 1
+            raise ValueError(
+                f"pack invariant violated: duplicate doc_id in run for "
+                f"term={group_terms[g]!r} seg={int(group_segs[g])} "
+                f"(doc_id assignment is not injective)"
+            )
+    sum_tf = np.add.reduceat(tfs, starts).astype(np.int64)
+    doc_blobs = codec.encode_doc_ids_segmented(ids, starts)
+    tf_blobs = codec.encode_varints_segmented(tfs, starts)
+    dl_blobs = codec.encode_varints_segmented(dls, starts)
+    if pos_flat is not None:
+        cumtf = np.concatenate([[0], np.cumsum(tfs)])
+        poss_blobs = codec.encode_varints_segmented(pos_flat, cumtf[starts])
+    else:
+        poss_blobs = [b""] * starts.size
+    # block metadata, all groups at once: per-group block counts ->
+    # flat (group, block) rows -> gather block-last ids / reduceat maxima
+    nb = (n_docs + BLOCK_SIZE - 1) // BLOCK_SIZE
+    nb_cum = np.concatenate([[0], np.cumsum(nb)])
+    total_blocks = int(nb_cum[-1])
+    gid = np.repeat(np.arange(starts.size), nb)
+    bidx = np.arange(total_blocks, dtype=np.int64) - nb_cum[gid]
+    last_pos = starts[gid] + np.minimum(
+        bidx * BLOCK_SIZE + BLOCK_SIZE - 1, n_docs[gid] - 1
+    )
+    bl_flat = ids[last_pos].astype(np.int64)
+    if avgdl is None:
+        bm_flat = np.zeros(total_blocks, dtype=np.float64)
+    else:
+        block_starts_flat = (starts[gid] + bidx * BLOCK_SIZE).astype(np.int64)
+        bm_flat = np.maximum.reduceat(
+            _bm25_factor(tfs, dls, avgdl), block_starts_flat
+        )
+    cuts = nb_cum[1:-1]
+    return pd.DataFrame(
+        {
+            "term": group_terms,
+            "seg_id": group_segs.astype(np.int64),
+            "n_docs": n_docs,
+            "sum_tf": sum_tf,
+            "first_doc_id": ids[starts].astype(np.int64),
+            "last_doc_id": ids[ends - 1].astype(np.int64),
+            "doc_ids": doc_blobs,
+            "tfs": tf_blobs,
+            "dls": dl_blobs,
+            "poss": poss_blobs,
+            "block_last": np.split(bl_flat, cuts),
+            "block_max": np.split(bm_flat, cuts),
+        }
+    )
+
+
 def _group_bounds(*key_arrays: np.ndarray) -> np.ndarray:
     """Start indices of consecutive equal-key groups (arrays pre-sorted)."""
     n = key_arrays[0].size
@@ -252,30 +331,21 @@ def _pack_frame(pdf: pd.DataFrame, starts: np.ndarray, avgdl: float) -> pd.DataF
     dls = pdf["dl"].to_numpy(np.int64)
     segs = pdf["seg_id"].to_numpy()
     terms = pdf["term"].to_numpy()
-    ends = np.append(starts[1:], doc_ids.size)
+    pos_flat = None
     if "poss" in pdf.columns:
         # long postings carrying per-posting position lists (v6 — the
-        # compaction rebuild path): re-pack each group's flat stream
-        pos_cells = pdf["poss"].to_numpy(object)
-        rows = [
-            _pack_group(
-                segs[s], terms[s], doc_ids[s:e], tfs[s:e], dls[s:e], avgdl,
-                np.concatenate(
-                    [np.asarray(c, dtype=np.int64) for c in pos_cells[s:e]]
-                )
-                if e > s
-                else np.empty(0, np.int64),
-            )
-            for s, e in zip(starts, ends)
-        ]
-    else:
-        rows = [
-            _pack_group(
-                segs[s], terms[s], doc_ids[s:e], tfs[s:e], dls[s:e], avgdl
-            )
-            for s, e in zip(starts, ends)
-        ]
-    return pd.DataFrame(rows, columns=[f.name for f in PACKED_SCHEMA.fields])
+        # compaction rebuild / streaming paths): flatten once, the
+        # per-posting boundaries are recovered from the tfs stream
+        cells = pdf["poss"].to_numpy(object)
+        pos_flat = (
+            np.concatenate([np.asarray(c, dtype=np.int64) for c in cells])
+            if cells.size
+            else np.empty(0, np.int64)
+        )
+    out = _pack_groups_frame(
+        segs[starts], terms[starts], doc_ids, tfs, dls, starts, avgdl, pos_flat
+    )
+    return out[[f.name for f in PACKED_SCHEMA.fields]]
 
 
 def build_segments(
@@ -685,26 +755,22 @@ def pack_from_source(
             order = np.lexsort((ids, codes))
             codes, ids_s, tfs_s, dls_s = codes[order], ids[order], tfs[order], dls[order]
             starts = _group_bounds(codes)
-            ends = np.append(starts[1:], codes.size)
             uniq = np.asarray(uniques, dtype=object)
+            pos_s = None
             if positions:
-                # the per-posting position substreams ride the same perm;
-                # cumtf gives each sorted posting's substream boundaries
+                # the per-posting position substreams ride the same perm
                 pos_s = _gather_substreams(pos, tfs, order)
-                cumtf = np.concatenate([[0], np.cumsum(tfs_s)])
-                rows = [
-                    _pack_group(
-                        cur_seg, uniq[codes[s]], ids_s[s:e], tfs_s[s:e],
-                        dls_s[s:e], None, pos_s[cumtf[s]:cumtf[e]],
-                    )
-                    for s, e in zip(starts, ends)
-                ]
-            else:
-                rows = [
-                    _pack_group(cur_seg, uniq[codes[s]], ids_s[s:e], tfs_s[s:e], dls_s[s:e], None)
-                    for s, e in zip(starts, ends)
-                ]
-            return pd.DataFrame(rows, columns=[f.name for f in PACKED_SCHEMA.fields])
+            out = _pack_groups_frame(
+                np.full(starts.size, cur_seg, dtype=np.int64),
+                uniq[codes[starts]],
+                ids_s,
+                tfs_s,
+                dls_s,
+                starts,
+                None,
+                pos_s,
+            )
+            return out[[f.name for f in PACKED_SCHEMA.fields]]
 
         for pdf in batches:
             if pdf.empty:
