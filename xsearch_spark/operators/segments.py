@@ -191,9 +191,14 @@ def _attr_pairs(vals: pd.Series, b_ids: np.ndarray, fld: str):
     if flat.size == 0:
         return np.empty(0, object), np.empty(0, np.int64)
     codes, uniques = pd.factorize(flat)
-    combined = rep_ids * np.int64(len(uniques)) + codes
+    # localize doc ids to batch-local codes before forming the combined
+    # distinctness key: global_doc_id * len(uniques) can overflow int64
+    # at 10^12-doc scale with large per-batch element cardinality
+    # (round-5 advisor) — batch-local codes are bounded by batch size
+    d_codes, d_uniq = pd.factorize(rep_ids)
+    combined = d_codes.astype(np.int64) * np.int64(len(uniques)) + codes
     u = np.unique(combined)
-    u_ids = (u // len(uniques)).astype(np.int64)
+    u_ids = np.asarray(d_uniq, dtype=np.int64)[(u // len(uniques)).astype(np.int64)]
     u_vals = np.asarray(uniques, dtype=object)[(u % len(uniques)).astype(np.int64)]
     return (
         np.array([attr_term(fld, v) for v in u_vals], dtype=object),
@@ -865,6 +870,10 @@ def decode_postings(
     so compaction's rebuild re-packs the positional stream too."""
     if not include_attrs:
         packed = packed.filter(~F.col("term").startswith(ATTR_TERM_PREFIX))
+    if not include_positions and "poss" in packed.columns:
+        # column-prune the positional stream before the Arrow boundary:
+        # a non-positional decode must not read (or ship) poss bytes
+        packed = packed.drop("poss")
     with_df = "df" in packed.columns
     fields = list(LONG_SCHEMA.fields)
     if with_df:

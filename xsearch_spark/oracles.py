@@ -26,10 +26,16 @@ def _sql_quote(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
-def _doc_attr_filters(parsed: ParsedQuery, table_expr: str) -> str:
+def _doc_attr_filters(
+    parsed: ParsedQuery, table_expr: str, array_fields: tuple[str, ...] = ()
+) -> str:
     """lang: plus generic field:value filters (v5 attrs) as doc-id
     IN-subqueries over the source table — the declarative statement of
-    what the engine's synthetic attr posting intersection computes."""
+    what the engine's synthetic attr posting intersection computes.
+    ``array_fields``: attr columns that are ARRAY-typed in the source —
+    the engine indexes each element, so the filter is MEMBERSHIP
+    (``list_contains``), not equality (round-5 advisor: the scalar form
+    would silently diverge on an array column)."""
     out = ""
     if parsed.lang is not None:
         out += (
@@ -37,9 +43,14 @@ def _doc_attr_filters(parsed: ParsedQuery, table_expr: str) -> str:
             f"WHERE lang = {_sql_quote(parsed.lang)})"
         )
     for fld, val in getattr(parsed, "attrs", ()):
+        pred = (
+            f"list_contains({fld}, {_sql_quote(val)})"
+            if fld in array_fields
+            else f"{fld} = {_sql_quote(val)}"
+        )
         out += (
             f" AND tf.doc_id IN (SELECT doc_id FROM {table_expr} "
-            f"WHERE {fld} = {_sql_quote(val)})"
+            f"WHERE {pred})"
         )
     return out
 
@@ -226,6 +237,7 @@ def bm25_sql(
     k: int = 10,
     table: str = "documents",
     extra_doc_pred: str | None = None,
+    array_fields: tuple[str, ...] = (),
 ) -> str:
     """Naive (full-evaluation) BM25 top-k — the oracle for Q4–Q8: any
     engine path (relational, index-backed, WAND-pruned) must emit exactly
@@ -239,7 +251,7 @@ def bm25_sql(
     having = (
         f"HAVING count(*) = {len(parsed.terms)}" if parsed.connective == "AND" else ""
     )
-    lang_filter = _doc_attr_filters(parsed, table)
+    lang_filter = _doc_attr_filters(parsed, table, array_fields)
     not_filter = ""
     if parsed.exclude:
         ex_list = ", ".join(_sql_quote(t) for t in parsed.exclude)

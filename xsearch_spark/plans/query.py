@@ -39,6 +39,7 @@ from xsearch_spark.functions.tokenize import tokenize_query
 DEFAULT_ATTR_FIELDS: tuple[str, ...] = ("lang",)
 
 _PHRASE_RE = re.compile(r'"([^"]*)"')
+_MAX_PHRASE_LEN = 64  # = operators.wand.MAX_PHRASE_LEN (no import cycle)
 
 
 @dataclass(frozen=True)
@@ -75,6 +76,13 @@ def parse(
 
     def _take_phrase(m: "re.Match[str]") -> str:
         toks = tuple(tokenize_query(m.group(1), variant))
+        if len(toks) > _MAX_PHRASE_LEN:
+            # mirrors the scorer's composite-key bound (operators.wand.
+            # MAX_PHRASE_LEN) — fail at parse, not mid-query
+            raise ValueError(
+                f"phrase of {len(toks)} analyzed terms exceeds the "
+                f"supported maximum of {_MAX_PHRASE_LEN}"
+            )
         if len(toks) >= 2:
             if toks not in phrases:
                 phrases.append(toks)
