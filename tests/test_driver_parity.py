@@ -43,8 +43,10 @@ def _compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame):
 
 @pytest.fixture(scope="module")
 def pairs():
-    q = entrymod.queries()
-    o = entrymod.oracle_sql()
+    # driver-gated entries PLUS the demoted extra_queries() surfaces —
+    # local parity coverage is the full union, exact-value, two scales
+    q = {**entrymod.queries(), **entrymod.extra_queries()}
+    o = {**entrymod.oracle_sql(), **entrymod.extra_oracle_sql()}
     return q, o
 
 
@@ -53,6 +55,30 @@ def test_every_query_has_runnable_shape(pairs):
     # oracle-less entries are allowed (rows-only check) but flag them
     missing = [k for k in o if k not in q]
     assert not missing, f"oracle without query: {missing}"
+
+
+def test_registry_fits_driver_cap():
+    """The driver's correctness gate evaluates only the first
+    DRIVER_ENTRY_CAP queries() entries (empirical: CORRECTNESS_r4/r5
+    each hold exactly 50). Round 5 silently evicted the code-analyzer
+    gates by growing past the cap — this pin makes any future eviction
+    a loud test failure instead."""
+    q = entrymod.queries()
+    assert len(q) <= entrymod.DRIVER_ENTRY_CAP, (
+        f"queries() has {len(q)} entries > driver cap "
+        f"{entrymod.DRIVER_ENTRY_CAP}: the driver would silently skip "
+        f"{list(q)[entrymod.DRIVER_ENTRY_CAP:]}"
+    )
+    # every distinct engine surface must hold a driver-gated slot
+    for must in [
+        "bm25_phrase", "bm25_wand_phrase", "bm25_rel_phrase_lang",
+        "bm25_rel_source_not", "bm25_wand_subtoken_code",
+        "bm25_wand_compound_code", "bm25_wand_code_lang",
+        "bm25_wand_single_hot", "bm25_batch", "bm25_batch_tombstone",
+    ]:
+        assert must in q, f"engine surface {must} lost its driver slot"
+    # no overlap between the gated and extra registries
+    assert not set(q) & set(entrymod.extra_queries())
 
 
 def _run_parity(spark, con, pairs, sf_dir):

@@ -139,6 +139,36 @@ def test_ann_recall_tracked_monotone(emb):
     assert recalls[8] == 1.0
 
 
+def test_ann_recall_concentrates_on_clustered_data(spark):
+    """The isotropic driver fixtures bound LSH recall BY DATA (see
+    similarity.DEFAULT_PROBE_HAMMING); this fixture has the structure a
+    real embedding corpus has — 20 tight clusters — and there the same
+    probe must concentrate: recall@10 >= 0.9 at hamming<=1 while
+    probing a small corpus fraction. This is the operator-quality
+    assertion the driver fixture cannot express."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    centers = rng.normal(size=(20, 16))
+    rows = []
+    for ci, c in enumerate(centers):
+        for j in range(10):
+            v = c + 0.05 * rng.normal(size=16)
+            rows.append((ci * 10 + j, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    hits = tot = probed = 0
+    for qid in (0, 57, 113, 199):
+        qvec = rows[qid][1]
+        brute = {r["vec_id"] for r in similarity.cosine_topk(emb, qvec, k=10).collect()}
+        got = similarity.ivf_topk(emb, qvec, k=10, num_planes=8, probe_hamming=1)
+        probe = {r["vec_id"] for r in got.collect()}
+        hits += len(brute & probe)
+        tot += len(brute)
+        probed += len(similarity.probe_buckets_of(qvec, 8, 1))
+    assert hits / tot >= 0.9, f"clustered recall {hits / tot}"
+    assert probed / 4 <= 9  # hamming-1 over 8 planes: 9 of 256 buckets
+
+
 def test_ann_index_probe_equals_inline_ivf(emb, spark, tmp_path):
     """The persisted bucket-partitioned ANN index must be invisible in
     the results: ann_index_topk == the declarative inline-bucketing
