@@ -435,126 +435,210 @@ def make_merge_iter(include_bucket: bool = False):
 def _merge_frame(
     pdf: pd.DataFrame, starts: np.ndarray, include_bucket: bool = False
 ) -> pd.DataFrame:
-    ends = np.append(starts[1:], len(pdf))
-    out = []
-    for s, e in zip(starts, ends):
-        g = pdf.iloc[s:e]
-        if e - s == 1:
-            # single-run group: the posting bytes pass through UNCHANGED
-            # (LEB128 is canonical — re-encode(decode(b)) == b, so this
-            # is byte-identical to the slow path, microbenched), and
-            # block_last was already computed at pack time (it does not
-            # depend on avgdl). Only tfs/dls are decoded, to recompute
-            # block_max under the true global avgdl. On the synthetic
-            # Zipf corpus only ~6% of groups are single-run (small vocab,
-            # every term in most segments); on real source code the
-            # row count is dominated by the long identifier tail — terms
-            # unique to one file land in one segment — where this skips
-            # the doc_ids decode and the triple re-encode entirely.
-            r0 = g.iloc[0]
-            tfs1 = codec.decode_tfs(r0["tfs"])
-            dls1 = codec.decode_tfs(r0["dls"])
-            bstarts = np.arange(0, tfs1.size, BLOCK_SIZE)
-            row = {
-                "term": r0["term"],
-                "shard": int(r0["shard"]),
-                "n_docs": int(r0["n_docs"]),
-                "first_doc_id": int(r0["first_doc_id"]),
-                "last_doc_id": int(r0["last_doc_id"]),
-                "doc_ids": r0["doc_ids"],
-                "tfs": r0["tfs"],
-                "dls": r0["dls"],
-                "poss": _poss_bytes(r0["poss"]),
-                "block_last": np.asarray(r0["block_last"], dtype=np.int64).tolist(),
-                "block_max": _recompute_block_max(
-                    tfs1, dls1, float(r0["avgdl"]), bstarts
-                ),
-            }
-            if include_bucket:
-                row["bucket"] = int(r0["bucket"])
-            out.append(row)
-            continue
-        doc_ids = np.concatenate([codec.decode_doc_ids(b) for b in g["doc_ids"]])
-        tfs = np.concatenate([codec.decode_tfs(b) for b in g["tfs"]])
-        dls = np.concatenate([codec.decode_tfs(b) for b in g["dls"]])
-        poss_list = [_poss_bytes(b) for b in g["poss"]]
-        poss_out = b"".join(poss_list)  # run-order concat == posting order
-        if poss_out and any(
-            len(b) == 0 and int(st) > 0
-            for b, st in zip(poss_list, g["sum_tf"], strict=False)
-        ):
+    """Merge consecutive (term, shard) run groups — SEGMENTED (round 6,
+    the same treatment round 5 gave the pack stage): one vectorized
+    codec pass per Arrow frame instead of a decode + re-encode per
+    group. Byte-identical to the per-group form (parity-tested) because:
+
+      * tfs/dls/poss are PLAIN varint streams, so a merged group's blob
+        is the byte-CONCATENATION of its runs' blobs — zero codec work;
+      * doc_ids restart the delta chain at each run, so single-run
+        groups pass through unchanged while multi-run groups re-encode
+        through the same canonical segmented encoder the pack stage
+        uses (LEB128: re-encode(decode(b)) == b);
+      * block metadata is recomputed for ALL groups in one flat
+        gather/reduceat pass (it always was recomputed — it depends on
+        the global avgdl known only at merge time).
+
+    Interleaved groups (streaming epochs whose doc ranges overlap —
+    detected from the first/last columns without decoding) are k-way
+    sorted per group and re-encoded individually; batch builds have
+    none. Row order in == group order out."""
+    n_rows = len(pdf)
+    ends = np.append(starts[1:], n_rows)
+    terms = pdf["term"].to_numpy()
+    shards = pdf["shard"].to_numpy()
+    nd = pdf["n_docs"].to_numpy(np.int64)
+    first = pdf["first_doc_id"].to_numpy(np.int64)
+    last = pdf["last_doc_id"].to_numpy(np.int64)
+    sum_tf = pdf["sum_tf"].to_numpy(np.int64)
+    avgdl = float(pdf["avgdl"].iloc[0])  # lit column: constant per frame
+    n_groups = starts.size
+    if (nd <= 0).any():
+        raise ValueError("merge: packed run with n_docs <= 0")
+
+    id_blobs = [bytes(b) for b in pdf["doc_ids"]]
+    tf_blobs = [bytes(b) for b in pdf["tfs"]]
+    dl_blobs = [bytes(b) for b in pdf["dls"]]
+    ps_blobs = [_poss_bytes(b) for b in pdf["poss"]]
+    big_id, big_tf, big_dl, big_ps = (
+        b"".join(id_blobs), b"".join(tf_blobs), b"".join(dl_blobs), b"".join(ps_blobs)
+    )
+
+    def _byte_offsets(blobs: list[bytes]) -> np.ndarray:
+        lens = np.fromiter((len(b) for b in blobs), dtype=np.int64, count=n_rows)
+        return np.concatenate([[0], np.cumsum(lens)])
+
+    id_bo, tf_bo, dl_bo, ps_bo = (
+        _byte_offsets(id_blobs), _byte_offsets(tf_blobs),
+        _byte_offsets(dl_blobs), _byte_offsets(ps_blobs),
+    )
+
+    # ONE decode pass per stream for the whole frame
+    tf_all = codec.decode_varints(big_tf).astype(np.int64)
+    dl_all = codec.decode_varints(big_dl).astype(np.int64)
+    deltas = codec.decode_varints(big_id)  # uint64; per-row delta chains
+    total = int(nd.sum())
+    if tf_all.size != total or dl_all.size != total or deltas.size != total:
+        raise ValueError(
+            f"merge: posting stream length mismatch vs n_docs "
+            f"({deltas.size}/{tf_all.size}/{dl_all.size} vs {total})"
+        )
+    row_ps = np.concatenate([[0], np.cumsum(nd)])  # per-row posting offsets
+    # absolute doc ids from the per-row delta chains: within row r,
+    # ids[i] = C[i] - C[s_r] + deltas[s_r] (C = inclusive cumsum). The
+    # arithmetic is exact mod 2^64 — uint64 wraparound cancels.
+    c = np.cumsum(deltas, dtype=np.uint64)
+    rs = row_ps[:-1]
+    ids_all = c - np.repeat(c[rs] - deltas[rs], nd)
+
+    g_ps = row_ps[starts]  # group posting offsets
+    g_nd = np.add.reduceat(nd, starts)
+    is_multi = (ends - starts) > 1
+
+    # positional-stream sync: if a group carries positions, every run
+    # with sum_tf>0 must carry them (mixing positional and
+    # non-positional runs of one index is unsupported)
+    g_ps_b0, g_ps_b1 = ps_bo[starts], ps_bo[ends]
+    g_has_ps = g_ps_b1 > g_ps_b0
+    bad_ps_row = (np.diff(ps_bo) == 0) & (sum_tf > 0)
+    g_bad_ps = np.add.reduceat(bad_ps_row.astype(np.int64), starts) > 0
+    viol = g_has_ps & g_bad_ps
+    if viol.any():
+        g = int(np.nonzero(viol)[0][0])
+        raise ValueError(
+            f"positional stream out of sync for term={terms[starts[g]]!r}: "
+            f"a scoring run with sum_tf>0 carries no positions — mixing "
+            f"positional and non-positional runs of one index is unsupported"
+        )
+
+    # interleaved groups (overlapping run ranges): k-way sort per group.
+    # Detected WITHOUT decoding via first/last: runs arrive sorted by
+    # first_doc_id, so the group is globally sorted iff every boundary
+    # satisfies first[i] > last[i-1].
+    bad = np.zeros(n_rows, dtype=bool)
+    if n_rows > 1:
+        bad[1:] = first[1:] <= last[:-1]
+    bad[starts] = False
+    inter_g = np.add.reduceat(bad.astype(np.int64), starts) > 0
+    custom_td: dict[int, tuple[bytes, bytes]] = {}
+    custom_ps: dict[int, bytes] = {}
+    for g in np.nonzero(inter_g)[0]:
+        s, e = int(g_ps[g]), int(g_ps[g] + g_nd[g])
+        ids_g = ids_all[s:e]
+        order = np.argsort(ids_g, kind="mergesort")
+        ids_srt = ids_g[order]
+        if not np.all(ids_srt[1:] > ids_srt[:-1]):
+            pos = int(np.nonzero(~(ids_srt[1:] > ids_srt[:-1]))[0][0])
+            gi = slice(starts[g], ends[g])
+            meta = pdf.iloc[gi][
+                [c_ for c_ in ("seg_id", "shard", "first_doc_id", "last_doc_id", "n_docs") if c_ in pdf.columns]
+            ].to_dict("records")
             raise ValueError(
-                f"positional stream out of sync for term={g['term'].iloc[0]!r}: "
-                f"a scoring run with sum_tf>0 carries no positions — mixing "
-                f"positional and non-positional runs of one index is unsupported"
+                f"merge invariant violated: duplicate doc_id for "
+                f"term={terms[starts[g]]!r} shard={shards[starts[g]]} "
+                f"at pos {pos}: "
+                f"{ids_srt[max(0, pos - 2):pos + 3].astype(np.int64).tolist()}; "
+                f"runs={meta} (same doc indexed twice? apply S4 upsert/dedup first)"
             )
-        if not np.all(doc_ids[1:] > doc_ids[:-1]):
-            # batch builds produce disjoint presorted ranges (pure concat);
-            # streaming epochs may interleave ranges -> k-way sort-merge
-            order = np.argsort(doc_ids, kind="mergesort")
-            if poss_out:
-                # per-posting position substreams ride the same permutation
-                flat = np.concatenate([codec.decode_tfs(b) for b in poss_list])
-                if flat.size != int(tfs.sum()):
-                    raise ValueError(
-                        f"positional stream out of sync for term="
-                        f"{g['term'].iloc[0]!r}: {flat.size} positions vs "
-                        f"sum(tf)={int(tfs.sum())} — mixing positional and "
-                        f"non-positional runs of one index is unsupported"
-                    )
-                poss_out = codec.encode_tfs(_gather_substreams(flat, tfs, order))
-            doc_ids, tfs, dls = doc_ids[order], tfs[order], dls[order]
-            if not np.all(doc_ids[1:] > doc_ids[:-1]):
-                pos = int(np.nonzero(~(doc_ids[1:] > doc_ids[:-1]))[0][0])
-                meta = g[
-                    [c for c in ("seg_id", "shard", "first_doc_id", "last_doc_id", "n_docs") if c in g.columns]
-                ].to_dict("records")
+        tf_g = tf_all[s:e]
+        if g_has_ps[g]:
+            flat = codec.decode_tfs(big_ps[g_ps_b0[g]:g_ps_b1[g]])
+            if flat.size != int(tf_g.sum()):
                 raise ValueError(
-                    f"merge invariant violated: duplicate doc_id for "
-                    f"term={g['term'].iloc[0]!r} shard={g['shard'].iloc[0]} "
-                    f"at pos {pos}: {doc_ids[max(0,pos-2):pos+3].tolist()}; runs={meta} "
-                    f"(same doc indexed twice? apply S4 upsert/dedup first)"
+                    f"positional stream out of sync for term="
+                    f"{terms[starts[g]]!r}: {flat.size} positions vs "
+                    f"sum(tf)={int(tf_g.sum())} — mixing positional and "
+                    f"non-positional runs of one index is unsupported"
                 )
-        n = doc_ids.size
-        block_starts = np.arange(0, n, BLOCK_SIZE)
-        # re-blocking shifts block boundaries, so per-run block maxima are
-        # not reusable in general; recompute from the decoded run
-        # (vectorized reduceat — negligible vs the codec work).
-        block_max = _recompute_block_max(tfs, dls, float(g["avgdl"].iloc[0]), block_starts)
-        row = {
-            "term": g["term"].iloc[0],
-            "shard": int(g["shard"].iloc[0]),
-            "n_docs": int(n),
-            "first_doc_id": int(doc_ids[0]),
-            "last_doc_id": int(doc_ids[-1]),
-            "doc_ids": codec.encode_doc_ids(doc_ids.astype(np.uint64)),
-            "tfs": codec.encode_tfs(tfs),
-            "dls": codec.encode_tfs(dls),
-            "poss": poss_out,
-            "block_last": doc_ids[
-                np.minimum(block_starts + BLOCK_SIZE - 1, n - 1)
-            ].astype(np.int64).tolist(),
-            "block_max": block_max,
+            custom_ps[g] = codec.encode_tfs(_gather_substreams(flat, tf_g, order))
+        ids_all[s:e] = ids_srt
+        tf_all[s:e] = tf_g[order]
+        dl_all[s:e] = dl_all[s:e][order]
+        custom_td[g] = (
+            codec.encode_varints(tf_all[s:e]),
+            codec.encode_varints(dl_all[s:e]),
+        )
+
+    # doc_ids blobs: multi-run groups re-encode (delta chain must span
+    # runs) through ONE segmented pass over their postings; single-run
+    # groups pass their bytes through untouched
+    out_id_blobs: list[bytes] = [b""] * n_groups
+    if is_multi.any():
+        elem_sel = np.repeat(is_multi, g_nd)
+        m_nd = g_nd[is_multi]
+        m_starts = np.concatenate([[0], np.cumsum(m_nd)[:-1]])
+        m_blobs = codec.encode_doc_ids_segmented(ids_all[elem_sel], m_starts)
+        mi = iter(m_blobs)
+    for g in range(n_groups):
+        out_id_blobs[g] = (
+            next(mi) if is_multi[g] else big_id[id_bo[starts[g]]:id_bo[ends[g]]]
+        )
+    out_tf_blobs = [
+        custom_td[g][0] if g in custom_td else big_tf[tf_bo[starts[g]]:tf_bo[ends[g]]]
+        for g in range(n_groups)
+    ]
+    out_dl_blobs = [
+        custom_td[g][1] if g in custom_td else big_dl[dl_bo[starts[g]]:dl_bo[ends[g]]]
+        for g in range(n_groups)
+    ]
+    out_ps_blobs = [
+        custom_ps[g] if g in custom_ps else big_ps[g_ps_b0[g]:g_ps_b1[g]]
+        for g in range(n_groups)
+    ]
+
+    # block metadata for ALL groups in one flat gather/reduceat pass
+    # (same shape as _pack_groups_frame): re-blocking shifts boundaries,
+    # so per-run metadata is not reusable and block_max needs the global
+    # avgdl anyway.
+    nb = (g_nd + BLOCK_SIZE - 1) // BLOCK_SIZE
+    nb_cum = np.concatenate([[0], np.cumsum(nb)])
+    gid = np.repeat(np.arange(n_groups), nb)
+    bidx = np.arange(int(nb_cum[-1]), dtype=np.int64) - nb_cum[gid]
+    last_pos = g_ps[gid] + np.minimum(bidx * BLOCK_SIZE + BLOCK_SIZE - 1, g_nd[gid] - 1)
+    bl_flat = ids_all[last_pos].astype(np.int64)
+    bstarts_flat = (g_ps[gid] + bidx * BLOCK_SIZE).astype(np.int64)
+    bm_flat = np.maximum.reduceat(_bm25_factor(tf_all, dl_all, avgdl), bstarts_flat)
+    cuts = nb_cum[1:-1]
+
+    out = pd.DataFrame(
+        {
+            "term": terms[starts],
+            "shard": shards[starts].astype(np.int64),
+            "n_docs": g_nd,
+            "first_doc_id": ids_all[g_ps].astype(np.int64),
+            "last_doc_id": ids_all[g_ps + g_nd - 1].astype(np.int64),
+            "doc_ids": out_id_blobs,
+            "tfs": out_tf_blobs,
+            "dls": out_dl_blobs,
+            "poss": out_ps_blobs,
+            "block_last": np.split(bl_flat, cuts),
+            "block_max": np.split(bm_flat, cuts),
         }
-        if include_bucket:
-            row["bucket"] = int(g["bucket"].iloc[0])
-        out.append(row)
+    )
     if include_bucket:
-        # global df per term = Σ merged n_docs over its shards (shards are
-        # disjoint doc ranges, so the sum counts each doc once). All of a
-        # term's shards are in `out` (term-granular carry in merge_iter).
-        # Synthetic attr terms (v5) are never scored: df is pinned to 0 so
-        # the carry can stay (term, shard)-granular for them.
-        df_by_term: dict[str, int] = {}
-        for row in out:
-            if not row["term"].startswith(ATTR_TERM_PREFIX):
-                df_by_term[row["term"]] = (
-                    df_by_term.get(row["term"], 0) + row["n_docs"]
-                )
-        for row in out:
-            row["df"] = df_by_term.get(row["term"], 0)
+        # global df per term = Σ merged n_docs over its shards (shards
+        # are disjoint doc ranges, so the sum counts each doc once). All
+        # of a term's shards are in this frame (term-granular carry in
+        # merge_iter). Synthetic attr terms are never scored: their rows
+        # carry no contribution, so the per-term sum pins their df to 0.
+        out_terms = pd.Series(terms[starts])
+        is_attr_out = out_terms.str.startswith(ATTR_TERM_PREFIX).to_numpy(bool)
+        contrib = pd.Series(np.where(is_attr_out, 0, g_nd))
+        out["df"] = contrib.groupby(out_terms).transform("sum").to_numpy(np.int64)
+        out["bucket"] = pdf["bucket"].to_numpy()[starts].astype(np.int32)
     schema = MERGED_BUCKET_SCHEMA if include_bucket else MERGED_SCHEMA
-    return pd.DataFrame(out, columns=[f.name for f in schema.fields])
+    return out[[f.name for f in schema.fields]]
 
 
 def _poss_bytes(b) -> bytes:
