@@ -586,6 +586,72 @@ def test_multivalue_attr_filters(spark, tmp_path, duck):
         assert {d for d, _ in naive} <= allowed or not naive
 
 
+_TAGS_SPARK_EXPR = """
+CASE WHEN doc_id % 29 = 0 THEN CAST(NULL AS ARRAY<STRING>)
+     WHEN doc_id % 13 = 0 THEN CAST(ARRAY() AS ARRAY<STRING>)
+     WHEN doc_id % 4 = 0 THEN ARRAY(
+         CONCAT('tag', doc_id % 7), CONCAT('tag', doc_id % 3),
+         CONCAT('tag', doc_id % 7), CAST(NULL AS STRING))
+     ELSE ARRAY(
+         CONCAT('tag', doc_id % 7), CONCAT('tag', doc_id % 3),
+         CONCAT('tag', doc_id % 7))
+END
+"""
+
+_TAGS_DUCK_TABLE = """(SELECT doc_id, text, lang, source,
+  CASE WHEN doc_id % 29 = 0 THEN NULL
+       WHEN doc_id % 13 = 0 THEN []::VARCHAR[]
+       WHEN doc_id % 4 = 0 THEN ['tag' || (doc_id % 7)::VARCHAR,
+                                 'tag' || (doc_id % 3)::VARCHAR,
+                                 'tag' || (doc_id % 7)::VARCHAR, NULL]
+       ELSE ['tag' || (doc_id % 7)::VARCHAR,
+             'tag' || (doc_id % 3)::VARCHAR,
+             'tag' || (doc_id % 7)::VARCHAR]
+  END AS tags FROM documents)"""
+
+
+@pytest.mark.parametrize("sf_fixture", ["duck", "duck_med"])
+def test_array_attr_full_oracle_two_scales(spark, tmp_path, sf_fixture, request):
+    """Round-6 (r5 verdict item 8): the array-valued attr path against
+    the FULL DuckDB BM25 oracle with list_contains membership
+    (oracles.bm25_sql array_fields), at BOTH test scale factors, over a
+    deterministically derived tags column carrying every edge shape —
+    NULL column, empty list, duplicate elements, NULL elements. Both
+    engines derive tags from the same doc_id arithmetic, so the oracle
+    is independent end-to-end (tokenize + BM25 + membership)."""
+    from xsearch_spark import oracles
+    from xsearch_spark.sources.io import read_documents
+
+    from tests.conftest import SF_DIR, SF_DIR_MED
+
+    con = request.getfixturevalue(sf_fixture)
+    sf_dir = SF_DIR if sf_fixture == "duck" else SF_DIR_MED
+    docs = read_documents(spark, sf_dir).withColumn(
+        "tags", F.expr(_TAGS_SPARK_EXPR)
+    )
+    bi = build_index(
+        spark, docs, str(tmp_path / f"tags_{sf_fixture}"),
+        text_col="text", variant="base",
+        docs_per_segment=256, segs_per_shard=2, num_buckets=16,
+        attr_cols=("lang", "tags"),
+    )
+    for q in (
+        "tags:tag1 hash join",
+        "tags:tag0 the OR scan",
+        "tags:tag2 hash -join",
+        "lang:en tags:tag1 the",
+        "tags:tag2 tags:tag5 the",  # two array filters AND-intersected
+        "tags:tag99 hash",  # absent tag -> empty
+    ):
+        parsed = parse(q, attr_fields=("lang", "tags"))
+        sql = oracles.bm25_sql(parsed, table=_TAGS_DUCK_TABLE, array_fields=("tags",))
+        want = [
+            (r[0], round(r[1], 6)) for r in con.execute(sql).fetchall()
+        ]
+        assert _rounded(search_wand(bi, parsed)) == want, (q, sf_fixture)
+        assert _rounded(search_index_relational(bi, parsed)) == want, (q, sf_fixture)
+
+
 def test_batch_random_querysets_with_tombstones(spark, built, corpus):
     """Randomized mixed query SETS (AND/OR/NOT/lang) with tombstones:
     the batch slicing (score_all's shared _assemble_shard + per-query
