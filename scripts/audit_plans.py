@@ -208,7 +208,7 @@ def main() -> None:
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
     ann = build_ann_index(spark, emb, tempfile.mkdtemp(prefix="xsaudit_ann_"))
     qvec = emb.filter("vec_id = 0").select("embedding").first()[0]
-    probe = ann_index_topk(ann, qvec, k=10, probe_hamming=1)
+    probe = ann_index_topk(ann, qvec, k=10)  # serving-default probe
     sections.append((
         "ANN IVF probe — bucket-pruned partition read",
         plan_of(probe),

@@ -14,6 +14,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from xsearch_spark.constants import ATTR_TERM_PREFIX, BLOCK_SIZE
 from xsearch_spark.functions import codec
@@ -163,6 +165,39 @@ def test_merge_frame_matches_reference(with_positions, with_interleave, include_
             assert np.allclose(list(g["block_max"]), w["block_max"], rtol=0, atol=0)
             if include_bucket:
                 assert g["df"] == w["df"] and g["bucket"] == w["bucket"], i
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    seed=st.integers(0, 10**6),
+    with_positions=st.booleans(),
+    with_interleave=st.booleans(),
+    include_bucket=st.booleans(),
+)
+def test_merge_frame_matches_reference_hypothesis(
+    seed, with_positions, with_interleave, include_bucket
+):
+    """Hypothesis sweep over the same parity property — shrinkage finds
+    minimal failing frame shapes if the flat-pass arithmetic regresses."""
+    avgdl = 33.7
+    rng = np.random.default_rng(seed)
+    rows = _random_frame(rng, with_positions, with_interleave, include_bucket, avgdl)
+    pdf = pd.DataFrame(rows)
+    starts = _group_bounds(pdf["term"].to_numpy(), pdf["shard"].to_numpy())
+    got = _merge_frame(pdf, starts, include_bucket=include_bucket)
+    want = _reference_merge(rows, include_bucket, avgdl)
+    assert len(got) == len(want)
+    for i, w in enumerate(want):
+        g = got.iloc[i]
+        assert (g["term"], g["shard"], g["n_docs"]) == (
+            w["term"], w["shard"], w["n_docs"],
+        ), i
+        for col in ("doc_ids", "tfs", "dls", "poss"):
+            assert bytes(g[col]) == w[col], (i, col, w["term"])
+        assert list(g["block_last"]) == w["block_last"], i
+        assert list(g["block_max"]) == w["block_max"], i
+        if include_bucket:
+            assert g["df"] == w["df"], i
 
 
 def test_merge_frame_duplicate_doc_id_raises():

@@ -13,10 +13,12 @@ required of a training-data engine. Two paths:
     oracle-checkable); bucket = the P sign bits. Near-dup candidates
     only join within buckets. This is the scale path: the full
     pairwise cosine is O(n²); bucketed is O(n·avg_bucket).
-  * ``ivf_topk`` — IVF-style probe: rank buckets by the query's own
-    bucket Hamming distance... kept simple: probe the query's bucket
-    plus optional Hamming-1 neighbors, exact-rescore inside the probe
-    set. Recall/latency trade-off is explicit and measured in tests.
+  * ``ivf_topk`` — IVF-style probe: probe the query's bucket plus the
+    full Hamming ball of radius ``probe_hamming`` (default
+    ``DEFAULT_PROBE_HAMMING``), exact-rescore inside the probe set.
+    Recall/latency trade-off is explicit — bench.py reports the
+    measured curve every round; tests pin monotonicity + the
+    clustered-data concentration property.
 """
 
 from __future__ import annotations
