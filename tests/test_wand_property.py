@@ -273,3 +273,31 @@ def test_wand_tie_boundary(seed):
     k = int(rng.integers(1, 20))
     got_ids, _ = score_shard(lists, blocks, idfs, 10.0, parsed, k)
     assert [int(i) for i in got_ids] == list(range(k))  # pure doc_id order
+
+
+def test_phrase_length_cap_enforced():
+    """Round-6 ADVICE: the adjacency composite key offsets positions by
+    MAX_PHRASE_LEN — longer phrases must fail loudly at parse AND in
+    the scorer, never corrupt neighboring doc key slots."""
+    import numpy as np
+    import pytest
+
+    from xsearch_spark.operators.wand import MAX_PHRASE_LEN, _phrase_filter, score_shard
+    from xsearch_spark.plans.query import ParsedQuery, parse
+
+    long_phrase = " ".join(f"w{i}" for i in range(MAX_PHRASE_LEN + 1))
+    with pytest.raises(ValueError, match="exceeds the supported maximum"):
+        parse(f'"{long_phrase}"')
+    # exactly at the cap parses fine
+    ok = parse('"' + " ".join(f"w{i}" for i in range(MAX_PHRASE_LEN)) + '"')
+    assert len(ok.phrases[0]) == MAX_PHRASE_LEN
+    with pytest.raises(ValueError, match="exceeds the supported maximum"):
+        _phrase_filter(
+            np.array([1], dtype=np.int64),
+            (tuple(f"w{i}" for i in range(MAX_PHRASE_LEN + 1)),),
+            {},
+        )
+    # a hand-built OR query carrying phrases must raise, not under-fill
+    p = ParsedQuery(terms=("a", "b"), connective="OR", phrases=(("a", "b"),))
+    with pytest.raises(ValueError, match="AND semantics"):
+        score_shard({}, {}, {}, 10.0, p, 10)
