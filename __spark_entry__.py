@@ -109,6 +109,12 @@ _ATTR_QUERY_SET = {
     "bm25_rel_source_not": ("source:src5 hash -join", "rel"),
     "bm25_wand_phrase": ('"hash join" spark', "wand"),
     "bm25_rel_phrase_lang": ('lang:en "scan merge"', "rel"),
+    # proximity (round-6, FIXTURES.md §3.8): ordered window with slop —
+    # at sf0.01 "hash join"~1 matches 55 docs vs 27 adjacent vs 322
+    # unordered-AND, so the window filter is discriminative at the
+    # driver's scale on both engine paths
+    "bm25_wand_proximity": ('"hash join"~1 spark', "wand"),
+    "bm25_rel_proximity_lang": ('lang:en "scan merge"~2', "rel"),
 }
 
 
@@ -229,7 +235,16 @@ _QUERY_SET = {
 # already gate. They remain exact-value parity-tested at two scale
 # factors via extra_queries() (tests/test_driver_parity.py).
 _BATCH_ONLY = frozenset(
-    {"bm25_single_rare", "bm25_hot_term", "bm25_absent_term", "bm25_and4"}
+    {
+        "bm25_single_rare",
+        "bm25_hot_term",
+        "bm25_absent_term",
+        "bm25_and4",
+        # round-6: demoted to make cap room for proximity + highlight;
+        # the OR connective stays driver-gated on the main engine path
+        # (bm25_wand_or_hot) and keeps running inside both batch entries
+        "bm25_or",
+    }
 )
 
 
@@ -273,6 +288,24 @@ def _make_bm25_query(qstr: str) -> Callable[[SparkSession, str], DataFrame]:
 
 def _q_topk_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return engine.run_query_fetch(_corpus(spark, sf_dir), "hash join", ["lang", "source"])
+
+
+def _q_search_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10+ (round-6): the WAND engine top-k joined back to the doc
+    store with per-term first-occurrence char spans and ±30-char
+    snippets (operators.search.highlight_matches) — the user-facing
+    result-page surface. Oracle: oracles.highlight_sql, the same
+    separator-run prefix-sum arithmetic in DuckDB list ops."""
+    from xsearch_spark.operators.search import highlight_matches
+    from xsearch_spark.operators.wand import search_wand
+
+    built = _index(spark, sf_dir)
+    parsed = parse("hash join spark")
+    topk = search_wand(built, parsed).select(
+        "doc_id", F.round(F.col("score"), SCORE_ROUND_DECIMALS).alias("score")
+    )
+    src = _corpus(spark, sf_dir).source
+    return highlight_matches(topk, src, parsed.terms, text_col="text", context=30)
 
 
 # ---------------------------------------------------------------------------
@@ -658,11 +691,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q[name] = _make_code_wand_query(qstr)
     q.update(
         {
+            "search_highlight": _q_search_highlight,
             "bm25_batch": _q_bm25_batch,
             "bm25_batch_tombstone": _q_bm25_batch_tombstone,
             "tombstone_filtered_topk": _q_tombstone_topk,
             "tombstone_wand_topk": _q_tombstone_wand,
-            "tombstone_wand_lang": _q_tombstone_wand_lang,
             "tokens_tf_cjk": _q_tf_cjk,
             "content_sha256_invariant": _q_sha256_invariant,
             "events_latest_per_user": _q_events_latest,
@@ -701,6 +734,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "dedup_exact": _q_dedup_exact,
         "text_quality_features": _q_quality_features,
+        # round-6 demotions for the proximity + highlight slots:
+        # rel-path NOT stays gated via bm25_rel_source_not; the
+        # tombstone-cogroup and lang-filter surfaces stay gated via
+        # tombstone_wand_topk and bm25_wand_filter
+        "bm25_index_not": _make_index_query("hash -join", "rel"),
+        "tombstone_wand_lang": _q_tombstone_wand_lang,
     }
     for name in sorted(_BATCH_ONLY):
         q[name] = _make_bm25_query(_QUERY_SET[name])
@@ -713,6 +752,10 @@ def extra_oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {
         "dedup_exact": op.dedup_exact_sql(),
         "text_quality_features": op.quality_features_sql(),
+        "bm25_index_not": oracles.bm25_sql(parse("hash -join")),
+        "tombstone_wand_lang": oracles.bm25_sql(
+            parse("lang:zh spark"), extra_doc_pred="tf.doc_id % 7 <> 0"
+        ),
     }
     for name in sorted(_BATCH_ONLY):
         o[name] = oracles.bm25_sql(parse(_QUERY_SET[name]))
@@ -724,7 +767,6 @@ def extra_oracle_sql() -> dict[str, str]:
 # the results
 _INDEX_QUERY_SET = {
     "bm25_index_and": ("hash join", "rel"),
-    "bm25_index_not": ("hash -join", "rel"),
     "bm25_wand_and": ("hash join", "wand"),
     "bm25_wand_or_hot": ("the OR scan OR join", "wand"),
     "bm25_wand_single_hot": ("the", "wand"),
@@ -785,9 +827,7 @@ WHERE f.quality >= 0.5
         "tombstone_wand_topk": oracles.bm25_sql(
             parse("hash OR join OR scan"), extra_doc_pred="tf.doc_id % 7 <> 0"
         ),
-        "tombstone_wand_lang": oracles.bm25_sql(
-            parse("lang:zh spark"), extra_doc_pred="tf.doc_id % 7 <> 0"
-        ),
+        "search_highlight": oracles.highlight_sql(parse("hash join spark")),
         "ann_ivf_topk": op.ivf_topk_sql(0, 10, 8, 2),
         "ann_ivf_tombstone": op.ivf_topk_sql(
             0, 10, 8, 2, extra_vec_pred="e.vec_id % 7 <> 3"

@@ -356,6 +356,13 @@ PHRASE_QUERIES = [
     '"hash join" OR scan',  # phrases force AND (frozen)
     '"zzz qqq"',
     '"hash join" -window',
+    # round-6 proximity (FIXTURES.md §3.8): ordered window with slop,
+    # on all three engine paths; ~0 is the adjacency degeneracy
+    '"hash join"~1 spark',
+    '"the hash"~2',
+    'lang:en "scan merge"~2',
+    '"hash join"~0',
+    '"zzz qqq"~3',
 ]
 
 
@@ -372,6 +379,67 @@ def test_phrase_parse():
     assert p3.phrases == () and set(p3.terms) == {"hash", "scan"}
     p4 = parse('"" scan')
     assert p4.phrases == () and p4.terms == ("scan",)
+
+
+def test_proximity_parse():
+    """Round-6 `"w1 w2"~N` syntax: slop rides parallel to phrases; a
+    missing or explicit ~0 is exactly the adjacency phrase; 1-token
+    spans degrade (slop dropped with them); the same span at two
+    different slops stays two filters."""
+    p = parse('"hash join"~2 spark')
+    assert p.phrases == (("hash", "join"),) and p.phrase_slops == (2,)
+    assert p.connective == "AND"
+    assert set(p.terms) == {"hash", "join", "spark"}
+    assert parse('"hash join"~0').phrase_slops == (0,)
+    assert parse('"hash join"').phrase_slops == (0,)
+    p1 = parse('"hash"~3 scan')
+    assert p1.phrases == () and set(p1.terms) == {"hash", "scan"}
+    p2 = parse('"hash join" "hash join"~1')
+    assert p2.phrases == (("hash", "join"), ("hash", "join"))
+    assert p2.phrase_slops == (0, 1)
+    # duplicate (span, slop) pair still dedups
+    p3 = parse('"hash join"~1 "hash join"~1')
+    assert p3.phrase_slops == (1,)
+
+
+def test_highlight_matches_spans(spark):
+    """Q10+ highlight: the Column-expression prefix-sum spans must
+    equal an independent re.finditer derivation over the lowered text
+    (first occurrence AS A TOKEN — 'scan' inside 'rescanned' never
+    matches), snippet clamped to doc bounds, absent terms dropped."""
+    import random
+    import re
+
+    from xsearch_spark.operators.search import highlight_matches
+
+    rng = random.Random(77)
+    alphabet = [
+        "hash", "join", "Scan", "rescanned", "naïve", "x1", "_", "!!",
+        "日本", "a" * 40, "",
+    ]
+    rows = []
+    for i in range(120):
+        n = rng.randint(0, 30)
+        rows.append((i, i / 7.0, " ".join(rng.choice(alphabet) for _ in range(n))))
+    topk = spark.createDataFrame(
+        [(i, s) for i, s, _ in rows], "doc_id long, score double"
+    )
+    docs = spark.createDataFrame(
+        [(i, t) for i, _, t in rows], "doc_id long, text string"
+    )
+    terms = ("hash", "scan", "x1", "zzz")
+    got = sorted(tuple(r) for r in highlight_matches(topk, docs, terms).collect())
+    want = []
+    for i, s, t in rows:
+        matches = list(re.finditer(r"[a-z0-9_]+", t.lower()))
+        for term in terms:
+            m = next((mm for mm in matches if mm.group(0) == term), None)
+            if m is None:
+                continue
+            cs, ce = m.start() + 1, m.end()  # 1-based inclusive
+            ss = max(1, cs - 30)
+            want.append((i, s, term, cs, ce, t[ss - 1 : ce + 30]))
+    assert got == sorted(want)
 
 
 @pytest.mark.parametrize("q", PHRASE_QUERIES)
@@ -416,6 +484,7 @@ def test_phrase_batch_equals_singles(spark, built):
         "p2": parse('"the hash"'),
         "plain": parse("hash OR join"),
         "pl": parse('lang:en "scan merge"'),
+        "prox": parse('"hash join"~2 spark'),
     }
     got = {}
     for r in search_wand_batch(built, qset).collect():

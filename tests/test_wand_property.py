@@ -275,6 +275,166 @@ def test_wand_tie_boundary(seed):
     assert [int(i) for i in got_ids] == list(range(k))  # pure doc_id order
 
 
+def _streams_to_lists(streams: dict, vocab: list[str]):
+    """Derive (lists, pos_lists) from raw token streams exactly as the
+    v6 index would (1-based positions, doc-sorted postings)."""
+    lists, pos_lists = {}, {}
+    for t in vocab:
+        ids, tfs, dls, flats = [], [], [], []
+        for d in sorted(streams):
+            pos = [i + 1 for i, w in enumerate(streams[d]) if w == t]
+            if pos:
+                ids.append(d)
+                tfs.append(len(pos))
+                dls.append(len(streams[d]))
+                flats.extend(pos)
+        if ids:
+            ids_a = np.array(ids, dtype=np.int64)
+            tfs_a = np.array(tfs, dtype=np.int64)
+            lists[t] = (ids_a, tfs_a, np.array(dls, dtype=np.int64))
+            pos_lists[t] = (
+                ids_a,
+                np.array(flats, dtype=np.int64),
+                np.concatenate([[0], np.cumsum(tfs_a)]).astype(np.int64),
+            )
+    return lists, pos_lists
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    seed=st.integers(0, 100_000),
+    n_docs=st.integers(1, 100),
+    phrase_len=st.integers(2, 4),
+    slop=st.integers(0, 4),
+    extra_term=st.booleans(),
+)
+def test_proximity_filter_equals_stream_scan(
+    seed, n_docs, phrase_len, slop, extra_term
+):
+    """Round-6 proximity (FIXTURES.md §3.8): the scorer's greedy
+    searchsorted chain must equal a brute-force ordered-window scan —
+    doc matches iff positions i_1 < … < i_m exist with t_j at i_j and
+    i_m - i_1 <= (m-1) + slop — on random mini-corpora over a TINY
+    vocab (collisions + repeated-term windows by construction). Slop 0
+    routes through the adjacency intersection, pinning the two
+    features' shared boundary; scoring stays the plain unquoted-AND
+    score of the survivors."""
+    rng = np.random.default_rng(seed)
+    vocab = ["a", "b", "c", "d"]
+    streams = {
+        d: [vocab[i] for i in rng.integers(0, len(vocab), rng.integers(0, 24))]
+        for d in range(n_docs)
+    }
+    phrase = tuple(vocab[i] for i in rng.integers(0, len(vocab), phrase_len))
+    # plant the phrase with small random gaps so slop is discriminative
+    for d in rng.choice(n_docs, size=min(3, n_docs), replace=False):
+        s = streams[int(d)]
+        cut = int(rng.integers(0, len(s) + 1))
+        planted: list[str] = []
+        for j, w in enumerate(phrase):
+            if j:
+                planted.extend(
+                    vocab[i] for i in rng.integers(0, len(vocab), rng.integers(0, 3))
+                )
+            planted.append(w)
+        streams[int(d)] = s[:cut] + planted + s[cut:]
+    lists, pos_lists = _streams_to_lists(streams, vocab)
+    terms = sorted(set(phrase))
+    if extra_term:
+        terms = sorted(set(terms) | {vocab[int(rng.integers(0, len(vocab)))]})
+    avgdl = max(
+        1.0, float(np.mean([len(s) for s in streams.values()])) if streams else 1.0
+    )
+    idfs = {
+        t: math.log(1 + (n_docs - len(v[0]) + 0.5) / (len(v[0]) + 0.5))
+        for t, v in lists.items()
+    }
+    parsed = ParsedQuery(
+        terms=tuple(terms),
+        connective="AND",
+        phrases=(phrase,),
+        phrase_slops=(slop,),
+    )
+    k = 10
+    if any(t not in lists for t in terms):
+        got_ids, _ = score_shard(
+            lists, {t: (v[0][-1:], np.array([9.9])) for t, v in lists.items()},
+            idfs, avgdl, parsed, k, pos_lists=pos_lists,
+        )
+        assert got_ids.size == 0
+        return
+    blocks = {}
+    for t, (ids, tfs, dls) in lists.items():
+        starts = np.arange(0, ids.size, BLOCK_SIZE)
+        fac = tfs * (K1 + 1.0) / (tfs + K1 * (1 - B + B * dls / avgdl))
+        blocks[t] = (
+            ids[np.minimum(starts + BLOCK_SIZE - 1, ids.size - 1)],
+            np.maximum.reduceat(fac, starts),
+        )
+    got_ids, got_scores = score_shard(
+        lists, blocks, idfs, avgdl, parsed, k, pos_lists=pos_lists
+    )
+
+    bound = len(phrase) - 1 + slop
+
+    def matches(s: list[str]) -> bool:
+        pos = [[i + 1 for i, w in enumerate(s) if w == t] for t in phrase]
+
+        def rec(j: int, prev: int, start: int) -> bool:
+            if j == len(phrase):
+                return True
+            return any(
+                p > prev and p <= start + bound and rec(j + 1, p, start)
+                for p in pos[j]
+            )
+
+        return any(rec(1, p0, p0) for p0 in pos[0])
+
+    want = []
+    for d, s in streams.items():
+        if not s or not all(d in lists[t][0] for t in terms) or not matches(s):
+            continue
+        score = 0.0
+        for t in terms:
+            tf = s.count(t)
+            score += idfs[t] * tf * (K1 + 1.0) / (
+                tf + K1 * (1 - B + B * len(s) / avgdl)
+            )
+        want.append((d, score))
+    want.sort(key=lambda x: (-x[1], x[0]))
+    want = want[:k]
+    assert [int(i) for i in got_ids] == [d for d, _ in want]
+    for g, (_, w) in zip(got_scores.tolist(), want):
+        assert abs(g - w) < 1e-9
+
+
+@settings(max_examples=100, deadline=None)
+@given(seed=st.integers(0, 100_000), n_docs=st.integers(1, 80))
+def test_proximity_chain_slop0_equals_adjacency(seed, n_docs):
+    """The greedy window chain at slop 0 must return exactly the
+    adjacency intersection's survivors — strictly increasing integers
+    spanning m-1 are consecutive (the degeneracy that ties the
+    proximity oracle to the phrase oracle)."""
+    from xsearch_spark.operators.wand import _phrase_filter, _proximity_chain
+
+    rng = np.random.default_rng(seed)
+    vocab = ["a", "b", "c"]
+    streams = {
+        d: [vocab[i] for i in rng.integers(0, len(vocab), rng.integers(0, 20))]
+        for d in range(n_docs)
+    }
+    phrase = tuple(vocab[i] for i in rng.integers(0, len(vocab), int(rng.integers(2, 5))))
+    _, pos_lists = _streams_to_lists(streams, vocab)
+    # cand = docs containing every phrase term (the AND precondition)
+    cand = None
+    for t in set(phrase):
+        ids = pos_lists.get(t, (np.empty(0, np.int64),))[0]
+        cand = ids if cand is None else np.intersect1d(cand, ids)
+    adj = _phrase_filter(cand.copy(), (phrase,), pos_lists)
+    prox = _proximity_chain(cand.copy(), phrase, 0, pos_lists)
+    assert adj.tolist() == prox.tolist()
+
+
 def test_phrase_length_cap_enforced():
     """Round-6 ADVICE: the adjacency composite key offsets positions by
     MAX_PHRASE_LEN — longer phrases must fail loudly at parse AND in

@@ -91,6 +91,45 @@ def phrase_match_col(tokens: "F.Column", phrase: tuple[str, ...]) -> "F.Column":
     return F.when(F.size(tokens) >= k, F.exists(idxs, hit)).otherwise(F.lit(False))
 
 
+def proximity_match_col(
+    tokens: "F.Column", phrase: tuple[str, ...], slop: int
+) -> "F.Column":
+    """True iff the token array matches the phrase within an ordered
+    window (FIXTURES.md §3.8): positions i_1 < … < i_m with t[i_j] =
+    w_j and i_m - i_1 <= (m-1) + slop — nested EXISTS over index
+    ranges, the Column-expression twin of the scorer's greedy chain
+    and the DuckDB oracle's nested lambdas. ``F.sequence(a, b)``
+    DESCENDS when a > b, so every level guards ``lo <= hi`` explicitly
+    (an exhausted window must be empty, not reversed)."""
+    m = len(phrase)
+    n = F.size(tokens)
+    bound = m - 1 + slop
+
+    def level(j, prev_i, i0):
+        lo = prev_i + F.lit(1)
+        hi = F.least(i0 + F.lit(bound), n)
+
+        def hit(i):
+            c = F.element_at(tokens, i) == phrase[j]
+            if j + 1 < m:
+                c = c & level(j + 1, i, i0)
+            return c
+
+        return F.when(lo <= hi, F.exists(F.sequence(lo, hi), hit)).otherwise(
+            F.lit(False)
+        )
+
+    def hit0(i):
+        c = F.element_at(tokens, i) == phrase[0]
+        if m > 1:
+            c = c & level(1, i, i)
+        return c
+
+    return F.when(n >= m, F.exists(F.sequence(F.lit(1), n), hit0)).otherwise(
+        F.lit(False)
+    )
+
+
 def apply_doc_filters(
     scored: DataFrame,
     postings_df: DataFrame,
@@ -139,16 +178,22 @@ def apply_doc_filters(
             )
         else:
             raise ValueError(f"{fld}: filter requires the source table")
-    for ph in getattr(parsed, "phrases", ()):
+    for pi, ph in enumerate(getattr(parsed, "phrases", ())):
         if tokenized_df is None:
             raise ValueError(
                 "phrase filter on the no-index path requires the tokenized "
                 "corpus (pass tokenized_df) — the index path reads the v6 "
                 "positional stream instead"
             )
-        match = tokenized_df.filter(
+        from xsearch_spark.plans.query import phrase_slop
+
+        slop = phrase_slop(parsed, pi)
+        pred = (
             phrase_match_col(F.col("tokens"), ph)
-        ).select("doc_id")
+            if slop == 0
+            else proximity_match_col(F.col("tokens"), ph, slop)
+        )
+        match = tokenized_df.filter(pred).select("doc_id")
         out = out.join(match, "doc_id", "left_semi")
     if parsed.exclude:
         bad = (
@@ -170,6 +215,68 @@ def fetch_docs(topk: DataFrame, source_df: DataFrame, cols: list[str]) -> DataFr
     is never re-emitted (column pruning keeps it out of the scan)."""
     return topk.join(source_df.select("doc_id", *cols), "doc_id").orderBy(
         F.desc("score"), F.asc("doc_id")
+    )
+
+
+def highlight_matches(
+    topk: DataFrame,
+    source_df: DataFrame,
+    terms: tuple[str, ...],
+    text_col: str = "text",
+    context: int = 30,
+) -> DataFrame:
+    """Q10+ (round-6): per-term first-occurrence highlight spans for the
+    top-k result -> (doc_id, score, term, char_start, char_end,
+    snippet), one row per (doc, query term present in it).
+
+    ``char_start``/``char_end`` are 1-based inclusive character
+    positions of the first occurrence of ``term`` AS A TOKEN (not a
+    substring — 'scan' inside 'rescanned' never matches), computed with
+    the same separator-run prefix sums as ``textops.chunk_docs``:
+    splitting lower(text) by TOKEN_RUN_REGEX yields sep_0 tok_1 sep_1 …,
+    so start(tok_i) = Σlen(sep_0..i-1) + Σlen(tok_1..i-1) + 1. The
+    snippet is ``substr(text, max(1, char_start - context),
+    char_end + context - that + 1)`` — original case and punctuation,
+    clamped to the document bounds by substr itself. Same
+    length-preserving-lowercase caveat as chunk_docs.
+
+    Scale shape: the expensive side is k rows (the top-k), so the join
+    broadcasts the result against the doc store and every span is a
+    pure Column expression over those k fetched docs — one map-only
+    stage after the fetch, no UDF, no shuffle beyond the Q10 join."""
+    from xsearch_spark.constants import TOKEN_RUN_REGEX
+    from xsearch_spark.functions.tokenize import tokenize_base_col
+
+    fetched = topk.join(source_df.select("doc_id", text_col), "doc_id")
+    d = fetched.select(
+        "doc_id",
+        "score",
+        F.col(text_col).alias("_text"),
+        tokenize_base_col(F.col(text_col)).alias("_toks"),
+        F.split(F.lower(F.col(text_col)), TOKEN_RUN_REGEX).alias("_seps"),
+    ).withColumn("term", F.explode(F.array(*[F.lit(t) for t in terms])))
+    d = d.withColumn(
+        "_fi", F.array_position(F.col("_toks"), F.col("term")).cast("int")
+    ).filter(F.col("_fi") > 0)
+
+    def len_sum(arr):  # Σ length over an array slice (0 on empty slice)
+        return F.aggregate(arr, F.lit(0), lambda a, x: a + F.length(x))
+
+    char_start = (
+        len_sum(F.slice(F.col("_seps"), 1, F.col("_fi")))
+        + len_sum(F.slice(F.col("_toks"), 1, F.col("_fi") - F.lit(1)))
+        + F.lit(1)
+    )
+    char_end = char_start + F.length(F.col("term")) - F.lit(1)
+    snip_start = F.greatest(F.lit(1), char_start - F.lit(context))
+    snip_len = char_end + F.lit(context) - snip_start + F.lit(1)
+    return d.select(
+        "doc_id",
+        "score",
+        "term",
+        char_start.cast("long").alias("char_start"),
+        char_end.cast("long").alias("char_end"),
+        F.col("_text").substr(snip_start, snip_len).alias("snippet"),
     )
 
 

@@ -149,7 +149,12 @@ def score_shard(
         )
     cand = _apply_filters(cand, exclude_lists, allowed)
     if getattr(parsed, "phrases", ()):
-        cand = _phrase_filter(cand, parsed.phrases, pos_lists or {})
+        cand = _phrase_filter(
+            cand,
+            parsed.phrases,
+            pos_lists or {},
+            getattr(parsed, "phrase_slops", ()),
+        )
     if cand.size == 0:
         return np.empty(0, np.int64), np.empty(0, np.float64)
     scores, _ = _gather_scores(cand, {t: lists[t] for t in present}, idfs, avgdl)
@@ -167,6 +172,7 @@ def _phrase_filter(
     cand: np.ndarray,
     phrases: tuple[tuple[str, ...], ...],
     pos_lists: dict[str, tuple],
+    slops: tuple[int, ...] = (),
 ) -> np.ndarray:
     """Keep candidates containing every phrase: doc matches phrase
     (t_0..t_{m-1}) iff the intersection over j of the shifted position
@@ -174,8 +180,16 @@ def _phrase_filter(
     one vectorized composite-key ``np.intersect1d`` chain across ALL
     candidates at once, no per-doc Python loop. Keys are
     local_doc_index * 2^32 + (pos - j + 64) (positions are 1-based and
-    phrase length << 64, so the offset keeps keys positive)."""
-    for ph in phrases:
+    phrase length << 64, so the offset keeps keys positive).
+
+    ``slops`` (round-6 proximity, parallel to ``phrases``; empty =
+    all-zero): a phrase with slop > 0 uses the ordered-window chain
+    (``_proximity_chain``) instead — slop 0 keeps this exact-adjacency
+    intersection, which the proximity chain degenerates to (tested)."""
+    for pi, ph in enumerate(phrases):
+        if pi < len(slops) and slops[pi] > 0:
+            cand = _proximity_chain(cand, ph, slops[pi], pos_lists)
+            continue
         if len(ph) > MAX_PHRASE_LEN:
             # the composite key packs (pos - j + MAX_PHRASE_LEN) into the
             # low 32 bits; a longer phrase could drive it negative and
@@ -188,29 +202,10 @@ def _phrase_filter(
             return cand
         keys = None
         for j, t in enumerate(ph):
-            pl = pos_lists.get(t)
-            if pl is None:  # term absent from this shard: no match here
+            occ = _gather_occurrences(cand, t, pos_lists)
+            if occ is None:  # term absent from this shard: no match here
                 return np.empty(0, np.int64)
-            ids_t, flat_t, off_t = pl
-            idx = np.searchsorted(ids_t, cand)
-            idx_c = np.minimum(idx, ids_t.size - 1)
-            if not ((idx < ids_t.size) & (ids_t[idx_c] == cand)).all():
-                # AND semantics guarantee every candidate holds every
-                # phrase term — a miss means caller wiring is broken
-                raise ValueError(
-                    f"phrase term {t!r} missing from a candidate's postings"
-                )
-            starts = off_t[idx]
-            cnts = off_t[idx + 1] - off_t[idx]
-            ends = np.cumsum(cnts)
-            total = int(ends[-1]) if ends.size else 0
-            gather = (
-                np.arange(total, dtype=np.int64)
-                - np.repeat(ends - cnts, cnts)
-                + np.repeat(starts, cnts)
-            )
-            pos_c = flat_t[gather]
-            drep = np.repeat(np.arange(cand.size, dtype=np.int64), cnts)
+            drep, pos_c = occ
             keys_t = drep * _POS_KEY_BASE + (pos_c - j + MAX_PHRASE_LEN)
             keys = (
                 keys_t
@@ -221,6 +216,87 @@ def _phrase_filter(
                 return np.empty(0, np.int64)
         cand = cand[np.unique(keys // _POS_KEY_BASE)]
     return cand
+
+
+def _gather_occurrences(
+    cand: np.ndarray, t: str, pos_lists: dict[str, tuple]
+) -> "tuple[np.ndarray, np.ndarray] | None":
+    """All occurrences of ``t`` within the candidate docs, as parallel
+    (local_doc_index, position) arrays sorted by (doc, pos). ``None``
+    when the term has no postings in this shard."""
+    pl = pos_lists.get(t)
+    if pl is None:
+        return None
+    ids_t, flat_t, off_t = pl
+    idx = np.searchsorted(ids_t, cand)
+    idx_c = np.minimum(idx, ids_t.size - 1)
+    if not ((idx < ids_t.size) & (ids_t[idx_c] == cand)).all():
+        # AND semantics guarantee every candidate holds every
+        # phrase term — a miss means caller wiring is broken
+        raise ValueError(
+            f"phrase term {t!r} missing from a candidate's postings"
+        )
+    starts = off_t[idx]
+    cnts = off_t[idx + 1] - off_t[idx]
+    ends = np.cumsum(cnts)
+    total = int(ends[-1]) if ends.size else 0
+    gather = (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(ends - cnts, cnts)
+        + np.repeat(starts, cnts)
+    )
+    pos_c = flat_t[gather].astype(np.int64)
+    drep = np.repeat(np.arange(cand.size, dtype=np.int64), cnts)
+    return drep, pos_c
+
+
+def _proximity_chain(
+    cand: np.ndarray,
+    ph: tuple[str, ...],
+    slop: int,
+    pos_lists: dict[str, tuple],
+) -> np.ndarray:
+    """Ordered-window proximity (FIXTURES.md §3.8): doc matches iff
+    positions i_1 < i_2 < … < i_m exist with t_j at i_j and
+    i_m - i_1 <= (m-1) + slop. Greedy chaining — from each occurrence
+    of t_0, repeatedly take the SMALLEST position of the next term
+    strictly after the current one — minimizes i_m for every start, so
+    existence reduces to min-span-over-starts <= bound: m-1 vectorized
+    ``searchsorted`` passes over the start occurrences, no per-doc
+    loop. Composite keys are local_doc_index * 2^32 + pos (1-based
+    positions << 2^32); a chain step that lands in a different doc's
+    key slot is dropped, never wraps. slop = 0 degenerates to exact
+    adjacency (strictly increasing ints spanning m-1 are consecutive)
+    and is served by the intersection chain in ``_phrase_filter``."""
+    if len(ph) > MAX_PHRASE_LEN:
+        raise ValueError(
+            f"phrase of {len(ph)} terms exceeds the supported maximum "
+            f"of {MAX_PHRASE_LEN}"
+        )
+    if cand.size == 0:
+        return cand
+    keys_per_term = []
+    for t in ph:
+        occ = _gather_occurrences(cand, t, pos_lists)
+        if occ is None:
+            return np.empty(0, np.int64)
+        drep, pos_c = occ
+        keys_per_term.append(drep * _POS_KEY_BASE + pos_c)
+    cur = keys_per_term[0]
+    start = cur
+    for keys_j in keys_per_term[1:]:
+        if cur.size == 0:
+            return np.empty(0, np.int64)
+        idx = np.searchsorted(keys_j, cur, side="right")
+        ok = idx < keys_j.size
+        nxt = keys_j[np.minimum(idx, keys_j.size - 1)]
+        ok &= (nxt // _POS_KEY_BASE) == (cur // _POS_KEY_BASE)
+        cur, start = nxt[ok], start[ok]
+    bound = len(ph) - 1 + slop
+    hit = (cur - start) <= bound
+    if not hit.any():
+        return np.empty(0, np.int64)
+    return cand[np.unique(start[hit] // _POS_KEY_BASE)]
 
 
 def _apply_filters(
@@ -901,26 +977,54 @@ def search_index_relational(
         scored,
         long_postings,
         source_df,
-        dataclasses.replace(parsed, phrases=()),
+        dataclasses.replace(parsed, phrases=(), phrase_slops=()),
         allowed_df=allowed_df,
         attr_allowed_dfs=attr_allowed_dfs or None,
     )
     # phrase adjacency (v6), declaratively: decode (term, doc_id, pos)
     # for the phrase members and express "consecutive positions" as a
     # k-way semi-join chain on (doc_id, pos + offset) — the relational
-    # statement of what the scorer's composite-key intersection computes
+    # statement of what the scorer's composite-key intersection computes.
+    # Proximity (round-6, slop > 0) chains "smallest next position"
+    # instead: an inner join per step keyed by doc_id with a range
+    # predicate, re-minimized per (doc, start) so cardinality never
+    # exceeds the t_0 occurrence count — the relational statement of the
+    # scorer's greedy searchsorted chain.
     if _phrase_terms(built, parsed):
-        for ph in parsed.phrases:
+        from xsearch_spark.plans.query import phrase_slop
+
+        for pi, ph in enumerate(parsed.phrases):
             rows_p = pruned_index_scan(
                 built.index_df, sorted(set(ph)), built.num_buckets
             )
             posr = seg.decode_positions(rows_p)
-            anchors = posr.filter(F.col("term") == ph[0]).select("doc_id", "pos")
-            for j in range(1, len(ph)):
-                nxt = posr.filter(F.col("term") == ph[j]).select(
-                    "doc_id", (F.col("pos") - j).alias("pos")
+            slop = phrase_slop(parsed, pi)
+            if slop == 0:
+                anchors = posr.filter(F.col("term") == ph[0]).select("doc_id", "pos")
+                for j in range(1, len(ph)):
+                    nxt = posr.filter(F.col("term") == ph[j]).select(
+                        "doc_id", (F.col("pos") - j).alias("pos")
+                    )
+                    anchors = anchors.join(nxt, ["doc_id", "pos"], "left_semi")
+            else:
+                bound = len(ph) - 1 + slop
+                anchors = posr.filter(F.col("term") == ph[0]).select(
+                    "doc_id", F.col("pos").alias("p0"), F.col("pos").alias("prev")
                 )
-                anchors = anchors.join(nxt, ["doc_id", "pos"], "left_semi")
+                for j in range(1, len(ph)):
+                    nxt = posr.filter(F.col("term") == ph[j]).select(
+                        "doc_id", F.col("pos").alias("pj")
+                    )
+                    anchors = (
+                        anchors.join(nxt, "doc_id")
+                        .filter(
+                            (F.col("pj") > F.col("prev"))
+                            & (F.col("pj") <= F.col("p0") + F.lit(bound))
+                        )
+                        .groupBy("doc_id", "p0")
+                        .agg(F.min("pj").alias("prev"))
+                    )
+                anchors = anchors.select("doc_id", F.col("p0").alias("pos"))
             scored = scored.join(
                 anchors.select("doc_id").distinct(), "doc_id", "left_semi"
             )

@@ -282,23 +282,51 @@ def _phrase_sql(parsed: ParsedQuery, table: str) -> tuple[str, str]:
     iff some start offset i has t[i..i+k-1] equal to the phrase — the
     declarative twin of the positional-index intersection. Base-variant
     tokenization only (the code variant's emission order is not
-    reproducible in this SQL form)."""
+    reproducible in this SQL form).
+
+    Proximity (round-6, slop > 0, FIXTURES.md §3.8): nested lambdas —
+    EXISTS i_1 with t[i_1] = w_1, EXISTS i_2 in (i_1, i_1 + B] with
+    t[i_2] = w_2, … where B = (m-1) + slop bounds every later index
+    (the last index must land within B of i_1, so capping the
+    intermediates at i_1 + B loses no solution). DuckDB lambdas close
+    over outer lambda variables and ``generate_series(a, b)`` is empty
+    for a > b, so the innermost EXISTS vanishes exactly when the
+    window is exhausted."""
     phrases = getattr(parsed, "phrases", ())
     if not phrases:
         return "", ""
     from xsearch_spark.constants import TOKEN_SPLIT_REGEX
+    from xsearch_spark.plans.query import phrase_slop
 
     rgx = _sql_quote(TOKEN_SPLIT_REGEX)
     pred = ""
-    for ph in phrases:
+    for pi, ph in enumerate(phrases):
         k = len(ph)
-        conds = " AND ".join(
-            f"t[i + {j}] = {_sql_quote(w)}" for j, w in enumerate(ph)
-        )
+        slop = phrase_slop(parsed, pi)
+        if slop == 0:
+            conds = " AND ".join(
+                f"t[i + {j}] = {_sql_quote(w)}" for j, w in enumerate(ph)
+            )
+            pred += (
+                f" AND tf.doc_id IN (SELECT doc_id FROM tarr WHERE len(t) >= {k}"
+                f" AND len(list_filter(generate_series(1, len(t) - {k - 1}),"
+                f" i -> {conds})) > 0)"
+            )
+            continue
+        bound = k - 1 + slop
+        # innermost-out: exists i_m … exists i_2, each strictly after
+        # the previous and within i_1 + bound
+        inner = "TRUE"
+        for j in range(k - 1, 0, -1):
+            inner = (
+                f"len(list_filter(generate_series(i{j - 1} + 1,"
+                f" least(i0 + {bound}, len(t))),"
+                f" i{j} -> t[i{j}] = {_sql_quote(ph[j])} AND {inner})) > 0"
+            )
         pred += (
             f" AND tf.doc_id IN (SELECT doc_id FROM tarr WHERE len(t) >= {k}"
-            f" AND len(list_filter(generate_series(1, len(t) - {k - 1}),"
-            f" i -> {conds})) > 0)"
+            f" AND len(list_filter(generate_series(1, len(t)),"
+            f" i0 -> t[i0] = {_sql_quote(ph[0])} AND {inner})) > 0)"
         )
     cte = (
         f",\ntarr AS (SELECT doc_id, list_filter(string_split_regex("
@@ -316,3 +344,57 @@ def bm25_fetch_sql(
         f"SELECT t.doc_id, t.score, {cols} FROM ({inner}) t "
         f"JOIN {table} d USING (doc_id)"
     )
+
+
+def highlight_sql(
+    parsed: ParsedQuery, k: int = 10, table: str = "documents", context: int = 30
+) -> str:
+    """Q10+ highlight oracle (round-6): the BM25 top-k joined back to the
+    doc store, one row per (doc, query term present), with the 1-based
+    inclusive char span of the term's FIRST occurrence as a token and a
+    ±context snippet — the same separator-run prefix-sum arithmetic as
+    ``chunk_docs_sql`` (list_sum of an empty slice is NULL in DuckDB,
+    hence the coalesce), mirroring ``operators.search.highlight_matches``
+    expression for expression."""
+    from xsearch_spark.constants import TOKEN_RUN_REGEX, TOKEN_SPLIT_REGEX
+
+    rgx = _sql_quote(TOKEN_SPLIT_REGEX)
+    run = _sql_quote(TOKEN_RUN_REGEX)
+    inner = bm25_sql(parsed, k, table)
+    terms_list = ", ".join(_sql_quote(t) for t in parsed.terms)
+    lensum = (
+        "coalesce(list_sum(list_transform(list_slice({arr}, 1, {hi}),"
+        " x -> length(x))), 0)"
+    )
+    start = (
+        lensum.format(arr="s", hi="fi")
+        + " + "
+        + lensum.format(arr="t", hi="(fi - 1)")
+        + " + 1"
+    )
+    return f"""
+WITH topk AS ({inner}),
+toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), {rgx}), x -> x <> '') AS t,
+         string_split_regex(lower(text), {run}) AS s
+  FROM {table}
+),
+hits AS (
+  SELECT tk.doc_id, k.score, q.term, list_position(tk.t, q.term) AS fi,
+         tk.t AS t, tk.s AS s, tk.text AS text
+  FROM topk k JOIN toks tk USING (doc_id)
+  CROSS JOIN (SELECT unnest([{terms_list}]) AS term) q
+),
+spans AS (
+  SELECT doc_id, score, term, text, ({start})::BIGINT AS char_start
+  FROM hits WHERE fi IS NOT NULL AND fi > 0
+)
+SELECT doc_id, score, term, char_start,
+       (char_start + length(term) - 1)::BIGINT AS char_end,
+       substr(text,
+              greatest(1, char_start - {context})::INT,
+              (char_start + length(term) - 1 + {context}
+               - greatest(1, char_start - {context}) + 1)::INT) AS snippet
+FROM spans
+"""

@@ -23,6 +23,15 @@ Grammar (xsearch-style free-text term bag, plus the pinned extensions):
                             adjacency predicate (so the naive-SQL
                             oracle is the unquoted AND query plus a
                             token-array adjacency filter).
+  * ``"quoted span"~N``  -> PROXIMITY (round 6): ordered-window
+                            generalization of PHRASE with slop N —
+                            the m analyzed terms must occur IN ORDER
+                            at strictly increasing positions i_1 < …
+                            < i_m with span i_m - i_1 <= (m-1) + N.
+                            N = 0 is exactly PHRASE (consecutive);
+                            scoring stays identical to the unquoted
+                            query, the window is only a filter
+                            (FIXTURES.md §3.8).
 
 Driver-side only — a query is one string; nothing to distribute.
 Duplicate terms count once (FIXTURES.md §3.2).
@@ -38,7 +47,7 @@ from xsearch_spark.functions.tokenize import tokenize_query
 
 DEFAULT_ATTR_FIELDS: tuple[str, ...] = ("lang",)
 
-_PHRASE_RE = re.compile(r'"([^"]*)"')
+_PHRASE_RE = re.compile(r'"([^"]*)"(?:~(\d+))?')
 _MAX_PHRASE_LEN = 64  # = operators.wand.MAX_PHRASE_LEN (no import cycle)
 
 
@@ -54,6 +63,16 @@ class ParsedQuery:
     # phrases (v6 positional index): each is the analyzed term sequence
     # of one quoted span, len >= 2 (shorter spans degrade to plain terms)
     phrases: tuple[tuple[str, ...], ...] = field(default_factory=tuple)
+    # per-phrase slop (round-6 proximity, FIXTURES.md §3.8): parallel to
+    # ``phrases`` when set; an empty tuple means all-zero (plain phrase)
+    # so every pre-round-6 constructor keeps its meaning
+    phrase_slops: tuple[int, ...] = field(default_factory=tuple)
+
+
+def phrase_slop(parsed: "ParsedQuery", i: int) -> int:
+    """Slop of phrase ``i`` under the empty-means-all-zero convention."""
+    slops = getattr(parsed, "phrase_slops", ())
+    return slops[i] if i < len(slops) else 0
 
 
 def parse(
@@ -72,6 +91,7 @@ def parse(
     exclude: list[str] = []
     attrs: list[tuple[str, str]] = []
     phrases: list[tuple[str, ...]] = []
+    slops: list[int] = []
     fields = set(attr_fields)
 
     def _take_phrase(m: "re.Match[str]") -> str:
@@ -83,9 +103,11 @@ def parse(
                 f"phrase of {len(toks)} analyzed terms exceeds the "
                 f"supported maximum of {_MAX_PHRASE_LEN}"
             )
+        slop = int(m.group(2)) if m.group(2) is not None else 0
         if len(toks) >= 2:
-            if toks not in phrases:
+            if (toks, slop) not in zip(phrases, slops):
                 phrases.append(toks)
+                slops.append(slop)
             for t in toks:  # phrase terms are scored like bare terms
                 if t not in include:
                     include.append(t)
@@ -120,4 +142,5 @@ def parse(
         exclude=tuple(exclude),
         attrs=tuple(attrs),
         phrases=tuple(phrases),
+        phrase_slops=tuple(slops),
     )
