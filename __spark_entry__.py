@@ -231,9 +231,10 @@ _QUERY_SET = {
 # entries — each ONE Spark job over the whole set, naive-SQL UNION
 # oracle — still exercise them, including the 0-row absent-term shape)
 # but are NOT individually registered: they all ride _make_bm25_query
-# over the exact path that bm25_and/bm25_or/bm25_not/bm25_phrase
-# already gate. They remain exact-value parity-tested at two scale
-# factors via extra_queries() (tests/test_driver_parity.py).
+# over the exact path that bm25_not/bm25_field_filter/bm25_phrase (and
+# topk_fetch for plain AND) already gate. They remain exact-value
+# parity-tested at two scale factors via extra_queries()
+# (tests/test_driver_parity.py).
 _BATCH_ONLY = frozenset(
     {
         "bm25_single_rare",
@@ -244,6 +245,10 @@ _BATCH_ONLY = frozenset(
         # the OR connective stays driver-gated on the main engine path
         # (bm25_wand_or_hot) and keeps running inside both batch entries
         "bm25_or",
+        # round-6: demoted for the facet slot — naive-path plain AND
+        # stays individually gated via topk_fetch (same search_relational
+        # evaluation plus the Q10 join) and inside both batch entries
+        "bm25_and",
     }
 )
 
@@ -306,6 +311,18 @@ def _q_search_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src = _corpus(spark, sf_dir).source
     return highlight_matches(topk, src, parsed.terms, text_col="text", context=30)
+
+
+def _q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 (round-6): facet counts over the FULL match set of an OR
+    query — matching-doc count per lang, computed entirely index-side
+    from the v5 synthetic attr postings (wand.facet_counts; the source
+    table never appears in the plan). Oracle: oracles.facet_sql, the
+    same match CTEs as every bm25 oracle plus a group-by."""
+    from xsearch_spark.operators.wand import facet_counts
+
+    built = _index(spark, sf_dir)
+    return facet_counts(built, parse("hash OR join"), "lang")
 
 
 # ---------------------------------------------------------------------------
@@ -692,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(
         {
             "search_highlight": _q_search_highlight,
+            "search_facets": _q_search_facets,
             "bm25_batch": _q_bm25_batch,
             "bm25_batch_tombstone": _q_bm25_batch_tombstone,
             "tombstone_filtered_topk": _q_tombstone_topk,
@@ -828,6 +846,7 @@ WHERE f.quality >= 0.5
             parse("hash OR join OR scan"), extra_doc_pred="tf.doc_id % 7 <> 0"
         ),
         "search_highlight": oracles.highlight_sql(parse("hash join spark")),
+        "search_facets": oracles.facet_sql(parse("hash OR join"), "lang"),
         "ann_ivf_topk": op.ivf_topk_sql(0, 10, 8, 2),
         "ann_ivf_tombstone": op.ivf_topk_sql(
             0, 10, 8, 2, extra_vec_pred="e.vec_id % 7 <> 3"

@@ -41,6 +41,7 @@ QUERIES = {
     "q07_and4": "scan merge window sort",
     "q08_absent": "zzzznotaterm",
     "q14_phrase": '"hash join" spark',  # v6 positional adjacency
+    "q15_proximity": '"hash join"~2 spark',  # round-6 ordered window
 }
 
 # code-aware pipeline over the synthetic prod-schema table (the
@@ -141,11 +142,17 @@ def run_bench(sf_dir: str, cpus: int, emit_json: bool = True) -> dict:
         build_s = min(doc_walls)
 
         def _doc_queries():
+            from xsearch_spark.operators.wand import facet_counts
+
             for _pass in range(2):  # second pass = warm
                 for name, q in QUERIES.items():
                     tq = time.monotonic()
                     search_wand(built, parse(q), source_df=docs).collect()
                     per_query[name] = time.monotonic() - tq
+                # round-6 Q11: full-match-set facet, index-only
+                tq = time.monotonic()
+                facet_counts(built, parse("hash OR join"), "lang").collect()
+                per_query["q16_facet"] = time.monotonic() - tq
 
         # query sections carry their own steal stamp too (round 6): the
         # r5->r6 adjudication showed query-latency regressions can be

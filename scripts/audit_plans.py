@@ -200,6 +200,29 @@ def main() -> None:
         "pruned index scan — the source table appears nowhere.",
     ))
 
+    # 5d. facet counts (round-6 Q11): the full-match-set aggregation on
+    # an attr-indexed field is INDEX-ONLY — values come from the attr
+    # postings, never the source table, and non-phrase facets read no
+    # positional bytes
+    from xsearch_spark.operators.wand import facet_counts
+
+    wf_plan = plan_of(facet_counts(built, parse("hash OR join"), "lang"))
+    assert "documents.parquet" not in wf_plan, (
+        "facet plan scans the source table — attr-indexed facets must "
+        "be served from the synthetic attr postings"
+    )
+    assert "poss" not in wf_plan, "non-phrase facet plan reads poss"
+    sections.append((
+        "Q11 facet counts over the full match set (index-only)",
+        wf_plan,
+        ["HashAggregate"],
+        "Both sides of the facet join are index reads: the decoded "
+        "match set and the field's attr postings (one prefix-filtered "
+        "scan). The count is a partial-agg groupBy on the joined "
+        "doc_ids — posting-list-sized inputs, no source scan, no "
+        "per-value jobs.",
+    ))
+
     # 6. ANN probe over the persisted bucket-partitioned index: the scan
     # must be partition-pruned to the probe set (bucket IN ...), exactly
     # like Q2's term-bucket prune

@@ -78,7 +78,7 @@ def test_registry_fits_driver_cap():
         # round-6 surfaces: ordered-window proximity (both engine
         # paths) and the highlight/snippet result page
         "bm25_wand_proximity", "bm25_rel_proximity_lang",
-        "search_highlight",
+        "search_highlight", "search_facets",
     ]:
         assert must in q, f"engine surface {must} lost its driver slot"
     # no overlap between the gated and extra registries

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import shutil
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -400,6 +401,130 @@ def test_proximity_parse():
     # duplicate (span, slop) pair still dedups
     p3 = parse('"hash join"~1 "hash join"~1')
     assert p3.phrase_slops == (1,)
+
+
+FACET_QUERIES = [
+    "hash join",
+    "hash OR join",
+    "hash -join",
+    "lang:en hash OR join",
+    '"hash join" spark',
+    '"hash join"~2 spark',
+    "zzzznotaterm",
+]
+
+
+@pytest.mark.parametrize("q", FACET_QUERIES)
+def test_facet_counts_index_side(spark, built, corpus, q):
+    """Q11 facets: matching-doc count per attr value over the FULL
+    match set, computed index-only from the v5 attr postings — must
+    equal a groupby over the naive engine's unlimited match set, for
+    every query feature (OR/NOT/lang/phrase/proximity/0-match)."""
+    from xsearch_spark.operators.wand import facet_counts
+
+    src = corpus.source.select("doc_id", "lang", "source").toPandas()
+    parsed = parse(q)
+    matched = {
+        r["doc_id"] for r in engine.run_query(corpus, parsed, k=1_000_000).collect()
+    }
+    for fld in ("lang", "source"):
+        got = {
+            (r["value"], r["n_docs"])
+            for r in facet_counts(built, parsed, fld).collect()
+        }
+        sub = src[src.doc_id.isin(matched)]
+        want = {(v, int(n)) for v, n in sub.groupby(fld).size().items()}
+        assert got == want, (q, fld)
+
+
+def test_facet_counts_array_attr_vs_oracle(spark, tmp_path):
+    """Array-valued facet field: one count per distinct ELEMENT per
+    matching doc (the per-distinct-element attr postings), against the
+    DuckDB unnest(list_distinct(...)) oracle on the same table."""
+    import random
+
+    import duckdb
+
+    from xsearch_spark import oracles
+    from xsearch_spark.operators.wand import facet_counts
+
+    rng = random.Random(4242)
+    tag_pool = ["mit", "gpl", "bsd", "apache"]
+    words = ["hash", "join", "scan", "merge", "the"]
+    rows = []
+    for d in range(300):
+        text = " ".join(rng.choice(words) for _ in range(rng.randint(1, 12)))
+        tags = [rng.choice(tag_pool) for _ in range(rng.randint(0, 4))]
+        if rng.random() < 0.2:
+            tags = tags + tags  # planted duplicates: still one count each
+        if rng.random() < 0.1:
+            tags = None
+        rows.append((d, text, tags))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, tags array<string>"
+    )
+    bi = build_index(
+        spark, docs, str(tmp_path / "facet_tags_idx"),
+        text_col="text", variant="base",
+        docs_per_segment=64, segs_per_shard=2, num_buckets=16,
+        attr_cols=("tags",),
+    )
+    con = duckdb.connect()
+    con.register(
+        "tagdocs",
+        pd.DataFrame(rows, columns=["doc_id", "text", "tags"]),
+    )
+    for q in ("hash OR join", "hash -join", "zzz"):
+        parsed = parse(q)
+        got = sorted(
+            (r["value"], r["n_docs"])
+            for r in facet_counts(bi, parsed, "tags").collect()
+        )
+        want = sorted(
+            map(
+                tuple,
+                con.execute(
+                    oracles.facet_sql(
+                        parsed, "tags", table="tagdocs", array_fields=("tags",)
+                    )
+                ).fetchall(),
+            )
+        )
+        assert got == want, q
+
+
+def test_facet_counts_fallback_and_raise(spark, built, corpus):
+    """Unindexed facet fields: a scalar or array source column joins on
+    doc_id (never a silent corpus re-score); absent both index attrs
+    and a source table, facet_counts raises."""
+    from xsearch_spark.operators.wand import facet_counts
+
+    parsed = parse("hash join")
+    with pytest.raises(ValueError, match="facet requires"):
+        facet_counts(built, parsed, "nosuchfield")
+    matched = {
+        r["doc_id"] for r in engine.run_query(corpus, parsed, k=1_000_000).collect()
+    }
+    src = corpus.source.withColumn(
+        "bucket10", (F.col("doc_id") % 10).cast("string")
+    ).withColumn("arr2", F.array(F.col("lang"), F.lit("x"), F.col("lang")))
+    pdfd = src.select("doc_id", "bucket10", "lang").toPandas()
+    sub = pdfd[pdfd.doc_id.isin(matched)]
+    got_s = {
+        (r["value"], r["n_docs"])
+        for r in facet_counts(built, parsed, "bucket10", source_df=src).collect()
+    }
+    want_s = {(v, int(n)) for v, n in sub.groupby("bucket10").size().items()}
+    assert got_s == want_s
+    # array fallback: distinct elements per doc — every matched doc
+    # contributes 1 to its lang value and 1 to "x"
+    got_a = {
+        (r["value"], r["n_docs"])
+        for r in facet_counts(built, parsed, "arr2", source_df=src).collect()
+    }
+    want_a = {(v, int(n)) for v, n in sub.groupby("lang").size().items()}
+    want_a.add(("x", len(sub)))
+    assert got_a == want_a
 
 
 def test_highlight_matches_spans(spark):

@@ -944,6 +944,20 @@ def search_index_relational(
     posting read through its own pruned scan — semantically the same
     semi-join, but against index rows instead of a source-table scan."""
     from xsearch_spark.operators import search as rel
+
+    return rel.top_k(_index_match_scored(built, parsed, source_df, tombstones), k)
+
+
+def _index_match_scored(
+    built,
+    parsed: ParsedQuery,
+    source_df: DataFrame | None = None,
+    tombstones: DataFrame | None = None,
+) -> DataFrame:
+    """The FULL scored match set (doc_id, score over all matching docs,
+    no top-k) on the index-relational path — `search_index_relational`
+    caps it at k; `facet_counts` aggregates it whole."""
+    from xsearch_spark.operators import search as rel
     from xsearch_spark.operators import segments as seg
     from xsearch_spark.operators.build import CollectionStats
 
@@ -1032,4 +1046,69 @@ def search_index_relational(
         scored = scored.join(
             F.broadcast(tombstones.select("doc_id")), "doc_id", "left_anti"
         )
-    return rel.top_k(scored, k)
+    return scored
+
+
+def facet_counts(
+    built,
+    parsed: ParsedQuery,
+    field: str,
+    source_df: DataFrame | None = None,
+    tombstones: DataFrame | None = None,
+) -> DataFrame:
+    """Q11 (round-6): facet counts — the number of MATCHING docs per
+    value of ``field``, over the FULL match set (not the top-k) ->
+    (value, n_docs). The classic search-result-page aggregation
+    ("312 in lang:en, 41 in lang:zh, …").
+
+    On a v5 index with ``field`` attr-indexed, the whole computation is
+    INDEX-ONLY: values come from the field's synthetic attr postings
+    (one per distinct value per doc, so array-valued fields facet per
+    element for free) read through one prefix-pruned scan — the source
+    table is never touched, exactly like attr filtering. The match set
+    is the same decoded-posting relational evaluation as
+    `search_index_relational` minus the limit, so every query feature
+    (OR/NOT, attr filters, phrases, proximity, tombstones) composes.
+
+    Scale shape: attr rows are bounded by sum over matched values of
+    df(value) — posting-list-sized, never corpus-sized; the join is one
+    shuffle on doc_id (broadcast-able when the match set is small, AQE
+    decides) and the final groupBy is a partial-agg count over at most
+    |match| x values-per-doc rows. Unindexed fields fall back to a
+    doc_id join against ``source_df`` (scalar or array column); absent
+    both, raises — never a silent corpus scan.
+    """
+    from pyspark.sql.types import ArrayType
+
+    from xsearch_spark.constants import ATTR_TERM_PREFIX
+    from xsearch_spark.operators import segments as seg
+
+    match = _index_match_scored(built, parsed, source_df, tombstones).select(
+        "doc_id"
+    )
+    if getattr(built, "has_attr", lambda f: False)(field):
+        pref = f"{ATTR_TERM_PREFIX}{field}:"
+        rows = built.index_df.filter(F.col("term").startswith(pref))
+        vals = seg.decode_postings(rows, include_attrs=True).select(
+            "doc_id",
+            F.col("term").substr(F.lit(len(pref) + 1), F.lit(2**30)).alias("value"),
+        )
+    elif source_df is not None:
+        col = source_df.schema[field].dataType
+        if isinstance(col, ArrayType):
+            vals = source_df.select(
+                "doc_id",
+                F.explode(F.array_distinct(F.col(field))).alias("value"),
+            )
+        else:
+            vals = source_df.filter(F.col(field).isNotNull()).select(
+                "doc_id", F.col(field).alias("value")
+            )
+    else:
+        raise ValueError(
+            f"{field}: facet requires the field attr-indexed "
+            f"(build_index(attr_cols=[...])) or the source table"
+        )
+    return vals.join(match, "doc_id").groupBy("value").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )

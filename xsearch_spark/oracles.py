@@ -232,19 +232,17 @@ SELECT count(*) AS n_docs, round(sum(dl)::DOUBLE / count(*), {R}) AS avgdl FROM 
 """
 
 
-def bm25_sql(
+def _match_ctes(
     parsed: ParsedQuery,
-    k: int = 10,
     table: str = "documents",
     extra_doc_pred: str | None = None,
     array_fields: tuple[str, ...] = (),
 ) -> str:
-    """Naive (full-evaluation) BM25 top-k — the oracle for Q4–Q8: any
-    engine path (relational, index-backed, WAND-pruned) must emit exactly
-    this result set. ``extra_doc_pred`` (a predicate over ``tf.doc_id``)
-    models query-time tombstones (S5) and similar doc-set restrictions."""
-    if not parsed.terms:
-        return "SELECT doc_id, 0.0::DOUBLE AS score FROM documents WHERE false"
+    """The shared WITH-clause body of every naive-evaluation oracle:
+    corpus CTEs + per-(term, doc) BM25 weights + the ``scored`` CTE of
+    ALL matching docs (connective, attr filters, NOT, tombstone
+    predicate, phrases/proximity applied). ``bm25_sql`` appends the
+    top-k select; ``facet_sql`` aggregates the full match set instead."""
     terms_list = ", ".join(_sql_quote(t) for t in parsed.terms)
     idf = idf_sql("s.n", "tdf.df")
     w = bm25_weight_sql(idf, "tf.tf", "dl.dl", "s.avgdl")
@@ -261,8 +259,7 @@ def bm25_sql(
         )
     extra = f"AND ({extra_doc_pred})" if extra_doc_pred else ""
     phrase_filter, tarr_cte = _phrase_sql(parsed, table)
-    return f"""
-WITH {corpus_ctes(table)}{tarr_cte},
+    return f"""{corpus_ctes(table)}{tarr_cte},
 w AS (
   SELECT tf.doc_id, {w} AS w
   FROM tf
@@ -271,9 +268,65 @@ w AS (
   CROSS JOIN stats s
   WHERE tf.term IN ({terms_list}) {lang_filter} {not_filter} {extra} {phrase_filter}
 ),
-scored AS (SELECT doc_id, sum(w) AS raw_score FROM w GROUP BY doc_id {having})
+scored AS (SELECT doc_id, sum(w) AS raw_score FROM w GROUP BY doc_id {having})"""
+
+
+def bm25_sql(
+    parsed: ParsedQuery,
+    k: int = 10,
+    table: str = "documents",
+    extra_doc_pred: str | None = None,
+    array_fields: tuple[str, ...] = (),
+) -> str:
+    """Naive (full-evaluation) BM25 top-k — the oracle for Q4–Q8: any
+    engine path (relational, index-backed, WAND-pruned) must emit exactly
+    this result set. ``extra_doc_pred`` (a predicate over ``tf.doc_id``)
+    models query-time tombstones (S5) and similar doc-set restrictions."""
+    if not parsed.terms:
+        return "SELECT doc_id, 0.0::DOUBLE AS score FROM documents WHERE false"
+    ctes = _match_ctes(parsed, table, extra_doc_pred, array_fields)
+    return f"""
+WITH {ctes}
 SELECT doc_id, round(raw_score, {R}) AS score
 FROM scored ORDER BY raw_score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def facet_sql(
+    parsed: ParsedQuery,
+    field: str,
+    table: str = "documents",
+    extra_doc_pred: str | None = None,
+    array_fields: tuple[str, ...] = (),
+) -> str:
+    """Facet-count oracle (round-6, Q11): the number of MATCHING docs
+    per value of ``field``, over the FULL match set (no top-k) — the
+    declarative twin of ``wand.facet_counts``. Scalar fields group on
+    the column; fields listed in ``array_fields`` facet per ELEMENT
+    (one doc counts once per distinct element it carries, matching the
+    per-distinct-element synthetic attr postings of the v5 index)."""
+    if not parsed.terms:
+        return (
+            "SELECT ''::VARCHAR AS value, 0::BIGINT AS n_docs "
+            f"FROM {table} WHERE false"
+        )
+    ctes = _match_ctes(parsed, table, extra_doc_pred, array_fields)
+    if field in array_fields:
+        per_doc = (
+            f"SELECT m.doc_id, unnest(list_distinct(d.{field})) AS value "
+            f"FROM scored m JOIN {table} d USING (doc_id) "
+            f"WHERE d.{field} IS NOT NULL"
+        )
+    else:
+        per_doc = (
+            f"SELECT m.doc_id, d.{field} AS value "
+            f"FROM scored m JOIN {table} d USING (doc_id) "
+            f"WHERE d.{field} IS NOT NULL"
+        )
+    return f"""
+WITH {ctes}
+SELECT value, count(*)::BIGINT AS n_docs
+FROM ({per_doc}) GROUP BY value
 """
 
 
