@@ -84,6 +84,25 @@ def test_tombstone_then_compact(spark, built):
     fresh_df = {r["term"]: r["df"] for r in fresh.term_stats.filter(F.col("term").isin(["hash", "join"])).collect()}
     built_df = {r["term"]: r["df"] for r in built.term_stats.filter(F.col("term").isin(["hash", "join"])).collect()}
     assert fresh_df == built_df
+    # Q11 facets survive the compact: the rebuilt attr postings
+    # (include_attrs=True on the decode->rebuild path) must serve the
+    # same per-lang counts as a groupby over the surviving corpus
+    from xsearch_spark.operators.wand import facet_counts
+
+    p = parse("hash OR join")
+    matched = {
+        r["doc_id"] for r in engine.run_query(fresh, p, k=1_000_000).collect()
+    }
+    want_f = {
+        (r["lang"], r["n"])
+        for r in remaining.filter(F.col("doc_id").isin([int(d) for d in matched]))
+        .groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    got_f = {
+        (r["value"], r["n_docs"])
+        for r in facet_counts(built, p, "lang").collect()
+    }
+    assert got_f == want_f
 
 
 def test_streaming_ingest_matches_batch(spark, tmp_path):
@@ -176,6 +195,26 @@ def test_streaming_positional_multiattr_index(spark, tmp_path):
             for r in engine.run_query(corpus, p).collect()
         ]
         assert got == want, qs
+
+    # Q11 facets on a streamed-then-compacted index: the self-detected
+    # attr postings must serve counts over the full match set
+    from xsearch_spark.operators.wand import facet_counts
+
+    pf = parse("hash OR join")
+    matched = {
+        r["doc_id"] for r in engine.run_query(corpus, pf, k=1_000_000).collect()
+    }
+    want_f = {
+        (r["source"], r["n"])
+        for r in corpus.source.filter(
+            F.col("doc_id").isin([int(d) for d in matched])
+        ).groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    got_f = {
+        (r["value"], r["n_docs"])
+        for r in facet_counts(bi, pf, "source").collect()
+    }
+    assert got_f == want_f
 
     # positional stream parity vs a batch-built positional index
     batch = build_index(
