@@ -160,3 +160,51 @@ def test_random_query_sweep(spark, built, source, ref_index):
             for r in search_wand(built, parsed, source_df=source).collect()
         ]
         assert wand == expected, f"sweep query {q!r}"
+
+
+def test_code_phrase_proximity_paths(spark, source, tmp_path_factory):
+    """v6 positional stream under the CODE analyzer: positions are the
+    emitted-stream index (compounds + subtokens in tokenizer emission
+    order), a semantics the SQL oracle can't reproduce (FIXTURES §3.7)
+    but the three engine paths share — WAND composite-key/greedy
+    chains, the relational join chains, and the naive token-array
+    expressions must agree on a positional code index, for adjacency
+    and slop alike."""
+    import shutil as _sh
+
+    from xsearch_spark import engine
+
+    out = str(tmp_path_factory.mktemp("code_pos_index"))
+    bi = build_index(
+        spark, source, out,
+        text_col="content", variant="code",
+        docs_per_segment=128, segs_per_shard=2, num_buckets=16,
+        positions=True,
+    )
+    corpus = engine.corpus_from_df(source, "content", "code")
+    try:
+        hits = 0
+        for q in (
+            '"parse config"',
+            '"import return"~2',
+            '"def parse"~1 config',
+            'lang:py "return parse"~3',
+        ):
+            parsed = parse(q, "code")
+            naive = [
+                (r["doc_id"], round(r["score"], 6))
+                for r in engine.run_query(corpus, parsed).collect()
+            ]
+            wand = [
+                (r["doc_id"], round(r["score"], 6))
+                for r in search_wand(bi, parsed).collect()
+            ]
+            rel = [
+                (r["doc_id"], round(r["score"], 6))
+                for r in search_index_relational(bi, parsed).collect()
+            ]
+            assert wand == naive and rel == naive, q
+            hits += len(naive)
+        assert hits > 0  # at least one query must actually match docs
+    finally:
+        _sh.rmtree(out, ignore_errors=True)
