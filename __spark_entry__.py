@@ -115,6 +115,14 @@ _ATTR_QUERY_SET = {
     # driver's scale on both engine paths
     "bm25_wand_proximity": ('"hash join"~1 spark', "wand"),
     "bm25_rel_proximity_lang": ('lang:en "scan merge"~2', "rel"),
+    # prefix groups (round-6, FIXTURES.md §3.10): d* expands to
+    # {data, dup} — dup's df (25) is ~16x rarer than data's, so the
+    # expansion's per-term idf spread is discriminative; the rel entry
+    # stacks a lang: filter with a six-term expansion (s*) and an
+    # exclusion prefix. Both served index-only (the expansion comes
+    # from the startswith-pushed dictionary scan, never the source)
+    "bm25_wand_prefix": ("d* join", "wand"),
+    "bm25_rel_prefix_not": ("lang:en s* -du*", "rel"),
 }
 
 
@@ -222,6 +230,11 @@ _QUERY_SET = {
     "bm25_and4": "scan merge window sort",
     "bm25_absent_term": "zzzznotaterm",
     "bm25_phrase": '"hash join" spark',
+    # prefix group (round-6, §3.10) — riding _QUERY_SET puts the prefix
+    # machinery inside BOTH batch entries (the batched scorer slices
+    # expansion membership per query), while the individual naive entry
+    # lives in extra_queries()
+    "bm25_prefix": "s* window",
 }
 
 # The driver's correctness gate evaluates only the FIRST 50 queries()
@@ -249,6 +262,14 @@ _BATCH_ONLY = frozenset(
         # stays individually gated via topk_fetch (same search_relational
         # evaluation plus the Q10 join) and inside both batch entries
         "bm25_and",
+        # round-6: demoted for the prefix + suggest slots — the naive
+        # lang:/NOT shapes stay gated inside both batch entries and on
+        # stronger paths (bm25_wand_filter, bm25_rel_source_not,
+        # bm25_rel_prefix_not); bm25_prefix enters batch-only directly
+        # (the wand/rel prefix surfaces hold the individual slots)
+        "bm25_field_filter",
+        "bm25_not",
+        "bm25_prefix",
     }
 )
 
@@ -311,6 +332,18 @@ def _q_search_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src = _corpus(spark, sf_dir).source
     return highlight_matches(topk, src, parsed.terms, text_col="text", context=30)
+
+
+def _q_term_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary completion (round-6, FIXTURES.md §3.11): top-n
+    vocabulary terms under a prefix by global df, read collect-free
+    from the v4 index rows' denormalized df (wand.suggest_terms) — the
+    search-box autocomplete surface. Oracle: oracles.suggest_sql over
+    the corpus tokens; the (df DESC, term ASC) order is total so the
+    cut is deterministic on both sides."""
+    from xsearch_spark.operators.wand import suggest_terms
+
+    return suggest_terms(_index(spark, sf_dir), "s", n=4)
 
 
 def _q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -710,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         {
             "search_highlight": _q_search_highlight,
             "search_facets": _q_search_facets,
+            "term_suggest": _q_term_suggest,
             "bm25_batch": _q_bm25_batch,
             "bm25_batch_tombstone": _q_bm25_batch_tombstone,
             "tombstone_filtered_topk": _q_tombstone_topk,
@@ -758,6 +792,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tombstone_wand_topk and bm25_wand_filter
         "bm25_index_not": _make_index_query("hash -join", "rel"),
         "tombstone_wand_lang": _q_tombstone_wand_lang,
+        # round-6 demotions for the prefix/suggest slots (rel index AND
+        # stays gated via tombstone_filtered_topk and the rel attr/
+        # phrase/prefix entries); the code-analyzer prefix surface —
+        # a pure-prefix query whose expansions are compound identifiers
+        "bm25_index_and": _make_index_query("hash join", "rel"),
+        "bm25_wand_prefix_code": _make_code_wand_query("hash_*"),
     }
     for name in sorted(_BATCH_ONLY):
         q[name] = _make_bm25_query(_QUERY_SET[name])
@@ -774,6 +814,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "tombstone_wand_lang": oracles.bm25_sql(
             parse("lang:zh spark"), extra_doc_pred="tf.doc_id % 7 <> 0"
         ),
+        "bm25_index_and": oracles.bm25_sql(parse("hash join")),
+        "bm25_wand_prefix_code": oracles.bm25_code_sql(parse("hash_*", "code")),
     }
     for name in sorted(_BATCH_ONLY):
         o[name] = oracles.bm25_sql(parse(_QUERY_SET[name]))
@@ -784,7 +826,10 @@ def extra_oracle_sql() -> dict[str, str]:
 # evaluation — WAND pruning and the packed codec must be invisible in
 # the results
 _INDEX_QUERY_SET = {
-    "bm25_index_and": ("hash join", "rel"),
+    # round-6: bm25_index_and demoted to extra_queries() for the
+    # term_suggest slot — the rel index path stays gated via
+    # tombstone_filtered_topk (same evaluation plus the anti-join),
+    # bm25_rel_source_not/bm25_rel_phrase_lang/bm25_rel_prefix_not
     "bm25_wand_and": ("hash join", "wand"),
     "bm25_wand_or_hot": ("the OR scan OR join", "wand"),
     "bm25_wand_single_hot": ("the", "wand"),
@@ -847,6 +892,7 @@ WHERE f.quality >= 0.5
         ),
         "search_highlight": oracles.highlight_sql(parse("hash join spark")),
         "search_facets": oracles.facet_sql(parse("hash OR join"), "lang"),
+        "term_suggest": oracles.suggest_sql("s", 4),
         "ann_ivf_topk": op.ivf_topk_sql(0, 10, 8, 2),
         "ann_ivf_tombstone": op.ivf_topk_sql(
             0, 10, 8, 2, extra_vec_pred="e.vec_id % 7 <> 3"

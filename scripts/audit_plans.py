@@ -223,6 +223,52 @@ def main() -> None:
         "per-value jobs.",
     ))
 
+    # 5e. prefix query (round-6 §3.10): the expansion comes from a
+    # startswith-pushed dictionary scan — index-only (no source table,
+    # no vocabulary collect, no positional bytes); the pushed
+    # StringStartsWith filter is what makes the scan a per-bucket
+    # row-group range seek instead of a dictionary sweep
+    wx_plan = plan_of(search_wand(built, parse("d* join")))
+    assert "documents.parquet" not in wx_plan, (
+        "prefix plan scans the source table — expansions must come from "
+        "the index dictionary"
+    )
+    assert "poss" not in wx_plan, "non-phrase prefix plan reads poss"
+    assert "StringStartsWith" in wx_plan, (
+        "prefix scan does not push StringStartsWith to parquet — the "
+        "expansion degenerates to a full dictionary sweep"
+    )
+    sections.append((
+        "Q8 WAND prefix query (startswith-pushed dictionary expansion)",
+        wx_plan,
+        ["MapInPandas", "TakeOrderedAndProject", "StringStartsWith"],
+        "A prefix group's expansion rides a startswith-filtered scan of "
+        "the same index (term-sorted row groups per bucket bound the "
+        "read); exact terms keep their bucket-pruned scan, the two "
+        "unions feed one scorer pass — no source scan, no vocabulary "
+        "collect, no positional bytes.",
+    ))
+
+    # 5f. dictionary completion (round-6 §3.11): suggest is one
+    # startswith-pushed scan + distinct over the matched dictionary
+    # slice — the full vocabulary is never collected or aggregated
+    from xsearch_spark.operators.wand import suggest_terms
+
+    sg_plan = plan_of(suggest_terms(built, "s", 5))
+    assert "documents.parquet" not in sg_plan, "suggest scans the source"
+    assert "StringStartsWith" in sg_plan, (
+        "suggest scan does not push StringStartsWith"
+    )
+    assert "poss" not in sg_plan, "suggest reads the positional stream"
+    sections.append((
+        "Dictionary completion (suggest_terms — index-only)",
+        sg_plan,
+        ["StringStartsWith", "TakeOrderedAndProject"],
+        "Global df rides every v4 index row, so completion is a pushed "
+        "startswith scan + distinct + top-n — collect-free at any "
+        "vocabulary size.",
+    ))
+
     # 6. ANN probe over the persisted bucket-partitioned index: the scan
     # must be partition-pruned to the probe set (bucket IN ...), exactly
     # like Q2's term-bucket prune

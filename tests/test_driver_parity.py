@@ -76,9 +76,11 @@ def test_registry_fits_driver_cap():
         "bm25_wand_compound_code", "bm25_wand_code_lang",
         "bm25_wand_single_hot", "bm25_batch", "bm25_batch_tombstone",
         # round-6 surfaces: ordered-window proximity (both engine
-        # paths) and the highlight/snippet result page
+        # paths), the highlight/snippet result page, facet counts,
+        # prefix groups (both engine paths) and dictionary completion
         "bm25_wand_proximity", "bm25_rel_proximity_lang",
         "search_highlight", "search_facets",
+        "bm25_wand_prefix", "bm25_rel_prefix_not", "term_suggest",
     ]:
         assert must in q, f"engine surface {must} lost its driver slot"
     # no overlap between the gated and extra registries

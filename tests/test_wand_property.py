@@ -435,6 +435,90 @@ def test_proximity_chain_slop0_equals_adjacency(seed, n_docs):
     assert adj.tolist() == prox.tolist()
 
 
+@settings(max_examples=150, deadline=None)
+@given(
+    seed=st.integers(0, 100_000),
+    n_docs=st.integers(1, 400),
+    k=st.integers(1, 15),
+    conn=st.sampled_from(["AND", "OR"]),
+    n_plain=st.integers(0, 2),
+    n_prefix=st.integers(1, 2),
+    use_ex_prefix=st.booleans(),
+)
+def test_prefix_groups_equal_naive(
+    seed, n_docs, k, conn, n_plain, n_prefix, use_ex_prefix
+):
+    """Round-6 prefix groups (FIXTURES.md §3.10): score_shard with
+    ``parsed.prefixes`` must equal a naive group evaluation — a prefix
+    behaves as ONE required group whose posting set is the union of its
+    expansions, every matched expansion scores like a bare term
+    (distinct-term sum), and an exclusion prefix drops docs containing
+    ANY matching term. The vocab is structured (aa/ab/ba/bb/ca) so
+    single-char prefixes hit 1-2 member terms and overlap plain terms
+    by construction."""
+    rng = np.random.default_rng(seed + 777)
+    vocab = ["aa", "ab", "ba", "bb", "ca"]
+    lists, blocks, avgdl = _mk_lists(rng, len(vocab), n_docs)
+    lists = {vocab[i]: lists[f"t{i}"] for i in range(len(vocab))}
+    blocks = {vocab[i]: blocks[f"t{i}"] for i in range(len(vocab))}
+    idfs = {
+        t: math.log(1 + (n_docs - len(v[0]) + 0.5) / (len(v[0]) + 0.5))
+        for t, v in lists.items()
+    }
+    plain = tuple(rng.choice(vocab, size=n_plain, replace=False))
+    prefixes = tuple(rng.choice(["a", "b", "c"], size=n_prefix, replace=False))
+    ex_prefixes = ("c",) if use_ex_prefix and "c" not in prefixes else ()
+    parsed = ParsedQuery(
+        terms=plain,
+        connective=conn,
+        prefixes=prefixes,
+        exclude_prefixes=ex_prefixes,
+    )
+    # mirror search_wand's _assemble_shard routing: terms under an
+    # exclusion prefix are diverted to exclude lists, never scored
+    ex_terms = [t for t in vocab if ex_prefixes and t.startswith(ex_prefixes)]
+    q_lists = {t: v for t, v in lists.items() if t not in ex_terms}
+    q_blocks = {t: blocks[t] for t in q_lists}
+    exclude = [lists[t][0] for t in ex_terms] or None
+    got_ids, got_scores = score_shard(
+        q_lists, q_blocks, idfs, avgdl, parsed, k, exclude
+    )
+
+    # naive group evaluation over the same corpus
+    doc_terms: dict[int, set[str]] = {}
+    for t, (ids, _, _) in lists.items():
+        for d in ids.tolist():
+            doc_terms.setdefault(d, set()).add(t)
+    want = []
+    for d, ts in doc_terms.items():
+        if any(t in ts for t in ex_terms):
+            continue
+        groups = [t in ts for t in plain] + [
+            any(m.startswith(p) and m not in ex_terms for m in ts)
+            for p in prefixes
+        ]
+        matched = all(groups) if conn == "AND" else any(groups)
+        if not matched:
+            continue
+        scored = {t for t in ts if t in plain or t.startswith(prefixes)}
+        scored -= set(ex_terms)
+        score = 0.0
+        for t in scored:
+            ids, tfs, dls = lists[t]
+            i = int(np.searchsorted(ids, d))
+            tf, dl = float(tfs[i]), float(dls[i])
+            score += idfs[t] * tf * (K1 + 1.0) / (
+                tf + K1 * (1 - B + B * dl / avgdl)
+            )
+        if score > 0.0 or scored:
+            want.append((d, score))
+    want.sort(key=lambda x: (-x[1], x[0]))
+    want = want[:k]
+    assert [int(i) for i in got_ids] == [d for d, _ in want]
+    for g, (_, w) in zip(got_scores.tolist(), want):
+        assert abs(g - w) < 1e-9
+
+
 def test_phrase_length_cap_enforced():
     """Round-6 ADVICE: the adjacency composite key offsets positions by
     MAX_PHRASE_LEN — longer phrases must fail loudly at parse AND in

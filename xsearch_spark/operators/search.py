@@ -50,14 +50,30 @@ def score_postings(
     doc-stats join is skipped entirely. If ``df`` is also a column (v4
     index rows carry the global per-term df), the term-stats join is
     skipped too — the whole score is computed from the pruned scan.
+
+    Prefix groups (round-6, FIXTURES.md §3.10): ``parsed.prefixes``
+    widen the term predicate with ``startswith`` disjuncts; expansions
+    are scored exactly like bare terms (postings are (term, doc_id)-
+    unique, so the per-doc weight sum counts each distinct term once
+    even when it is both a plain term and an expansion). Under AND each
+    group contributes a per-doc "matched >= 1" flag alongside the
+    plain-term count.
     """
-    if not parsed.terms:
+    prefixes = list(getattr(parsed, "prefixes", ()))
+    if not parsed.terms and not prefixes:
         return postings_df.sparkSession.createDataFrame(
             [], "doc_id long, score double"
         )
-    q = postings_df.filter(F.col("term").isin(list(parsed.terms)))
+
+    def term_pred(col: "F.Column") -> "F.Column":
+        cond = col.isin(list(parsed.terms)) if parsed.terms else F.lit(False)
+        for p in prefixes:
+            cond = cond | col.startswith(p)
+        return cond
+
+    q = postings_df.filter(term_pred(F.col("term")))
     if "df" not in q.columns:
-        ts = term_stats_df.filter(F.col("term").isin(list(parsed.terms)))
+        ts = term_stats_df.filter(term_pred(F.col("term")))
         q = q.join(F.broadcast(ts), "term")
     if "dl" not in q.columns:
         if doc_stats_df is None:
@@ -66,11 +82,25 @@ def score_postings(
     idf = idf_col(stats.n_docs, F.col("df").cast("double"))
     w = bm25_weight_col(idf, F.col("tf"), F.col("dl"), stats.avgdl)
     scored = q.select("doc_id", "term", w.alias("w"))
-    agg = scored.groupBy("doc_id").agg(
-        F.sum("w").alias("score"), F.count(F.lit(1)).alias("n_terms")
-    )
+    aggs = [F.sum("w").alias("score")]
+    if parsed.terms:
+        aggs.append(
+            F.count(
+                F.when(F.col("term").isin(list(parsed.terms)), F.lit(1))
+            ).alias("n_terms")
+        )
+    for i, p in enumerate(prefixes):
+        aggs.append(
+            F.max(
+                F.when(F.col("term").startswith(p), F.lit(1)).otherwise(F.lit(0))
+            ).alias(f"_pfx{i}")
+        )
+    agg = scored.groupBy("doc_id").agg(*aggs)
     if parsed.connective == "AND":
-        agg = agg.filter(F.col("n_terms") == len(parsed.terms))
+        if parsed.terms:
+            agg = agg.filter(F.col("n_terms") == len(parsed.terms))
+        for i in range(len(prefixes)):
+            agg = agg.filter(F.col(f"_pfx{i}") == 1)
     return agg.select("doc_id", "score")
 
 
@@ -195,12 +225,16 @@ def apply_doc_filters(
         )
         match = tokenized_df.filter(pred).select("doc_id")
         out = out.join(match, "doc_id", "left_semi")
-    if parsed.exclude:
-        bad = (
-            postings_df.filter(F.col("term").isin(list(parsed.exclude)))
-            .select("doc_id")
-            .distinct()
+    ex_prefixes = getattr(parsed, "exclude_prefixes", ())
+    if parsed.exclude or ex_prefixes:
+        cond = (
+            F.col("term").isin(list(parsed.exclude))
+            if parsed.exclude
+            else F.lit(False)
         )
+        for p in ex_prefixes:  # round-6: -body* drops docs containing
+            cond = cond | F.col("term").startswith(p)  # ANY prefixed term
+        bad = postings_df.filter(cond).select("doc_id").distinct()
         out = out.join(bad, "doc_id", "left_anti")
     return out
 

@@ -131,21 +131,45 @@ def score_shard(
             "got a ParsedQuery with phrases and connective='OR'"
         )
     present = [t for t in parsed.terms if t in lists]
-    if not present:
+    # prefix groups (round-6, FIXTURES.md §3.10): each group's local
+    # members are the shard's vocabulary terms under the prefix; the
+    # group behaves like ONE query term whose posting list is the union
+    # of its members' lists, while members score individually below
+    prefixes = tuple(getattr(parsed, "prefixes", ()))
+    pfx_members = {
+        p: [t for t in lists if t.startswith(p) and t not in parsed.terms]
+        for p in prefixes
+    }
+    scored_terms = present + [t for ms in pfx_members.values() for t in ms]
+    scored_terms = list(dict.fromkeys(scored_terms))
+    if not scored_terms:
         return np.empty(0, np.int64), np.empty(0, np.float64)
     if parsed.connective == "AND":
         if len(present) != len(parsed.terms):
             return np.empty(0, np.int64), np.empty(0, np.float64)
+        group_lists = [lists[t][0] for t in present]
+        for p in prefixes:
+            # a member that is also a plain term still satisfies the
+            # group — re-include it here (pfx_members keeps it out of
+            # scored_terms only to avoid double counting)
+            members = [lists[t][0] for t in lists if t.startswith(p)]
+            if not members:  # no expansion in this shard -> no match
+                return np.empty(0, np.int64), np.empty(0, np.float64)
+            group_lists.append(
+                members[0]
+                if len(members) == 1
+                else np.unique(np.concatenate(members))
+            )
         cand = None
-        for t in sorted(present, key=lambda t: lists[t][0].size):
-            cand = lists[t][0] if cand is None else np.intersect1d(
-                cand, lists[t][0], assume_unique=True
+        for arr in sorted(group_lists, key=lambda a: a.size):
+            cand = arr if cand is None else np.intersect1d(
+                cand, arr, assume_unique=True
             )
             if cand.size == 0:
                 return np.empty(0, np.int64), np.empty(0, np.float64)
     else:
         cand = _or_candidates(
-            present, lists, blocks, idfs, avgdl, k, exclude_lists, allowed
+            scored_terms, lists, blocks, idfs, avgdl, k, exclude_lists, allowed
         )
     cand = _apply_filters(cand, exclude_lists, allowed)
     if getattr(parsed, "phrases", ()):
@@ -157,7 +181,9 @@ def score_shard(
         )
     if cand.size == 0:
         return np.empty(0, np.int64), np.empty(0, np.float64)
-    scores, _ = _gather_scores(cand, {t: lists[t] for t in present}, idfs, avgdl)
+    scores, _ = _gather_scores(
+        cand, {t: lists[t] for t in scored_terms}, idfs, avgdl
+    )
     return _local_topk(cand, scores, k)
 
 
@@ -391,6 +417,35 @@ def pruned_index_scan(index_df: DataFrame, terms: list[str], num_buckets: int) -
     )
 
 
+def pruned_index_scan_prefix(
+    index_df: DataFrame,
+    terms: list[str],
+    prefixes: list[str],
+    num_buckets: int,
+) -> DataFrame:
+    """Q2 dictionary lookup with prefix groups (round-6, FIXTURES.md
+    §3.10): exact terms keep the bucket-pruned scan; prefixes add a
+    ``startswith``-filtered scan of the same parquet. The md5 bucket
+    layout cannot partition-prune a prefix range (that is the price of
+    hash bucketing — the same trade Lucene's hashed term dictionaries
+    make), but rows within each bucket file are term-sorted
+    (sortWithinPartitions), so the pushed ``StringStartsWith`` filter
+    prunes to the few row groups whose [min, max] term range straddles
+    the prefix — per bucket, a dictionary range seek, not a scan.
+    Synthetic attr terms (``\\x01`` prefix) can never match a
+    ``[a-z0-9_]+`` prefix, so no extra exclusion is needed."""
+    base = pruned_index_scan(index_df, terms, num_buckets)
+    if not prefixes:
+        return base
+    cond = F.col("term").startswith(prefixes[0])
+    for p in prefixes[1:]:
+        cond = cond | F.col("term").startswith(p)
+    if terms:  # a term matching a prefix already rides the exact scan
+        cond = cond & ~F.col("term").isin(terms)
+    pre = index_df.filter(cond)
+    return base.unionByName(pre) if terms else pre
+
+
 def _prune_poss(rows: DataFrame, need_positions: bool) -> DataFrame:
     """Drop the v6 positional stream from a query scan that will never
     decode it. Positions roughly double posting bytes, and mapInPandas /
@@ -409,6 +464,7 @@ def _assemble_shard(
     avgdl: float,
     attr_terms: set[str] | frozenset[str] = frozenset(),
     position_terms: set[str] | frozenset[str] = frozenset(),
+    exclude_prefixes: tuple[str, ...] = (),
 ) -> tuple:
     """Decode one shard's index rows into per-term posting arrays.
 
@@ -445,7 +501,9 @@ def _assemble_shard(
     has_poss = "poss" in g.columns
     for r in g.itertuples(index=False):
         ids = codec.decode_doc_ids(r.doc_ids).astype(np.int64)
-        if r.term in exclude_terms:
+        if r.term in exclude_terms or (
+            exclude_prefixes and r.term.startswith(exclude_prefixes)
+        ):  # -body* (round-6): exclusion wins over any positive match
             ex_lists.append(ids)
             continue
         if r.term in attr_terms:
@@ -645,6 +703,8 @@ def search_wand(
     Spark job and no driver-side delete set.
     """
     all_terms = list(parsed.terms) + list(parsed.exclude)
+    prefixes = tuple(getattr(parsed, "prefixes", ()))
+    exclude_prefixes = tuple(getattr(parsed, "exclude_prefixes", ()))
     use_attr_lang = parsed.lang is not None and getattr(
         built, "has_attr", lambda f: False
     )("lang")
@@ -653,12 +713,25 @@ def search_wand(
     required_attr_terms = ([lang_term] if lang_term else []) + extra_attr_terms
     phrase_terms = _phrase_terms(built, parsed)
     scan_terms = all_terms + required_attr_terms
-    rows = pruned_index_scan(built.index_df, scan_terms, built.num_buckets)
+    rows = pruned_index_scan_prefix(
+        built.index_df,
+        scan_terms,
+        list(prefixes) + list(exclude_prefixes),
+        built.num_buckets,
+    )
     rows = _prune_poss(rows, bool(phrase_terms))
     row_df = "df" in rows.columns
     if row_df:
         static_idfs = None
     else:  # pre-v4 fallback: driver dictionary
+        if prefixes or exclude_prefixes:
+            # the expansion set is only enumerable executor-side from
+            # the denormalized df rows; a driver-dictionary expansion
+            # would collect the vocabulary (the anti-pattern audit_plans
+            # forbids)
+            raise ValueError(
+                "prefix queries require a v4+ index (denormalized df)"
+            )
         stats = built.df_of(all_terms)
         static_idfs = {
             t: idf_py(built.n_docs, stats[t]) for t in parsed.terms if t in stats
@@ -674,10 +747,13 @@ def search_wand(
         # shards holding only attr/exclude runs can't contribute results;
         # skip before decoding (a hot lang list + rare term query would
         # otherwise decode huge allowlists in shards the term never hits)
-        if not g["term"].isin(positive_terms).any():
+        positive = g["term"].isin(positive_terms)
+        if prefixes:
+            positive = positive | g["term"].str.startswith(tuple(prefixes))
+        if not positive.any():
             return pd.DataFrame(_EMPTY_TOPK)
         lists, blocks, ex_lists, dfs, attr_lists, pos_lists = _assemble_shard(
-            g, exclude_terms, avgdl, attr_set, phrase_terms
+            g, exclude_terms, avgdl, attr_set, phrase_terms, exclude_prefixes
         )
         # AND-intersect every index-side attr allowlist into `allowed`
         # (which may already hold the pre-v5 cogroup lang allowlist)
@@ -739,6 +815,8 @@ def search_wand(
             len(parsed.terms) == 1
             and not exclude_terms
             and not required_attr_terms
+            and not prefixes
+            and not exclude_prefixes
             and getattr(built, "unique_term_shard", False)
         ):
             # single-term query: every (term, shard) run scores alone —
@@ -794,6 +872,17 @@ def search_wand_batch(
     all_terms = sorted(
         {t for p in queries.values() for t in list(p.terms) + list(p.exclude)}
     )
+    # prefix groups (round-6): the scan covers the union of every
+    # query's positive and exclusion prefixes; per-query membership is
+    # re-derived executor-side by string match when slicing
+    all_prefixes = sorted(
+        {
+            pre
+            for p in queries.values()
+            for pre in list(getattr(p, "prefixes", ()))
+            + list(getattr(p, "exclude_prefixes", ()))
+        }
+    )
     langs = sorted({p.lang for p in queries.values() if p.lang is not None})
     use_attr_lang = bool(langs) and getattr(built, "has_attr", lambda f: False)(
         "lang"
@@ -809,21 +898,33 @@ def search_wand_batch(
         t for p in queries.values() for t in _phrase_terms(built, p)
     )
     scan_terms = all_terms + sorted(lang_terms.values()) + extra_attr_union
-    rows = pruned_index_scan(built.index_df, scan_terms, built.num_buckets)
+    rows = pruned_index_scan_prefix(
+        built.index_df, scan_terms, all_prefixes, built.num_buckets
+    )
     rows = _prune_poss(rows, bool(phrase_terms_all))
     n_docs, avgdl = built.n_docs, built.avgdl
     if "df" in rows.columns:
         static_stats = None
     else:  # pre-v4 fallback
+        if all_prefixes:
+            raise ValueError(
+                "prefix queries require a v4+ index (denormalized df)"
+            )
         static_stats = built.df_of(all_terms)
     per_q = {qid: (p, set(p.exclude)) for qid, p in queries.items()}
     positive_all = {t for p in queries.values() for t in p.terms}
+    positive_prefixes = tuple(
+        sorted({pre for p in queries.values() for pre in getattr(p, "prefixes", ())})
+    )
     attr_set = set(lang_terms.values()) | set(extra_attr_union)
 
     def score_all(
         g: pd.DataFrame, allowed_by_lang: dict, tombs: np.ndarray | None = None
     ) -> pd.DataFrame:
-        if not g["term"].isin(positive_all).any():
+        positive = g["term"].isin(positive_all)
+        if positive_prefixes:
+            positive = positive | g["term"].str.startswith(positive_prefixes)
+        if not positive.any():
             return pd.DataFrame(
                 {"query_id": pd.Series(dtype=object), **_EMPTY_TOPK}
             )
@@ -840,10 +941,24 @@ def search_wand_batch(
         if static_stats is not None:
             dfs = static_stats
         for qid, (p, ex_terms) in per_q.items():
-            idfs = {t: idf_py(n_docs, dfs[t]) for t in p.terms if t in dfs}
-            q_lists = {t: lists[t] for t in p.terms if t in lists}
-            q_blocks = {t: blocks[t] for t in p.terms if t in blocks}
-            ex = [lists[t][0] for t in ex_terms if t in lists]
+            ppfx = tuple(getattr(p, "prefixes", ()))
+            expfx = tuple(getattr(p, "exclude_prefixes", ()))
+
+            def q_has(t: str) -> bool:
+                # mirror the single-query path's _assemble_shard routing:
+                # exclusion (exact or prefixed) wins over positive match
+                if t in ex_terms or (expfx and t.startswith(expfx)):
+                    return False
+                return t in p.terms or (bool(ppfx) and t.startswith(ppfx))
+
+            q_lists = {t: lists[t] for t in lists if q_has(t)}
+            q_blocks = {t: blocks[t] for t in q_lists}
+            idfs = {t: idf_py(n_docs, dfs[t]) for t in q_lists if t in dfs}
+            ex = [
+                lists[t][0]
+                for t in lists
+                if t in ex_terms or (expfx and t.startswith(expfx))
+            ]
             if tombs is not None and tombs.size:
                 ex = ex + [tombs]
             allowed = allowed_by_lang.get(p.lang) if p.lang is not None else None
@@ -962,7 +1077,13 @@ def _index_match_scored(
     from xsearch_spark.operators.build import CollectionStats
 
     all_terms = list(parsed.terms) + list(parsed.exclude)
-    rows = pruned_index_scan(built.index_df, all_terms, built.num_buckets)
+    rows = pruned_index_scan_prefix(
+        built.index_df,
+        all_terms,
+        list(getattr(parsed, "prefixes", ()))
+        + list(getattr(parsed, "exclude_prefixes", ())),
+        built.num_buckets,
+    )
     long_postings = seg.decode_postings(rows)
     stats = CollectionStats(built.n_docs, built.avgdl)
     scored = rel.score_postings(long_postings, built.term_stats, None, stats, parsed)
@@ -1111,4 +1232,37 @@ def facet_counts(
         )
     return vals.join(match, "doc_id").groupBy("value").agg(
         F.count("*").cast("long").alias("n_docs")
+    )
+
+
+def suggest_terms(built, prefix: str, n: int = 10) -> DataFrame:
+    """Dictionary completion (round-6, FIXTURES.md §3.11): the top-``n``
+    vocabulary terms under ``prefix`` by global document frequency ->
+    (term, df), ordered (df DESC, term ASC) — the search-box
+    autocomplete surface.
+
+    Index-only and collect-free: every v4+ index row carries its term's
+    GLOBAL df (stamped at merge time), so one ``startswith``-pushed scan
+    plus a distinct over the tiny matched dictionary slice answers the
+    query — the full vocabulary is never collected (the billion-term
+    anti-pattern audit_plans forbids), and the scan prunes to the few
+    term-sorted row groups per bucket whose [min, max] range straddles
+    the prefix. The (df DESC, term ASC) order is total, so the top-n cut
+    is deterministic on both sides of the oracle."""
+    from xsearch_spark.plans.query import _PREFIX_BODY_RE
+
+    if not _PREFIX_BODY_RE.fullmatch(prefix or ""):
+        raise ValueError(
+            f"suggest prefix must be one term shape [a-z0-9_]+; got {prefix!r}"
+        )
+    rows = built.index_df.filter(F.col("term").startswith(prefix))
+    if "df" not in rows.columns:
+        raise ValueError(
+            "suggest_terms requires a v4+ index (denormalized df rows)"
+        )
+    return (
+        rows.select("term", F.col("df").cast("long").alias("df"))
+        .distinct()
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(n)
     )

@@ -177,31 +177,23 @@ def bm25_code_sql(
             "phrase oracle is base-variant only: the code analyzer's "
             "token emission order is not reproducible in this SQL form"
         )
-    if not parsed.terms:
+    if not parsed.terms and not getattr(parsed, "prefixes", ()):
         return "SELECT doc_id, 0.0::DOUBLE AS score FROM documents WHERE false"
-    terms_list = ", ".join(_sql_quote(t) for t in parsed.terms)
     idf = idf_sql("s.n", "tdf.df")
     w = bm25_weight_sql(idf, "tf.tf", "dl.dl", "s.avgdl")
-    having = (
-        f"HAVING count(*) = {len(parsed.terms)}" if parsed.connective == "AND" else ""
-    )
+    having = _having_sql(parsed)
     lang_filter = _doc_attr_filters(parsed, table_expr)
-    not_filter = ""
-    if parsed.exclude:
-        ex_list = ", ".join(_sql_quote(t) for t in parsed.exclude)
-        not_filter = (
-            f"AND tf.doc_id NOT IN (SELECT DISTINCT doc_id FROM tf "
-            f"WHERE term IN ({ex_list}))"
-        )
+    not_filter = _not_filter_sql(parsed)
+    w_term = ", tf.term AS term" if getattr(parsed, "prefixes", ()) else ""
     return f"""
 WITH {corpus_ctes_code(table_expr)},
 w AS (
-  SELECT tf.doc_id, {w} AS w
+  SELECT tf.doc_id{w_term}, {w} AS w
   FROM tf
   JOIN tdf USING (term)
   JOIN dl ON dl.doc_id = tf.doc_id
   CROSS JOIN stats s
-  WHERE tf.term IN ({terms_list}) {lang_filter} {not_filter}
+  WHERE {_term_pred_sql(parsed)} {lang_filter} {not_filter}
 ),
 scored AS (SELECT doc_id, sum(w) AS raw_score FROM w GROUP BY doc_id {having})
 SELECT doc_id, round(raw_score, {R}) AS score
@@ -232,6 +224,59 @@ SELECT count(*) AS n_docs, round(sum(dl)::DOUBLE / count(*), {R}) AS avgdl FROM 
 """
 
 
+def _term_pred_sql(parsed: ParsedQuery, col: str = "tf.term") -> str:
+    """The scored-term predicate: exact membership plus prefix-group
+    ``starts_with`` disjuncts (round-6, FIXTURES.md §3.10)."""
+    conds = []
+    if parsed.terms:
+        terms_list = ", ".join(_sql_quote(t) for t in parsed.terms)
+        conds.append(f"{col} IN ({terms_list})")
+    for p in getattr(parsed, "prefixes", ()):
+        conds.append(f"starts_with({col}, {_sql_quote(p)})")
+    return "(" + " OR ".join(conds) + ")"
+
+
+def _not_filter_sql(parsed: ParsedQuery) -> str:
+    """NOT filter: docs containing any excluded term OR any term under
+    an exclusion prefix are dropped from the match set."""
+    conds = []
+    if parsed.exclude:
+        ex_list = ", ".join(_sql_quote(t) for t in parsed.exclude)
+        conds.append(f"term IN ({ex_list})")
+    for p in getattr(parsed, "exclude_prefixes", ()):
+        conds.append(f"starts_with(term, {_sql_quote(p)})")
+    if not conds:
+        return ""
+    return (
+        f"AND tf.doc_id NOT IN (SELECT DISTINCT doc_id FROM tf "
+        f"WHERE {' OR '.join(conds)})"
+    )
+
+
+def _having_sql(parsed: ParsedQuery) -> str:
+    """AND-connective match condition: every plain term present, and
+    every prefix group matched by >= 1 term. The no-prefix form keeps
+    the historical ``count(*) = n`` shape (the w rows are exactly the
+    plain-term rows there)."""
+    if parsed.connective != "AND":
+        return ""
+    prefixes = getattr(parsed, "prefixes", ())
+    if not prefixes:
+        return f"HAVING count(*) = {len(parsed.terms)}"
+    conds = []
+    if parsed.terms:
+        terms_list = ", ".join(_sql_quote(t) for t in parsed.terms)
+        conds.append(
+            f"count(*) FILTER (WHERE term IN ({terms_list})) = "
+            f"{len(parsed.terms)}"
+        )
+    for p in prefixes:
+        conds.append(
+            f"count(*) FILTER (WHERE starts_with(term, {_sql_quote(p)})) >= 1"
+        )
+    return "HAVING " + " AND ".join(conds)
+
+
 def _match_ctes(
     parsed: ParsedQuery,
     table: str = "documents",
@@ -241,32 +286,26 @@ def _match_ctes(
     """The shared WITH-clause body of every naive-evaluation oracle:
     corpus CTEs + per-(term, doc) BM25 weights + the ``scored`` CTE of
     ALL matching docs (connective, attr filters, NOT, tombstone
-    predicate, phrases/proximity applied). ``bm25_sql`` appends the
-    top-k select; ``facet_sql`` aggregates the full match set instead."""
-    terms_list = ", ".join(_sql_quote(t) for t in parsed.terms)
+    predicate, phrases/proximity, prefix groups applied). ``bm25_sql``
+    appends the top-k select; ``facet_sql`` aggregates the full match
+    set instead."""
     idf = idf_sql("s.n", "tdf.df")
     w = bm25_weight_sql(idf, "tf.tf", "dl.dl", "s.avgdl")
-    having = (
-        f"HAVING count(*) = {len(parsed.terms)}" if parsed.connective == "AND" else ""
-    )
+    having = _having_sql(parsed)
     lang_filter = _doc_attr_filters(parsed, table, array_fields)
-    not_filter = ""
-    if parsed.exclude:
-        ex_list = ", ".join(_sql_quote(t) for t in parsed.exclude)
-        not_filter = (
-            f"AND tf.doc_id NOT IN (SELECT DISTINCT doc_id FROM tf "
-            f"WHERE term IN ({ex_list}))"
-        )
+    not_filter = _not_filter_sql(parsed)
     extra = f"AND ({extra_doc_pred})" if extra_doc_pred else ""
     phrase_filter, tarr_cte = _phrase_sql(parsed, table)
+    # the w rows carry term only when the HAVING needs per-group FILTERs
+    w_term = ", tf.term AS term" if getattr(parsed, "prefixes", ()) else ""
     return f"""{corpus_ctes(table)}{tarr_cte},
 w AS (
-  SELECT tf.doc_id, {w} AS w
+  SELECT tf.doc_id{w_term}, {w} AS w
   FROM tf
   JOIN tdf USING (term)
   JOIN dl ON dl.doc_id = tf.doc_id
   CROSS JOIN stats s
-  WHERE tf.term IN ({terms_list}) {lang_filter} {not_filter} {extra} {phrase_filter}
+  WHERE {_term_pred_sql(parsed)} {lang_filter} {not_filter} {extra} {phrase_filter}
 ),
 scored AS (SELECT doc_id, sum(w) AS raw_score FROM w GROUP BY doc_id {having})"""
 
@@ -282,7 +321,7 @@ def bm25_sql(
     engine path (relational, index-backed, WAND-pruned) must emit exactly
     this result set. ``extra_doc_pred`` (a predicate over ``tf.doc_id``)
     models query-time tombstones (S5) and similar doc-set restrictions."""
-    if not parsed.terms:
+    if not parsed.terms and not getattr(parsed, "prefixes", ()):
         return "SELECT doc_id, 0.0::DOUBLE AS score FROM documents WHERE false"
     ctes = _match_ctes(parsed, table, extra_doc_pred, array_fields)
     return f"""
@@ -305,7 +344,7 @@ def facet_sql(
     the column; fields listed in ``array_fields`` facet per ELEMENT
     (one doc counts once per distinct element it carries, matching the
     per-distinct-element synthetic attr postings of the v5 index)."""
-    if not parsed.terms:
+    if not parsed.terms and not getattr(parsed, "prefixes", ()):
         return (
             "SELECT ''::VARCHAR AS value, 0::BIGINT AS n_docs "
             f"FROM {table} WHERE false"
@@ -386,6 +425,22 @@ def _phrase_sql(parsed: ParsedQuery, table: str) -> tuple[str, str]:
         f"lower(text), {rgx}), x -> x <> '') AS t FROM {table})"
     )
     return pred, cte
+
+
+def suggest_sql(prefix: str, n: int = 10, table: str = "documents") -> str:
+    """Dictionary-completion oracle (round-6, FIXTURES.md §3.11): the
+    top-``n`` corpus vocabulary terms under ``prefix`` by document
+    frequency, ordered (df DESC, term ASC) — the declarative twin of
+    ``wand.suggest_terms`` (whose df comes from the v4 index rows; the
+    ``term_df`` gate already pins those equal to this corpus-side df)."""
+    return f"""
+WITH {tokens_cte(table)},
+tdf AS (SELECT term, count(*) AS df FROM
+        (SELECT DISTINCT term, doc_id FROM tok) GROUP BY term)
+SELECT term, df::BIGINT AS df FROM tdf
+WHERE starts_with(term, {_sql_quote(prefix)})
+ORDER BY df DESC, term ASC LIMIT {n}
+"""
 
 
 def bm25_fetch_sql(

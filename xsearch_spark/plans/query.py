@@ -32,6 +32,22 @@ Grammar (xsearch-style free-text term bag, plus the pinned extensions):
                             scoring stays identical to the unquoted
                             query, the window is only a filter
                             (FIXTURES.md §3.8).
+  * ``body*``            -> PREFIX (round 6, FIXTURES.md §3.10): a
+                            trailing ``*`` on a token whose lowercased
+                            body is a single valid term shape
+                            ``[a-z0-9_]+`` makes it a prefix group:
+                            the doc must contain AT LEAST ONE
+                            vocabulary term starting with ``body``
+                            (under AND; under OR any expansion hit
+                            counts), and every matching term the doc
+                            contains is scored exactly like a bare
+                            term (distinct-term sum — a term that is
+                            both a plain query term and a prefix
+                            expansion is counted once). ``-body*``
+                            excludes docs containing ANY term with the
+                            prefix. Any other ``*`` placement degrades
+                            to plain analysis (the ``*`` is a
+                            separator char and vanishes).
 
 Driver-side only — a query is one string; nothing to distribute.
 Duplicate terms count once (FIXTURES.md §3.2).
@@ -49,6 +65,10 @@ DEFAULT_ATTR_FIELDS: tuple[str, ...] = ("lang",)
 
 _PHRASE_RE = re.compile(r'"([^"]*)"(?:~(\d+))?')
 _MAX_PHRASE_LEN = 64  # = operators.wand.MAX_PHRASE_LEN (no import cycle)
+# a prefix body must be ONE term under every analyzer's charset (the
+# base/code emission alphabet) — anything else keeps plain-text
+# semantics so `foo-bar*` or `*` alone never silently become filters
+_PREFIX_BODY_RE = re.compile(r"[a-z0-9_]+\Z")
 
 
 @dataclass(frozen=True)
@@ -67,6 +87,12 @@ class ParsedQuery:
     # ``phrases`` when set; an empty tuple means all-zero (plain phrase)
     # so every pre-round-6 constructor keeps its meaning
     phrase_slops: tuple[int, ...] = field(default_factory=tuple)
+    # prefix groups (round-6, FIXTURES.md §3.10): each entry requires
+    # >= 1 vocabulary term starting with it (AND), expansions scored
+    # like bare terms; exclude_prefixes drop docs containing ANY term
+    # with the prefix
+    prefixes: tuple[str, ...] = field(default_factory=tuple)
+    exclude_prefixes: tuple[str, ...] = field(default_factory=tuple)
 
 
 def phrase_slop(parsed: "ParsedQuery", i: int) -> int:
@@ -92,6 +118,8 @@ def parse(
     attrs: list[tuple[str, str]] = []
     phrases: list[tuple[str, ...]] = []
     slops: list[int] = []
+    prefixes: list[str] = []
+    exclude_prefixes: list[str] = []
     fields = set(attr_fields)
 
     def _take_phrase(m: "re.Match[str]") -> str:
@@ -128,6 +156,15 @@ def parse(
             continue
         neg = token.startswith("-")
         body = token[1:] if neg else token
+        if body.endswith("*"):
+            pre = body[:-1].lower()
+            if _PREFIX_BODY_RE.fullmatch(pre):
+                target_p = exclude_prefixes if neg else prefixes
+                if pre not in target_p:
+                    target_p.append(pre)
+                continue
+            # invalid prefix body (empty, or not a single term shape):
+            # degrade to plain analysis — the '*' is a separator char
         # analyze with the same chain as the index side (A3)
         for term in tokenize_query(body, variant):
             target = exclude if neg else include
@@ -143,4 +180,6 @@ def parse(
         attrs=tuple(attrs),
         phrases=tuple(phrases),
         phrase_slops=tuple(slops),
+        prefixes=tuple(prefixes),
+        exclude_prefixes=tuple(exclude_prefixes),
     )
