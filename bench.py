@@ -42,6 +42,7 @@ QUERIES = {
     "q08_absent": "zzzznotaterm",
     "q14_phrase": '"hash join" spark',  # v6 positional adjacency
     "q15_proximity": '"hash join"~2 spark',  # round-6 ordered window
+    "q17_prefix": "s* merge",  # round-6 §3.10 startswith expansion
 }
 
 # code-aware pipeline over the synthetic prod-schema table (the
@@ -142,7 +143,7 @@ def run_bench(sf_dir: str, cpus: int, emit_json: bool = True) -> dict:
         build_s = min(doc_walls)
 
         def _doc_queries():
-            from xsearch_spark.operators.wand import facet_counts
+            from xsearch_spark.operators.wand import facet_counts, suggest_terms
 
             for _pass in range(2):  # second pass = warm
                 for name, q in QUERIES.items():
@@ -153,6 +154,11 @@ def run_bench(sf_dir: str, cpus: int, emit_json: bool = True) -> dict:
                 tq = time.monotonic()
                 facet_counts(built, parse("hash OR join"), "lang").collect()
                 per_query["q16_facet"] = time.monotonic() - tq
+                # round-6 §3.11: dictionary completion (pushed
+                # startswith scan + distinct over the matched slice)
+                tq = time.monotonic()
+                suggest_terms(built, "s", 10).collect()
+                per_query["q18_suggest"] = time.monotonic() - tq
 
         # query sections carry their own steal stamp too (round 6): the
         # r5->r6 adjudication showed query-latency regressions can be
