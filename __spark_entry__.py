@@ -346,6 +346,19 @@ def _q_term_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suggest_terms(_index(spark, sf_dir), "s", n=4)
 
 
+def _q_search_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11b (round-6): total-hits count over the FULL match set — the
+    result-page "About N results" number, via wand.match_count (shares
+    _index_match_scored with facets/relational search). The query
+    composes OR + a prefix group + an exclusion so the count gate
+    exercises the match evaluation, not just a posting length. Oracle:
+    oracles.match_count_sql over the same _match_ctes as bm25_sql."""
+    from xsearch_spark.operators.wand import match_count
+
+    built = _index(spark, sf_dir)
+    return match_count(built, parse("hash OR d* -join"))
+
+
 def _q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q11 (round-6): facet counts over the FULL match set of an OR
     query — matching-doc count per lang, computed entirely index-side
@@ -725,7 +738,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     extra_queries() instead."""
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "tokens_tf": _q_tf,
-        "doc_len": _q_dl,
         "term_df": _q_df,
         "collection_stats": _q_stats,
         "topk_fetch": _q_topk_fetch,
@@ -743,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         {
             "search_highlight": _q_search_highlight,
             "search_facets": _q_search_facets,
+            "search_count": _q_search_count,
             "term_suggest": _q_term_suggest,
             "bm25_batch": _q_bm25_batch,
             "bm25_batch_tombstone": _q_bm25_batch_tombstone,
@@ -798,6 +811,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # a pure-prefix query whose expansions are compound identifiers
         "bm25_index_and": _make_index_query("hash join", "rel"),
         "bm25_wand_prefix_code": _make_code_wand_query("hash_*"),
+        # round-6 demotion for the search_count slot: dl is a pure
+        # aggregation of tokens_tf (still gated; any dl error also
+        # breaks every bm25 hash through the weight denominator)
+        "doc_len": _q_dl,
     }
     for name in sorted(_BATCH_ONLY):
         q[name] = _make_bm25_query(_QUERY_SET[name])
@@ -816,6 +833,7 @@ def extra_oracle_sql() -> dict[str, str]:
         ),
         "bm25_index_and": oracles.bm25_sql(parse("hash join")),
         "bm25_wand_prefix_code": oracles.bm25_code_sql(parse("hash_*", "code")),
+        "doc_len": oracles.dl_sql(),
     }
     for name in sorted(_BATCH_ONLY):
         o[name] = oracles.bm25_sql(parse(_QUERY_SET[name]))
@@ -842,7 +860,6 @@ def oracle_sql() -> dict[str, str]:
 
     o: dict[str, str] = {
         "tokens_tf": oracles.tf_sql(),
-        "doc_len": oracles.dl_sql(),
         "term_df": oracles.df_sql(),
         "collection_stats": oracles.collection_stats_sql(),
         "topk_fetch": oracles.bm25_fetch_sql(parse("hash join"), ["lang", "source"]),
@@ -892,6 +909,7 @@ WHERE f.quality >= 0.5
         ),
         "search_highlight": oracles.highlight_sql(parse("hash join spark")),
         "search_facets": oracles.facet_sql(parse("hash OR join"), "lang"),
+        "search_count": oracles.match_count_sql(parse("hash OR d* -join")),
         "term_suggest": oracles.suggest_sql("s", 4),
         "ann_ivf_topk": op.ivf_topk_sql(0, 10, 8, 2),
         "ann_ivf_tombstone": op.ivf_topk_sql(

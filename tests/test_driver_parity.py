@@ -79,7 +79,7 @@ def test_registry_fits_driver_cap():
         # paths), the highlight/snippet result page, facet counts,
         # prefix groups (both engine paths) and dictionary completion
         "bm25_wand_proximity", "bm25_rel_proximity_lang",
-        "search_highlight", "search_facets",
+        "search_highlight", "search_facets", "search_count",
         "bm25_wand_prefix", "bm25_rel_prefix_not", "term_suggest",
     ]:
         assert must in q, f"engine surface {must} lost its driver slot"

@@ -11,7 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_DIR
-from xsearch_spark import engine
+from xsearch_spark import engine, oracles
 from xsearch_spark.operators import build as b
 from xsearch_spark.operators import segments as seg
 from xsearch_spark.operators.wand import search_index_relational, search_wand
@@ -435,6 +435,34 @@ def test_facet_counts_index_side(spark, built, corpus, q):
         sub = src[src.doc_id.isin(matched)]
         want = {(v, int(n)) for v, n in sub.groupby(fld).size().items()}
         assert got == want, (q, fld)
+
+
+@pytest.mark.parametrize("q", FACET_QUERIES + ["d* OR merge", "s* -du*"])
+def test_match_count_full_set(spark, built, corpus, duck, q):
+    """Q11b total-hits: match_count over the FULL match set must equal
+    the naive engine's unlimited match cardinality AND the shared-CTE
+    DuckDB oracle, for every query feature incl. prefix groups."""
+    from xsearch_spark.operators.wand import match_count
+
+    parsed = parse(q)
+    want = len(engine.run_query(corpus, parsed, k=1_000_000).collect())
+    got = match_count(built, parsed).collect()
+    assert [r["n_docs"] for r in got] == [want], q
+    want_sql = duck.execute(oracles.match_count_sql(parsed)).fetchone()[0]
+    assert want_sql == want, q
+
+
+def test_match_count_tombstones(spark, built, corpus):
+    """Tombstoned docs leave the count (the anti-join shares
+    _index_match_scored with facets/relational)."""
+    from xsearch_spark.operators.wand import match_count
+
+    parsed = parse("hash OR join")
+    full = {r["doc_id"] for r in engine.run_query(corpus, parsed, k=10**6).collect()}
+    tombs = corpus.source.select("doc_id").filter(F.col("doc_id") % 7 == 0)
+    got = match_count(built, parsed, tombstones=tombs).collect()
+    want = len({d for d in full if d % 7 != 0})
+    assert [r["n_docs"] for r in got] == [want]
 
 
 def test_facet_counts_array_attr_vs_oracle(spark, tmp_path):

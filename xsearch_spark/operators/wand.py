@@ -1235,6 +1235,26 @@ def facet_counts(
     )
 
 
+def match_count(
+    built,
+    parsed: ParsedQuery,
+    source_df: DataFrame | None = None,
+    tombstones: DataFrame | None = None,
+) -> DataFrame:
+    """Total-hits count (round-6, Q11b): the number of docs in the FULL
+    match set -> one (n_docs) row — the result-page "About N results"
+    number. Shares `_index_match_scored` with `search_index_relational`
+    and `facet_counts` (ONE source of match truth per CLAUDE.md), so
+    every query feature (OR/NOT, attrs, phrases, proximity, prefixes,
+    tombstones) composes; the count is a partial-agg reduce over the
+    match set — no top-k, no source fetch, no extra shuffle beyond the
+    match evaluation itself."""
+    return (
+        _index_match_scored(built, parsed, source_df, tombstones)
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
 def suggest_terms(built, prefix: str, n: int = 10) -> DataFrame:
     """Dictionary completion (round-6, FIXTURES.md §3.11): the top-``n``
     vocabulary terms under ``prefix`` by global document frequency ->

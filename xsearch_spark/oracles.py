@@ -369,6 +369,25 @@ FROM ({per_doc}) GROUP BY value
 """
 
 
+def match_count_sql(
+    parsed: ParsedQuery,
+    table: str = "documents",
+    extra_doc_pred: str | None = None,
+    array_fields: tuple[str, ...] = (),
+) -> str:
+    """Total-hits oracle (round-6, Q11b): the size of the FULL match
+    set as one (n_docs) row — the declarative twin of
+    ``wand.match_count``, sharing ``_match_ctes`` with the bm25/facet
+    oracles (one source of match truth per side)."""
+    if not parsed.terms and not getattr(parsed, "prefixes", ()):
+        return "SELECT 0::BIGINT AS n_docs"
+    ctes = _match_ctes(parsed, table, extra_doc_pred, array_fields)
+    return f"""
+WITH {ctes}
+SELECT count(*)::BIGINT AS n_docs FROM scored
+"""
+
+
 def _phrase_sql(parsed: ParsedQuery, table: str) -> tuple[str, str]:
     """(predicate, extra CTE) for phrase adjacency (v6): a doc matches
     iff some start offset i has t[i..i+k-1] equal to the phrase — the
