@@ -104,7 +104,10 @@ def _make_attr_query(
 # source: + NOT, and phrase adjacency (v6 positional stream) on both
 # paths — all served index-only (no source_df handed to the engine)
 _ATTR_QUERY_SET = {
-    "bm25_wand_source_filter": ("source:src3 hash OR join", "wand"),
+    # round-6: bm25_wand_source_filter demoted to extra_queries() for
+    # the fuzzy slots — the source-attr WAND surface stays gated via
+    # bm25_wand_lang_source (the stacked filter exercises the same
+    # synthetic-posting intersection)
     "bm25_wand_lang_source": ("lang:en source:src7 the", "wand"),
     "bm25_rel_source_not": ("source:src5 hash -join", "rel"),
     "bm25_wand_phrase": ('"hash join" spark', "wand"),
@@ -123,6 +126,15 @@ _ATTR_QUERY_SET = {
     # from the startswith-pushed dictionary scan, never the source)
     "bm25_wand_prefix": ("d* join", "wand"),
     "bm25_rel_prefix_not": ("lang:en s* -du*", "rel"),
+    # fuzzy groups (round-6, FIXTURES.md §3.12): sow~1 expands to
+    # {slow, row} in the documents vocabulary — a genuine two-member
+    # d=1 neighborhood, served through the bucket-pruned exact-term
+    # scan (no dictionary walk). The rel entry stacks an attr filter
+    # with an EXCLUSION neighborhood. The DuckDB oracle states
+    # membership declaratively (levenshtein(term, body) <= 1), so these
+    # rows also verify the engine's closed-form enumeration is complete
+    "bm25_wand_fuzzy": ("sort sow~1", "wand"),
+    "bm25_rel_fuzzy_not": ("lang:en hash -sow~1", "rel"),
 }
 
 
@@ -235,6 +247,11 @@ _QUERY_SET = {
     # expansion membership per query), while the individual naive entry
     # lives in extra_queries()
     "bm25_prefix": "s* window",
+    # fuzzy group under OR (round-6, §3.12) — batch-only: riding
+    # _QUERY_SET puts the fuzzy neighborhood slicing inside BOTH batch
+    # entries (incl. fuzzy x tombstones); the wand/rel fuzzy surfaces
+    # hold individual slots in _ATTR_QUERY_SET
+    "bm25_fuzzy": "kay~1 OR dup",
 }
 
 # The driver's correctness gate evaluates only the FIRST 50 queries()
@@ -270,6 +287,9 @@ _BATCH_ONLY = frozenset(
         "bm25_field_filter",
         "bm25_not",
         "bm25_prefix",
+        # round-6: fuzzy enters batch-only directly (the wand/rel fuzzy
+        # surfaces hold the individual slots)
+        "bm25_fuzzy",
     }
 )
 
@@ -815,6 +835,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # aggregation of tokens_tf (still gated; any dl error also
         # breaks every bm25 hash through the weight denominator)
         "doc_len": _q_dl,
+        # round-6 demotions for the fuzzy slots: lang-attr WAND stays
+        # gated via bm25_wand_lang_source; source-attr via the same
+        "bm25_wand_filter": _make_index_query("lang:zh spark", "wand"),
+        "bm25_wand_source_filter": _make_attr_query(
+            "source:src3 hash OR join", "wand"
+        ),
     }
     for name in sorted(_BATCH_ONLY):
         q[name] = _make_bm25_query(_QUERY_SET[name])
@@ -834,6 +860,10 @@ def extra_oracle_sql() -> dict[str, str]:
         "bm25_index_and": oracles.bm25_sql(parse("hash join")),
         "bm25_wand_prefix_code": oracles.bm25_code_sql(parse("hash_*", "code")),
         "doc_len": oracles.dl_sql(),
+        "bm25_wand_filter": oracles.bm25_sql(parse("lang:zh spark")),
+        "bm25_wand_source_filter": oracles.bm25_sql(
+            parse("source:src3 hash OR join", attr_fields=_ATTR_FIELDS)
+        ),
     }
     for name in sorted(_BATCH_ONLY):
         o[name] = oracles.bm25_sql(parse(_QUERY_SET[name]))
@@ -847,11 +877,13 @@ _INDEX_QUERY_SET = {
     # round-6: bm25_index_and demoted to extra_queries() for the
     # term_suggest slot — the rel index path stays gated via
     # tombstone_filtered_topk (same evaluation plus the anti-join),
-    # bm25_rel_source_not/bm25_rel_phrase_lang/bm25_rel_prefix_not
+    # bm25_rel_source_not/bm25_rel_phrase_lang/bm25_rel_prefix_not.
+    # bm25_wand_filter demoted for the fuzzy slots: the lang-attr WAND
+    # surface stays gated via bm25_wand_lang_source (lang: AND source:
+    # stacked on the same path) and tombstone_wand_lang in extras
     "bm25_wand_and": ("hash join", "wand"),
     "bm25_wand_or_hot": ("the OR scan OR join", "wand"),
     "bm25_wand_single_hot": ("the", "wand"),
-    "bm25_wand_filter": ("lang:zh spark", "wand"),
 }
 
 

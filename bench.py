@@ -43,6 +43,7 @@ QUERIES = {
     "q14_phrase": '"hash join" spark',  # v6 positional adjacency
     "q15_proximity": '"hash join"~2 spark',  # round-6 ordered window
     "q17_prefix": "s* merge",  # round-6 §3.10 startswith expansion
+    "q19_fuzzy": "sort sow~1",  # round-6 §3.12 enumerated d=1 group
 }
 
 # code-aware pipeline over the synthetic prod-schema table (the

@@ -249,6 +249,32 @@ def main() -> None:
         "collect, no positional bytes.",
     ))
 
+    # 5e2. fuzzy query (round-6 §3.12): the d=1 neighborhood is
+    # enumerated driver-side, so the scan stays a bucket-pruned
+    # exact-term lookup — NO StringStartsWith, no dictionary sweep, no
+    # source table, no positional bytes (fuzzy pays the same plan as an
+    # ordinary multi-term query, just with a wider IN list)
+    wz_plan = plan_of(search_wand(built, parse("sort sow~1")))
+    assert "documents.parquet" not in wz_plan, (
+        "fuzzy plan scans the source table — the neighborhood must come "
+        "from the enumerated exact-term scan"
+    )
+    assert "poss" not in wz_plan, "non-phrase fuzzy plan reads poss"
+    assert "StringStartsWith" not in wz_plan, (
+        "fuzzy scan fell back to a dictionary sweep — the d=1 "
+        "neighborhood must ride the exact-term IN filter"
+    )
+    assert "bucket" in wz_plan, "fuzzy scan lost bucket partition pruning"
+    sections.append((
+        "Q8 WAND fuzzy query (enumerated d=1 neighborhood, exact scan)",
+        wz_plan,
+        ["MapInPandas", "TakeOrderedAndProject"],
+        "A fuzzy group's candidates are exactly enumerated driver-side "
+        "over the term alphabet, so the dictionary lookup stays the "
+        "bucket-pruned IN-filtered scan — no dictionary walk at any "
+        "vocabulary size, no source scan, no positional bytes.",
+    ))
+
     # 5f. dictionary completion (round-6 §3.11): suggest is one
     # startswith-pushed scan + distinct over the matched dictionary
     # slice — the full vocabulary is never collected or aggregated

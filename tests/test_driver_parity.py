@@ -81,6 +81,8 @@ def test_registry_fits_driver_cap():
         "bm25_wand_proximity", "bm25_rel_proximity_lang",
         "search_highlight", "search_facets", "search_count",
         "bm25_wand_prefix", "bm25_rel_prefix_not", "term_suggest",
+        # fuzzy groups (both engine paths; §3.12)
+        "bm25_wand_fuzzy", "bm25_rel_fuzzy_not",
     ]:
         assert must in q, f"engine surface {must} lost its driver slot"
     # no overlap between the gated and extra registries

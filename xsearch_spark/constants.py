@@ -84,6 +84,68 @@ def attr_term(fld: str, value: str) -> str:
     return f"{ATTR_TERM_PREFIX}{fld}:{value}"
 
 
+# --- Numeric attributes (round-6, FIXTURES.md §3.13) ----------------------
+# Integer-valued attr columns (lengths, sizes, epoch timestamps) are
+# indexed as synthetic terms whose VALUE part is an ORDER-PRESERVING
+# fixed-width encoding: enc(v) = zero-padded 20-digit decimal of
+# (v + 2^63). String order over encodings == numeric order over the
+# full signed int64 range, so a range filter `field:lo..hi` becomes a
+# term-RANGE-pruned index scan (>= and <= pushed to parquet; bucket
+# files are term-sorted, so row-group min/max statistics bound the read
+# to the value interval) — Lucene points/doc-values semantics from the
+# one posting layout. Floats are NOT supported (frozen: term
+# dictionaries hold exact keys; quantize to ints upstream).
+NUM_ATTR_OFFSET: int = 1 << 63
+NUM_ATTR_WIDTH: int = 20  # max encoded value 2^64-1 has 20 digits
+
+
+def num_attr_encode(v: int) -> str:
+    """Order-preserving encoding of an int64 attribute value."""
+    u = int(v) + NUM_ATTR_OFFSET
+    if not 0 <= u < (1 << 64):
+        raise ValueError(f"numeric attr value out of int64 range: {v}")
+    return format(u, f"0{NUM_ATTR_WIDTH}d")
+
+
+def num_attr_decode(s: str) -> int:
+    """Inverse of :func:`num_attr_encode`."""
+    return int(s, 10) - NUM_ATTR_OFFSET
+
+
+# --- Fuzzy queries (FIXTURES.md §3.12) -----------------------------------
+# ``body~1`` matches every VOCABULARY term over the term alphabet within
+# plain Levenshtein distance <= 1 of body (substitution / deletion /
+# insertion; no transposition — matching DuckDB's levenshtein() and the
+# enumeration below). The alphabet is the base/code emission alphabet:
+# a distance-1 neighborhood over it is a FINITE, exactly enumerable set
+# (<= 2*len*|Σ| + len + |Σ| + 1 terms), so the engine expands a fuzzy
+# term driver-side and serves it through the ordinary bucket-pruned
+# exact-term scan — no dictionary walk at all (the d=1 degenerate of
+# Lucene's Levenshtein-automaton frontier). Distance 2 would square the
+# neighborhood and lose the closed form; it RAISES (frozen cap).
+TERM_ALPHABET: str = "abcdefghijklmnopqrstuvwxyz0123456789_"
+FUZZY_MAX_DISTANCE: int = 1
+MAX_FUZZY_LEN: int = 64  # same style of cap as MAX_PHRASE_LEN
+
+
+def fuzzy_candidates(body: str) -> tuple[str, ...]:
+    """The exact set {t in TERM_ALPHABET+ : levenshtein(t, body) <= 1},
+    sorted. Pure function of the frozen alphabet — the DuckDB oracle
+    states the predicate declaratively (levenshtein(term, body) <= 1
+    AND term matches ^[a-z0-9_]+$), which verifies this enumeration is
+    complete (tests/test_fuzzy.py Hypothesis sweep)."""
+    out = {body}
+    for i in range(len(body)):
+        out.add(body[:i] + body[i + 1 :])  # deletion
+        for c in TERM_ALPHABET:
+            out.add(body[:i] + c + body[i + 1 :])  # substitution
+    for i in range(len(body) + 1):
+        for c in TERM_ALPHABET:
+            out.add(body[:i] + c + body[i:])  # insertion
+    out.discard("")  # deleting a 1-char body is not a token
+    return tuple(sorted(out))
+
+
 # --- Skew handling (SURVEY.md B5, §4) ------------------------------------
 # Terms whose document frequency exceeds this fraction of total postings
 # divided by the shuffle partition count are "hot" and get salted.

@@ -57,10 +57,17 @@ def score_postings(
     unique, so the per-doc weight sum counts each distinct term once
     even when it is both a plain term and an expansion). Under AND each
     group contributes a per-doc "matched >= 1" flag alongside the
-    plain-term count.
+    plain-term count. Fuzzy groups (round-6, FIXTURES.md §3.12) are the
+    same shape with membership in the exactly-enumerated d=1
+    neighborhood (an IN literal) instead of ``startswith``.
     """
+    from xsearch_spark.constants import fuzzy_candidates
+
     prefixes = list(getattr(parsed, "prefixes", ()))
-    if not parsed.terms and not prefixes:
+    fuzzy_groups = [
+        list(fuzzy_candidates(b)) for b in getattr(parsed, "fuzzies", ())
+    ]
+    if not parsed.terms and not prefixes and not fuzzy_groups:
         return postings_df.sparkSession.createDataFrame(
             [], "doc_id long, score double"
         )
@@ -69,6 +76,8 @@ def score_postings(
         cond = col.isin(list(parsed.terms)) if parsed.terms else F.lit(False)
         for p in prefixes:
             cond = cond | col.startswith(p)
+        for g in fuzzy_groups:
+            cond = cond | col.isin(g)
         return cond
 
     q = postings_df.filter(term_pred(F.col("term")))
@@ -95,12 +104,20 @@ def score_postings(
                 F.when(F.col("term").startswith(p), F.lit(1)).otherwise(F.lit(0))
             ).alias(f"_pfx{i}")
         )
+    for i, g in enumerate(fuzzy_groups):
+        aggs.append(
+            F.max(
+                F.when(F.col("term").isin(g), F.lit(1)).otherwise(F.lit(0))
+            ).alias(f"_fz{i}")
+        )
     agg = scored.groupBy("doc_id").agg(*aggs)
     if parsed.connective == "AND":
         if parsed.terms:
             agg = agg.filter(F.col("n_terms") == len(parsed.terms))
         for i in range(len(prefixes)):
             agg = agg.filter(F.col(f"_pfx{i}") == 1)
+        for i in range(len(fuzzy_groups)):
+            agg = agg.filter(F.col(f"_fz{i}") == 1)
     return agg.select("doc_id", "score")
 
 
@@ -226,7 +243,10 @@ def apply_doc_filters(
         match = tokenized_df.filter(pred).select("doc_id")
         out = out.join(match, "doc_id", "left_semi")
     ex_prefixes = getattr(parsed, "exclude_prefixes", ())
-    if parsed.exclude or ex_prefixes:
+    ex_fuzzies = getattr(parsed, "exclude_fuzzies", ())
+    if parsed.exclude or ex_prefixes or ex_fuzzies:
+        from xsearch_spark.constants import fuzzy_candidates
+
         cond = (
             F.col("term").isin(list(parsed.exclude))
             if parsed.exclude
@@ -234,6 +254,8 @@ def apply_doc_filters(
         )
         for p in ex_prefixes:  # round-6: -body* drops docs containing
             cond = cond | F.col("term").startswith(p)  # ANY prefixed term
+        for b in ex_fuzzies:  # round-6: -body~1 drops docs containing
+            cond = cond | F.col("term").isin(list(fuzzy_candidates(b)))
         bad = postings_df.filter(cond).select("doc_id").distinct()
         out = out.join(bad, "doc_id", "left_anti")
     return out

@@ -157,19 +157,71 @@ def _gather_substreams(
     return flat[idx]
 
 
-def _attr_pairs(vals: pd.Series, b_ids: np.ndarray, fld: str):
+def numeric_attr_fields(schema, attrs: tuple[str, ...]) -> tuple[str, ...]:
+    """Classify ``attrs`` against a Spark schema: integer-typed scalar
+    columns become NUMERIC attrs (order-preserving encoded values,
+    FIXTURES.md §3.13); strings and array<string> keep the round-5
+    behavior; float / array<numeric> RAISE (term dictionaries hold
+    exact keys — quantize upstream). Returns the numeric subset in
+    ``attrs`` order. Shared by every index producer so stats.json's
+    ``num_attr_fields`` always matches what was packed."""
+    from pyspark.sql.types import (
+        ArrayType,
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+    )
+
+    int_types = (ByteType, ShortType, IntegerType, LongType)
+    by_name = {f.name: f.dataType for f in schema.fields}
+    out: list[str] = []
+    for fld in attrs:
+        dt = by_name.get(fld)
+        if isinstance(dt, int_types):
+            out.append(fld)
+        elif isinstance(dt, StringType):
+            pass
+        elif isinstance(dt, ArrayType) and isinstance(dt.elementType, StringType):
+            pass
+        elif dt is None:
+            raise ValueError(f"attr column {fld!r} not in source schema")
+        else:
+            raise ValueError(
+                f"attr column {fld!r} has unsupported type {dt}: supported "
+                f"are string, array<string>, and scalar integers (encoded "
+                f"order-preserving, FIXTURES.md §3.13) — floats must be "
+                f"quantized upstream"
+            )
+    return tuple(out)
+
+
+def _attr_pairs(vals: pd.Series, b_ids: np.ndarray, fld: str, numeric: bool = False):
     """(synthetic_terms, doc_ids) for one attribute column of a batch.
     Scalar columns emit one pair per non-null doc; ARRAY columns
     (round-5 multi-value attrs — tags/licenses) emit one pair per
     DISTINCT element per doc (a repeated element must not produce a
     duplicate (term, doc) posting — that trips the pack invariant).
     Distinctness via the factorize+combined-key trick, no per-element
-    Python beyond the attr_term formatting."""
+    Python beyond the attr_term formatting. ``numeric`` (round-6,
+    FIXTURES.md §3.13): values are int64 scalars encoded
+    order-preserving (num_attr_encode) so term order == value order."""
     ok = vals.notna().to_numpy()
     cells = vals[ok]
     fld_ids = b_ids[ok]
     if len(cells) == 0:
         return np.empty(0, object), np.empty(0, np.int64)
+    if numeric:
+        from xsearch_spark.constants import num_attr_encode
+
+        return (
+            np.array(
+                [attr_term(fld, num_attr_encode(v)) for v in cells],
+                dtype=object,
+            ),
+            fld_ids,
+        )
     first = cells.iloc[0]
     if not isinstance(first, (list, tuple, np.ndarray)):
         return (
@@ -812,6 +864,9 @@ def pack_from_source(
     attrs: tuple[str, ...] = (
         (attr_cols,) if isinstance(attr_cols, str) else tuple(attr_cols or ())
     )
+    # numeric attrs (round-6 §3.13): classified ONCE from the driver-side
+    # schema (a per-batch dtype sniff would misclassify all-null batches)
+    num_fields = frozenset(numeric_attr_fields(source_df.schema, attrs))
     par = source_df.sparkSession.sparkContext.defaultParallelism
     n = num_partitions or par * 2
     chunk = docs_per_segment
@@ -874,7 +929,9 @@ def pack_from_source(
                 syn_t_parts: list[np.ndarray] = []
                 syn_i_parts: list[np.ndarray] = []
                 for fld in attrs:
-                    f_terms, f_ids = _attr_pairs(pdf[fld], b_ids, fld)
+                    f_terms, f_ids = _attr_pairs(
+                        pdf[fld], b_ids, fld, numeric=fld in num_fields
+                    )
                     syn_t_parts.append(f_terms)
                     syn_i_parts.append(f_ids)
                 syn_terms = np.concatenate(syn_t_parts)

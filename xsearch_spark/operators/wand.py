@@ -52,6 +52,7 @@ from xsearch_spark.constants import (
     DEFAULT_TOP_K,
     K1,
     attr_term,
+    fuzzy_candidates,
     idf as idf_py,
 )
 from xsearch_spark.functions import codec
@@ -140,7 +141,19 @@ def score_shard(
         p: [t for t in lists if t.startswith(p) and t not in parsed.terms]
         for p in prefixes
     }
-    scored_terms = present + [t for ms in pfx_members.values() for t in ms]
+    # fuzzy groups (round-6, FIXTURES.md §3.12): same group semantics as
+    # prefixes, membership by the exactly-enumerated d=1 neighborhood
+    fuzzy_sets = [
+        frozenset(fuzzy_candidates(b)) for b in getattr(parsed, "fuzzies", ())
+    ]
+    fz_members = [
+        [t for t in lists if t in s and t not in parsed.terms] for s in fuzzy_sets
+    ]
+    scored_terms = (
+        present
+        + [t for ms in pfx_members.values() for t in ms]
+        + [t for ms in fz_members for t in ms]
+    )
     scored_terms = list(dict.fromkeys(scored_terms))
     if not scored_terms:
         return np.empty(0, np.int64), np.empty(0, np.float64)
@@ -148,11 +161,14 @@ def score_shard(
         if len(present) != len(parsed.terms):
             return np.empty(0, np.int64), np.empty(0, np.float64)
         group_lists = [lists[t][0] for t in present]
-        for p in prefixes:
+        member_sets = [
+            [t for t in lists if t.startswith(p)] for p in prefixes
+        ] + [[t for t in lists if t in s] for s in fuzzy_sets]
+        for group in member_sets:
             # a member that is also a plain term still satisfies the
-            # group — re-include it here (pfx_members keeps it out of
-            # scored_terms only to avoid double counting)
-            members = [lists[t][0] for t in lists if t.startswith(p)]
+            # group — re-include it here (pfx_members/fz_members keep it
+            # out of scored_terms only to avoid double counting)
+            members = [lists[t][0] for t in group]
             if not members:  # no expansion in this shard -> no match
                 return np.empty(0, np.int64), np.empty(0, np.float64)
             group_lists.append(
@@ -593,6 +609,22 @@ _EMPTY_TOPK = {"doc_id": np.empty(0, np.int64), "score": np.empty(0, np.float64)
 _EMPTY_I64 = np.empty(0, np.int64)
 
 
+def _fuzzy_unions(parsed: ParsedQuery) -> tuple[frozenset[str], frozenset[str]]:
+    """(positive, exclusion) candidate-term unions of the query's fuzzy
+    groups (round-6, FIXTURES.md §3.12) — the exactly-enumerated d=1
+    neighborhoods. Both ride the ordinary bucket-pruned exact-term scan:
+    fuzzy needs NO dictionary walk (unlike prefix groups)."""
+    pos = frozenset(
+        t for b in getattr(parsed, "fuzzies", ()) for t in fuzzy_candidates(b)
+    )
+    neg = frozenset(
+        t
+        for b in getattr(parsed, "exclude_fuzzies", ())
+        for t in fuzzy_candidates(b)
+    )
+    return pos, neg
+
+
 def _phrase_terms(built, parsed: ParsedQuery) -> frozenset[str]:
     """The union of phrase-member terms (v6). Raises unless the index
     carries the positional stream — a phrase cannot be served without
@@ -705,6 +737,7 @@ def search_wand(
     all_terms = list(parsed.terms) + list(parsed.exclude)
     prefixes = tuple(getattr(parsed, "prefixes", ()))
     exclude_prefixes = tuple(getattr(parsed, "exclude_prefixes", ()))
+    fz_pos, fz_neg = _fuzzy_unions(parsed)
     use_attr_lang = parsed.lang is not None and getattr(
         built, "has_attr", lambda f: False
     )("lang")
@@ -712,7 +745,13 @@ def search_wand(
     extra_attr_terms = _attr_filter_terms(built, parsed)
     required_attr_terms = ([lang_term] if lang_term else []) + extra_attr_terms
     phrase_terms = _phrase_terms(built, parsed)
-    scan_terms = all_terms + required_attr_terms
+    # fuzzy neighborhoods ride the exact-term scan (bucket-pruned — the
+    # whole point of the closed-form d=1 enumeration)
+    scan_terms = (
+        all_terms
+        + sorted((fz_pos | fz_neg) - set(all_terms))
+        + required_attr_terms
+    )
     rows = pruned_index_scan_prefix(
         built.index_df,
         scan_terms,
@@ -724,20 +763,22 @@ def search_wand(
     if row_df:
         static_idfs = None
     else:  # pre-v4 fallback: driver dictionary
-        if prefixes or exclude_prefixes:
+        if prefixes or exclude_prefixes or fz_pos or fz_neg:
             # the expansion set is only enumerable executor-side from
             # the denormalized df rows; a driver-dictionary expansion
             # would collect the vocabulary (the anti-pattern audit_plans
             # forbids)
             raise ValueError(
-                "prefix queries require a v4+ index (denormalized df)"
+                "prefix/fuzzy queries require a v4+ index (denormalized df)"
             )
         stats = built.df_of(all_terms)
         static_idfs = {
             t: idf_py(built.n_docs, stats[t]) for t in parsed.terms if t in stats
         }
     n_docs, avgdl = built.n_docs, built.avgdl
-    exclude_terms = set(parsed.exclude)
+    # exclusion wins over positive membership for fuzzy exactly as for
+    # exact/prefix exclusion: fold the neighborhood into the exclude set
+    exclude_terms = set(parsed.exclude) | set(fz_neg)
     positive_terms = set(parsed.terms)
     attr_set = frozenset(required_attr_terms)
 
@@ -750,6 +791,8 @@ def search_wand(
         positive = g["term"].isin(positive_terms)
         if prefixes:
             positive = positive | g["term"].str.startswith(tuple(prefixes))
+        if fz_pos:
+            positive = positive | g["term"].isin(fz_pos)
         if not positive.any():
             return pd.DataFrame(_EMPTY_TOPK)
         lists, blocks, ex_lists, dfs, attr_lists, pos_lists = _assemble_shard(
@@ -817,6 +860,7 @@ def search_wand(
             and not required_attr_terms
             and not prefixes
             and not exclude_prefixes
+            and not fz_pos
             and getattr(built, "unique_term_shard", False)
         ):
             # single-term query: every (term, shard) run scores alone —
@@ -883,6 +927,12 @@ def search_wand_batch(
             + list(getattr(p, "exclude_prefixes", ()))
         }
     )
+    # fuzzy groups (round-6): per-query enumerated neighborhoods; the
+    # scan covers their union as ordinary exact terms
+    q_fuzzy = {qid: _fuzzy_unions(p) for qid, p in queries.items()}
+    all_fuzzy = sorted(
+        {t for pos, neg in q_fuzzy.values() for t in pos | neg}
+    )
     langs = sorted({p.lang for p in queries.values() if p.lang is not None})
     use_attr_lang = bool(langs) and getattr(built, "has_attr", lambda f: False)(
         "lang"
@@ -897,7 +947,12 @@ def search_wand_batch(
     phrase_terms_all = frozenset(
         t for p in queries.values() for t in _phrase_terms(built, p)
     )
-    scan_terms = all_terms + sorted(lang_terms.values()) + extra_attr_union
+    scan_terms = (
+        all_terms
+        + [t for t in all_fuzzy if t not in set(all_terms)]
+        + sorted(lang_terms.values())
+        + extra_attr_union
+    )
     rows = pruned_index_scan_prefix(
         built.index_df, scan_terms, all_prefixes, built.num_buckets
     )
@@ -906,13 +961,15 @@ def search_wand_batch(
     if "df" in rows.columns:
         static_stats = None
     else:  # pre-v4 fallback
-        if all_prefixes:
+        if all_prefixes or all_fuzzy:
             raise ValueError(
-                "prefix queries require a v4+ index (denormalized df)"
+                "prefix/fuzzy queries require a v4+ index (denormalized df)"
             )
         static_stats = built.df_of(all_terms)
     per_q = {qid: (p, set(p.exclude)) for qid, p in queries.items()}
-    positive_all = {t for p in queries.values() for t in p.terms}
+    positive_all = {t for p in queries.values() for t in p.terms} | {
+        t for pos, _neg in q_fuzzy.values() for t in pos
+    }
     positive_prefixes = tuple(
         sorted({pre for p in queries.values() for pre in getattr(p, "prefixes", ())})
     )
@@ -943,13 +1000,23 @@ def search_wand_batch(
         for qid, (p, ex_terms) in per_q.items():
             ppfx = tuple(getattr(p, "prefixes", ()))
             expfx = tuple(getattr(p, "exclude_prefixes", ()))
+            fz_pos_q, fz_neg_q = q_fuzzy[qid]
 
             def q_has(t: str) -> bool:
                 # mirror the single-query path's _assemble_shard routing:
-                # exclusion (exact or prefixed) wins over positive match
-                if t in ex_terms or (expfx and t.startswith(expfx)):
+                # exclusion (exact, prefixed, or fuzzy-neighborhood)
+                # wins over positive match
+                if (
+                    t in ex_terms
+                    or (expfx and t.startswith(expfx))
+                    or t in fz_neg_q
+                ):
                     return False
-                return t in p.terms or (bool(ppfx) and t.startswith(ppfx))
+                return (
+                    t in p.terms
+                    or (bool(ppfx) and t.startswith(ppfx))
+                    or t in fz_pos_q
+                )
 
             q_lists = {t: lists[t] for t in lists if q_has(t)}
             q_blocks = {t: blocks[t] for t in q_lists}
@@ -957,7 +1024,9 @@ def search_wand_batch(
             ex = [
                 lists[t][0]
                 for t in lists
-                if t in ex_terms or (expfx and t.startswith(expfx))
+                if t in ex_terms
+                or (expfx and t.startswith(expfx))
+                or t in fz_neg_q
             ]
             if tombs is not None and tombs.size:
                 ex = ex + [tombs]
@@ -1076,7 +1145,9 @@ def _index_match_scored(
     from xsearch_spark.operators import segments as seg
     from xsearch_spark.operators.build import CollectionStats
 
+    fz_pos, fz_neg = _fuzzy_unions(parsed)
     all_terms = list(parsed.terms) + list(parsed.exclude)
+    all_terms = all_terms + sorted((fz_pos | fz_neg) - set(all_terms))
     rows = pruned_index_scan_prefix(
         built.index_df,
         all_terms,

@@ -26,6 +26,17 @@ def _sql_quote(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
+def _no_positive(parsed: ParsedQuery) -> bool:
+    """True when the query has no positive membership source at all (no
+    plain terms, no prefix group, no fuzzy group) — the match set is
+    empty by construction."""
+    return not (
+        parsed.terms
+        or getattr(parsed, "prefixes", ())
+        or getattr(parsed, "fuzzies", ())
+    )
+
+
 def _doc_attr_filters(
     parsed: ParsedQuery, table_expr: str, array_fields: tuple[str, ...] = ()
 ) -> str:
@@ -177,14 +188,18 @@ def bm25_code_sql(
             "phrase oracle is base-variant only: the code analyzer's "
             "token emission order is not reproducible in this SQL form"
         )
-    if not parsed.terms and not getattr(parsed, "prefixes", ()):
+    if _no_positive(parsed):
         return "SELECT doc_id, 0.0::DOUBLE AS score FROM documents WHERE false"
     idf = idf_sql("s.n", "tdf.df")
     w = bm25_weight_sql(idf, "tf.tf", "dl.dl", "s.avgdl")
     having = _having_sql(parsed)
     lang_filter = _doc_attr_filters(parsed, table_expr)
     not_filter = _not_filter_sql(parsed)
-    w_term = ", tf.term AS term" if getattr(parsed, "prefixes", ()) else ""
+    w_term = (
+        ", tf.term AS term"
+        if getattr(parsed, "prefixes", ()) or getattr(parsed, "fuzzies", ())
+        else ""
+    )
     return f"""
 WITH {corpus_ctes_code(table_expr)},
 w AS (
@@ -224,15 +239,31 @@ SELECT count(*) AS n_docs, round(sum(dl)::DOUBLE / count(*), {R}) AS avgdl FROM 
 """
 
 
+def _lev_pred_sql(col: str, body: str) -> str:
+    """Fuzzy-group membership (round-6, FIXTURES.md §3.12), stated
+    DECLARATIVELY: a vocabulary term over the term alphabet within plain
+    Levenshtein distance 1 of the body. The engine serves the same set
+    via the closed-form neighborhood enumeration
+    (constants.fuzzy_candidates) — this predicate is what verifies that
+    enumeration is complete."""
+    return (
+        f"(levenshtein({col}, {_sql_quote(body)}) <= 1 "
+        f"AND regexp_matches({col}, '^[a-z0-9_]+$'))"
+    )
+
+
 def _term_pred_sql(parsed: ParsedQuery, col: str = "tf.term") -> str:
     """The scored-term predicate: exact membership plus prefix-group
-    ``starts_with`` disjuncts (round-6, FIXTURES.md §3.10)."""
+    ``starts_with`` plus fuzzy-group ``levenshtein`` disjuncts
+    (round-6, FIXTURES.md §3.10/§3.12)."""
     conds = []
     if parsed.terms:
         terms_list = ", ".join(_sql_quote(t) for t in parsed.terms)
         conds.append(f"{col} IN ({terms_list})")
     for p in getattr(parsed, "prefixes", ()):
         conds.append(f"starts_with({col}, {_sql_quote(p)})")
+    for b in getattr(parsed, "fuzzies", ()):
+        conds.append(_lev_pred_sql(col, b))
     return "(" + " OR ".join(conds) + ")"
 
 
@@ -245,6 +276,8 @@ def _not_filter_sql(parsed: ParsedQuery) -> str:
         conds.append(f"term IN ({ex_list})")
     for p in getattr(parsed, "exclude_prefixes", ()):
         conds.append(f"starts_with(term, {_sql_quote(p)})")
+    for b in getattr(parsed, "exclude_fuzzies", ()):
+        conds.append(_lev_pred_sql("term", b))
     if not conds:
         return ""
     return (
@@ -261,7 +294,8 @@ def _having_sql(parsed: ParsedQuery) -> str:
     if parsed.connective != "AND":
         return ""
     prefixes = getattr(parsed, "prefixes", ())
-    if not prefixes:
+    fuzzies = getattr(parsed, "fuzzies", ())
+    if not prefixes and not fuzzies:
         return f"HAVING count(*) = {len(parsed.terms)}"
     conds = []
     if parsed.terms:
@@ -273,6 +307,10 @@ def _having_sql(parsed: ParsedQuery) -> str:
     for p in prefixes:
         conds.append(
             f"count(*) FILTER (WHERE starts_with(term, {_sql_quote(p)})) >= 1"
+        )
+    for b in fuzzies:
+        conds.append(
+            f"count(*) FILTER (WHERE {_lev_pred_sql('term', b)}) >= 1"
         )
     return "HAVING " + " AND ".join(conds)
 
@@ -297,7 +335,11 @@ def _match_ctes(
     extra = f"AND ({extra_doc_pred})" if extra_doc_pred else ""
     phrase_filter, tarr_cte = _phrase_sql(parsed, table)
     # the w rows carry term only when the HAVING needs per-group FILTERs
-    w_term = ", tf.term AS term" if getattr(parsed, "prefixes", ()) else ""
+    w_term = (
+        ", tf.term AS term"
+        if getattr(parsed, "prefixes", ()) or getattr(parsed, "fuzzies", ())
+        else ""
+    )
     return f"""{corpus_ctes(table)}{tarr_cte},
 w AS (
   SELECT tf.doc_id{w_term}, {w} AS w
@@ -321,7 +363,7 @@ def bm25_sql(
     engine path (relational, index-backed, WAND-pruned) must emit exactly
     this result set. ``extra_doc_pred`` (a predicate over ``tf.doc_id``)
     models query-time tombstones (S5) and similar doc-set restrictions."""
-    if not parsed.terms and not getattr(parsed, "prefixes", ()):
+    if _no_positive(parsed):
         return "SELECT doc_id, 0.0::DOUBLE AS score FROM documents WHERE false"
     ctes = _match_ctes(parsed, table, extra_doc_pred, array_fields)
     return f"""
@@ -344,7 +386,7 @@ def facet_sql(
     the column; fields listed in ``array_fields`` facet per ELEMENT
     (one doc counts once per distinct element it carries, matching the
     per-distinct-element synthetic attr postings of the v5 index)."""
-    if not parsed.terms and not getattr(parsed, "prefixes", ()):
+    if _no_positive(parsed):
         return (
             "SELECT ''::VARCHAR AS value, 0::BIGINT AS n_docs "
             f"FROM {table} WHERE false"
@@ -379,7 +421,7 @@ def match_count_sql(
     set as one (n_docs) row — the declarative twin of
     ``wand.match_count``, sharing ``_match_ctes`` with the bm25/facet
     oracles (one source of match truth per side)."""
-    if not parsed.terms and not getattr(parsed, "prefixes", ()):
+    if _no_positive(parsed):
         return "SELECT 0::BIGINT AS n_docs"
     ctes = _match_ctes(parsed, table, extra_doc_pred, array_fields)
     return f"""

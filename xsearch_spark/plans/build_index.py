@@ -86,10 +86,17 @@ class BuiltIndex:
     unique_term_shard: bool = False
     # v6: rows carry the positional stream (phrase queries allowed)
     has_positions: bool = False
+    # round-6 §3.13: the subset of attr_fields whose values are
+    # order-preserving-encoded int64s — range filters and sort-by-field
+    # are only servable on these (and equality filters must encode)
+    num_attr_fields: tuple[str, ...] = ()
     _df_cache: dict | None = field(default=None, repr=False)
 
     def has_attr(self, fld: str) -> bool:
         return fld in self.attr_fields
+
+    def has_num_attr(self, fld: str) -> bool:
+        return fld in self.num_attr_fields
 
     @property
     def docs_per_shard(self) -> int:
@@ -239,6 +246,9 @@ def build_index(
         (attr_cols,) if isinstance(attr_cols, str) else tuple(attr_cols or ())
     )
     attrs = tuple(c for c in attrs if c in source_df.columns)
+    # round-6 §3.13: classify integer attr columns ONCE from the schema;
+    # the classification is part of the index contract (stats.json)
+    num_attrs = seg.numeric_attr_fields(source_df.schema, attrs)
     fp_base = _fingerprint(
         source_fingerprint
         or _fingerprint(text_col, variant, docs_per_segment, segs_per_shard, num_buckets, segs_per_group),
@@ -349,6 +359,7 @@ def build_index(
                     "num_buckets": num_buckets,
                     "format_version": INDEX_FORMAT_VERSION,
                     "attr_fields": list(attrs),
+                    "num_attr_fields": list(num_attrs),
                     "positions": positions,
                 },
                 f,
@@ -413,6 +424,7 @@ def build_index(
         segs_per_shard=segs_per_shard,
         sum_dl=int(sidecar.get("sum_dl", round(avgdl * n_docs))),
         attr_fields=tuple(sidecar.get("attr_fields", [])),
+        num_attr_fields=tuple(sidecar.get("num_attr_fields", [])),
         unique_term_shard=True,
         has_positions=bool(sidecar.get("positions", False)),
     )
@@ -439,6 +451,7 @@ def _build_index_fused(
     salted merge -> index write. See :func:`build_index` docstring."""
     from pyspark import StorageLevel
 
+    num_attrs = seg.numeric_attr_fields(source_df.schema, attrs)
     fpF = _fingerprint("fused_index", fp_base)
     if ckpt.stage_done(out_dir, "index", fpF) is None or not os.path.exists(paths["stats"]):
         if n_docs is None:
@@ -489,6 +502,7 @@ def _build_index_fused(
                     "num_buckets": num_buckets,
                     "format_version": INDEX_FORMAT_VERSION,
                     "attr_fields": list(attrs),
+                    "num_attr_fields": list(num_attrs),
                     "positions": positions,
                 },
                 f,
@@ -531,6 +545,7 @@ def _build_index_fused(
         segs_per_shard=segs_per_shard,
         sum_dl=int(sidecar.get("sum_dl", round(avgdl * n_docs))),
         attr_fields=tuple(sidecar.get("attr_fields", [])),
+        num_attr_fields=tuple(sidecar.get("num_attr_fields", [])),
         unique_term_shard=True,
         has_positions=bool(sidecar.get("positions", False)),
     )
@@ -555,6 +570,7 @@ def load_index(spark: SparkSession, out_dir: str, num_buckets: int | None = None
         segs_per_shard=int(sidecar.get("segs_per_shard", seg.DEFAULT_SEGS_PER_SHARD)),
         sum_dl=int(sidecar.get("sum_dl", round(avgdl * n_docs))),
         attr_fields=tuple(sidecar.get("attr_fields", [])),
+        num_attr_fields=tuple(sidecar.get("num_attr_fields", [])),
         unique_term_shard=True,
         has_positions=bool(sidecar.get("positions", False)),
     )

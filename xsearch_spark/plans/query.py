@@ -32,6 +32,23 @@ Grammar (xsearch-style free-text term bag, plus the pinned extensions):
                             scoring stays identical to the unquoted
                             query, the window is only a filter
                             (FIXTURES.md §3.8).
+  * ``body~1`` / ``body~`` -> FUZZY (round 6, FIXTURES.md §3.12): the
+                            doc must contain >= 1 vocabulary term over
+                            the term alphabet within plain Levenshtein
+                            distance 1 of ``body`` (which itself
+                            qualifies at distance 0). Every matching
+                            term the doc contains is scored exactly
+                            like a bare term (distinct-term sum,
+                            counted once even when it is also a plain
+                            query term). ``-body~1`` excludes docs
+                            containing ANY term in the neighborhood.
+                            ``body~0`` degrades to the plain term;
+                            ``~N`` with N > 1 RAISES (frozen cap —
+                            the d=1 neighborhood is exactly
+                            enumerable, d=2 is not); a body that is
+                            not a single ``[a-z0-9_]+`` term shape
+                            degrades to plain analysis (``~`` is a
+                            separator char and vanishes).
   * ``body*``            -> PREFIX (round 6, FIXTURES.md §3.10): a
                             trailing ``*`` on a token whose lowercased
                             body is a single valid term shape
@@ -65,10 +82,18 @@ DEFAULT_ATTR_FIELDS: tuple[str, ...] = ("lang",)
 
 _PHRASE_RE = re.compile(r'"([^"]*)"(?:~(\d+))?')
 _MAX_PHRASE_LEN = 64  # = operators.wand.MAX_PHRASE_LEN (no import cycle)
+_MAX_FUZZY_LEN = 64  # = constants.MAX_FUZZY_LEN (bounds the neighborhood)
 # a prefix body must be ONE term under every analyzer's charset (the
 # base/code emission alphabet) — anything else keeps plain-text
 # semantics so `foo-bar*` or `*` alone never silently become filters
 _PREFIX_BODY_RE = re.compile(r"[a-z0-9_]+\Z")
+# a fuzzy token is body~[N] with the same single-term body shape; the
+# distance digits are validated separately (only 0/absent/1 are legal)
+_FUZZY_TOKEN_RE = re.compile(r"(?P<body>[a-z0-9_]+)~(?P<d>\d*)\Z")
+# numeric range filter values (round-6, FIXTURES.md §3.13):
+# `field:>=N` / `field:>N` / `field:<=N` / `field:<N` / `field:lo..hi`
+_RANGE_CMP_RE = re.compile(r"(?P<op>>=|>|<=|<)(?P<n>-?\d+)\Z")
+_RANGE_DOTS_RE = re.compile(r"(?P<lo>-?\d+)\.\.(?P<hi>-?\d+)\Z")
 
 
 @dataclass(frozen=True)
@@ -93,6 +118,19 @@ class ParsedQuery:
     # with the prefix
     prefixes: tuple[str, ...] = field(default_factory=tuple)
     exclude_prefixes: tuple[str, ...] = field(default_factory=tuple)
+    # fuzzy groups (round-6, FIXTURES.md §3.12): each entry requires
+    # >= 1 vocabulary term within Levenshtein distance 1 of the body;
+    # neighborhood members score like bare terms; exclude_fuzzies drop
+    # docs containing ANY neighborhood term
+    fuzzies: tuple[str, ...] = field(default_factory=tuple)
+    exclude_fuzzies: tuple[str, ...] = field(default_factory=tuple)
+    # numeric range filters (round-6, FIXTURES.md §3.13): inclusive
+    # (field, lo, hi) with None = unbounded, normalized at parse
+    # (`field:>N` -> (N+1, None) etc.); pure filters, AND-intersected,
+    # servable only on an index whose num_attr_fields carries the field
+    ranges: tuple[tuple[str, int | None, int | None], ...] = field(
+        default_factory=tuple
+    )
 
 
 def phrase_slop(parsed: "ParsedQuery", i: int) -> int:
@@ -120,6 +158,9 @@ def parse(
     slops: list[int] = []
     prefixes: list[str] = []
     exclude_prefixes: list[str] = []
+    fuzzies: list[str] = []
+    exclude_fuzzies: list[str] = []
+    ranges: list[tuple[str, int | None, int | None]] = []
     fields = set(attr_fields)
 
     def _take_phrase(m: "re.Match[str]") -> str:
@@ -149,6 +190,23 @@ def parse(
             continue
         fld, sep, val = token.partition(":")
         if sep and fld in fields:
+            rm = _RANGE_CMP_RE.fullmatch(val) or _RANGE_DOTS_RE.fullmatch(val)
+            if rm is not None:  # round-6 §3.13: numeric range filter
+                if "op" in rm.groupdict():
+                    n = int(rm.group("n"))
+                    op = rm.group("op")
+                    bound = {
+                        ">=": (n, None),
+                        ">": (n + 1, None),
+                        "<=": (None, n),
+                        "<": (None, n - 1),
+                    }[op]
+                else:
+                    bound = (int(rm.group("lo")), int(rm.group("hi")))
+                r = (fld, bound[0], bound[1])
+                if r not in ranges:
+                    ranges.append(r)
+                continue
             if fld == "lang":
                 lang = val
             elif (fld, val) not in attrs:
@@ -156,6 +214,31 @@ def parse(
             continue
         neg = token.startswith("-")
         body = token[1:] if neg else token
+        fm = _FUZZY_TOKEN_RE.fullmatch(body.lower())
+        if fm is not None:
+            d = fm.group("d")
+            if d in ("", "1"):
+                fb = fm.group("body")
+                if len(fb) > _MAX_FUZZY_LEN:
+                    raise ValueError(
+                        f"fuzzy body of {len(fb)} chars exceeds the "
+                        f"supported maximum of {_MAX_FUZZY_LEN}"
+                    )
+                target_f = exclude_fuzzies if neg else fuzzies
+                if fb not in target_f:
+                    target_f.append(fb)
+                continue
+            if d == "0":  # frozen: distance 0 is the plain term
+                for term in tokenize_query(fm.group("body"), variant):
+                    target = exclude if neg else include
+                    if term not in target:
+                        target.append(term)
+                continue
+            raise ValueError(
+                f"fuzzy distance {d} unsupported: only edit distance 1 "
+                f"is exactly enumerable over the term alphabet "
+                f"(FIXTURES.md §3.12)"
+            )
         if body.endswith("*"):
             pre = body[:-1].lower()
             if _PREFIX_BODY_RE.fullmatch(pre):
@@ -182,4 +265,7 @@ def parse(
         phrase_slops=tuple(slops),
         prefixes=tuple(prefixes),
         exclude_prefixes=tuple(exclude_prefixes),
+        fuzzies=tuple(fuzzies),
+        exclude_fuzzies=tuple(exclude_fuzzies),
+        ranges=tuple(ranges),
     )

@@ -243,17 +243,30 @@ def compact_segments(
     # compaction time — zero config to keep in sync with the ingest.
     from xsearch_spark.constants import ATTR_TERM_PREFIX
 
-    attr_fields = sorted(
-        r["f"]
-        for r in index_df.filter(F.col("term").startswith(ATTR_TERM_PREFIX))
+    # numeric self-detection (round-6 §3.13): a field whose every value
+    # part is a 20-digit encoding was packed through num_attr_encode —
+    # the same one-job aggregate that finds the field set decides it
+    attr_rows = (
+        index_df.filter(F.col("term").startswith(ATTR_TERM_PREFIX))
         .select(
             F.substring_index(
                 F.expr("substring(term, 2)"), ":", 1
-            ).alias("f")
+            ).alias("f"),
+            F.col("term"),
         )
-        .distinct()
+        .select(
+            "f", F.expr("substring(term, length(f) + 3)").alias("v")
+        )
+        .groupBy("f")
+        .agg(
+            F.min(
+                F.col("v").rlike("^[0-9]{20}$").cast("int")
+            ).alias("all_num")
+        )
         .collect()
     )
+    attr_fields = sorted(r["f"] for r in attr_rows)
+    num_attr_fields = sorted(r["f"] for r in attr_rows if r["all_num"] == 1)
     has_positions = bool(
         index_df.filter(F.octet_length("poss") > 0).limit(1).count()
     )
@@ -275,6 +288,7 @@ def compact_segments(
                 "num_buckets": num_buckets,
                 "format_version": INDEX_FORMAT_VERSION,
                 "attr_fields": attr_fields,
+                "num_attr_fields": num_attr_fields,
                 "positions": has_positions,
             },
             f,
@@ -291,6 +305,7 @@ def compact_segments(
         segs_per_shard=segs_per_shard,
         sum_dl=sum_dl,
         attr_fields=tuple(attr_fields),
+        num_attr_fields=tuple(num_attr_fields),
         unique_term_shard=True,
         has_positions=has_positions,
     )
