@@ -61,8 +61,10 @@ def _index(spark: SparkSession, sf_dir: str):
             num_buckets=32,
             # v5 generalized attrs (round-5): lang AND source ride the
             # index as synthetic posting lists, so both filter surfaces
-            # are pruned index reads
-            attr_cols=("lang", "source"),
+            # are pruned index reads; n_chars (round-6 §3.13) is a
+            # NUMERIC attr — order-preserving-encoded values power the
+            # range-filter and sort-by-field gates
+            attr_cols=("lang", "source", "n_chars"),
             # v6 positional stream (round-5): phrase queries are pruned
             # index reads too — every index-backed entry runs over the
             # positional layout
@@ -71,7 +73,7 @@ def _index(spark: SparkSession, sf_dir: str):
     return _INDEX_CACHE[sf_dir]
 
 
-_ATTR_FIELDS = ("lang", "source")
+_ATTR_FIELDS = ("lang", "source", "n_chars")
 
 
 def _make_attr_query(
@@ -135,6 +137,13 @@ _ATTR_QUERY_SET = {
     # rows also verify the engine's closed-form enumeration is complete
     "bm25_wand_fuzzy": ("sort sow~1", "wand"),
     "bm25_rel_fuzzy_not": ("lang:en hash -sow~1", "rel"),
+    # numeric range filters (round-6, FIXTURES.md §3.13): n_chars rides
+    # the index as order-preserving-encoded attr postings, so a range
+    # is a pushed term-interval scan — the wand entry takes a selective
+    # upper-tail interval (the rel-path range surface rides
+    # search_sorted_page's filtered match set; bm25_rel_range_lang
+    # stays in extras). Oracle: plain comparisons on the source column
+    "bm25_wand_range": ("hash n_chars:400..530", "wand"),
 }
 
 
@@ -252,6 +261,11 @@ _QUERY_SET = {
     # entries (incl. fuzzy x tombstones); the wand/rel fuzzy surfaces
     # hold individual slots in _ATTR_QUERY_SET
     "bm25_fuzzy": "kay~1 OR dup",
+    # per-term boost (round-6, §3.15) — batch-only: both batch entries
+    # drive the boosted scoring against the CASE-multiplied UNION
+    # oracle (boost folds into per-term idf, so the WAND bounds path is
+    # exercised too)
+    "bm25_boost": "hash^2.5 join",
 }
 
 # The driver's correctness gate evaluates only the FIRST 50 queries()
@@ -288,8 +302,11 @@ _BATCH_ONLY = frozenset(
         "bm25_not",
         "bm25_prefix",
         # round-6: fuzzy enters batch-only directly (the wand/rel fuzzy
-        # surfaces hold the individual slots)
+        # surfaces hold the individual slots); boost enters batch-only
+        # (it is a pure idf scale — the batch entries drive it on the
+        # engine path against the CASE-multiplied oracle)
         "bm25_fuzzy",
+        "bm25_boost",
     }
 )
 
@@ -377,6 +394,43 @@ def _q_search_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     built = _index(spark, sf_dir)
     return match_count(built, parse("hash OR d* -join"))
+
+
+def _q_search_sorted_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.14 (round-6): sort-by-field + pagination — the match set of
+    an OR query ordered by the NUMERIC n_chars attr (descending,
+    doc_id tiebreak), page 2 (offset 5, k 10), entirely index-side:
+    match truth from _index_match_scored, sort keys decoded from the
+    order-preserving-encoded attr postings. The query stacks a range
+    filter, so this entry also gates the REL-path range surface (the
+    wand-path one is bm25_wand_range). Oracle: oracles.sorted_sql over
+    the shared _match_ctes with LIMIT/OFFSET."""
+    from xsearch_spark.operators.wand import search_sorted
+
+    built = _index(spark, sf_dir)
+    parsed = parse("hash OR join n_chars:>=150", attr_fields=_ATTR_FIELDS)
+    out = search_sorted(built, parsed, "n_chars", ascending=False, k=10, offset=5)
+    return out.select(
+        "doc_id",
+        "sort_value",
+        F.round(F.col("score"), SCORE_ROUND_DECIMALS).alias("score"),
+    )
+
+
+def _q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.16 (round-6): more-like-this — seed doc 0's top-5 terms by
+    their own BM25 weight feed the ordinary OR engine path, seed
+    excluded. Driver work is O(seed dl): one pushed point read + a
+    bucket-pruned df scan for the seed's distinct terms. Oracle:
+    oracles.more_like_this_sql (fully declarative seed-term ranking +
+    OR scoring over the same corpus CTEs)."""
+    from xsearch_spark.operators.wand import more_like_this
+
+    built = _index(spark, sf_dir)
+    out = more_like_this(built, 0, _corpus(spark, sf_dir).source, m=5)
+    return out.select(
+        "doc_id", F.round(F.col("score"), SCORE_ROUND_DECIMALS).alias("score")
+    )
 
 
 def _q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -756,10 +810,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     register FIRST — they are the surfaces a cap regression must never
     evict (the round-5 lesson); near-duplicate naive shapes live in
     extra_queries() instead."""
+    # round-6: collection_stats demoted to extras for the range/sort
+    # slots — N and avgdl sit in EVERY bm25 weight denominator, so any
+    # stats error breaks every gated score hash (same argument as the
+    # doc_len demotion); the scalar pair stays exact-value parity-swept
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "tokens_tf": _q_tf,
         "term_df": _q_df,
-        "collection_stats": _q_stats,
         "topk_fetch": _q_topk_fetch,
     }
     for name, qstr in _QUERY_SET.items():
@@ -776,14 +833,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "search_highlight": _q_search_highlight,
             "search_facets": _q_search_facets,
             "search_count": _q_search_count,
+            "search_sorted_page": _q_search_sorted_page,
+            "more_like_this": _q_more_like_this,
             "term_suggest": _q_term_suggest,
             "bm25_batch": _q_bm25_batch,
             "bm25_batch_tombstone": _q_bm25_batch_tombstone,
-            "tombstone_filtered_topk": _q_tombstone_topk,
+            # round-6: tombstone_filtered_topk (rel-path anti-join)
+            # demoted to extras for the more_like_this slot — S5 stays
+            # driver-gated via tombstone_wand_topk, bm25_batch_tombstone
+            # and ann_ivf_tombstone
             "tombstone_wand_topk": _q_tombstone_wand,
             "tokens_tf_cjk": _q_tf_cjk,
             "content_sha256_invariant": _q_sha256_invariant,
-            "events_latest_per_user": _q_events_latest,
             "dedup_minhash_sigs": _q_minhash,
             "dedup_lsh_pairs": _q_lsh_pairs,
             "dedup_ngram_jaccard": _q_ngram_jaccard,
@@ -841,6 +902,18 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_wand_source_filter": _make_attr_query(
             "source:src3 hash OR join", "wand"
         ),
+        # round-6 demotions for the range/sort slots: S4 upsert stays
+        # pytest-gated (tests/test_admin_streaming.py) and exact-dedup
+        # keep-set driver-gated via dedup_exact_keep; the rel-path
+        # range surface holds a gated slot inside search_sorted_page
+        "events_latest_per_user": _q_events_latest,
+        "collection_stats": _q_stats,
+        "bm25_rel_range_lang": _make_attr_query(
+            "lang:en join n_chars:>=300", "rel"
+        ),
+        # round-6 demotion for the more_like_this slot (S5 rel-path
+        # anti-join; the wand/batch/ann tombstone surfaces keep slots)
+        "tombstone_filtered_topk": _q_tombstone_topk,
     }
     for name in sorted(_BATCH_ONLY):
         q[name] = _make_bm25_query(_QUERY_SET[name])
@@ -863,6 +936,20 @@ def extra_oracle_sql() -> dict[str, str]:
         "bm25_wand_filter": oracles.bm25_sql(parse("lang:zh spark")),
         "bm25_wand_source_filter": oracles.bm25_sql(
             parse("source:src3 hash OR join", attr_fields=_ATTR_FIELDS)
+        ),
+        "events_latest_per_user": """
+SELECT user_id, event_id, event_type, round(value, 6) AS value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+""",
+        "collection_stats": oracles.collection_stats_sql(),
+        "bm25_rel_range_lang": oracles.bm25_sql(
+            parse("lang:en join n_chars:>=300", attr_fields=_ATTR_FIELDS)
+        ),
+        "tombstone_filtered_topk": oracles.bm25_sql(
+            parse("hash join"), extra_doc_pred="tf.doc_id % 7 <> 0"
         ),
     }
     for name in sorted(_BATCH_ONLY):
@@ -893,7 +980,6 @@ def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {
         "tokens_tf": oracles.tf_sql(),
         "term_df": oracles.df_sql(),
-        "collection_stats": oracles.collection_stats_sql(),
         "topk_fetch": oracles.bm25_fetch_sql(parse("hash join"), ["lang", "source"]),
         "dedup_minhash_sigs": op.minhash_sql(16),
         "dedup_lsh_pairs": op.lsh_pairs_sql(16, 4),
@@ -911,13 +997,6 @@ def oracle_sql() -> dict[str, str]:
 SELECT doc_id, text, lang, source, n_chars FROM documents
 WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
 """,
-        "events_latest_per_user": """
-SELECT user_id, event_id, event_type, round(value, 6) AS value
-FROM (SELECT *, row_number() OVER (PARTITION BY user_id
-                                   ORDER BY ts DESC, event_id DESC) AS rn
-      FROM events)
-WHERE rn = 1
-""",
         "tokens_tf_cjk": oracles.tf_cjk_sql(),
         "pipeline_clean_corpus": f"""
 WITH feat AS ({op.quality_score_sql()}),
@@ -933,15 +1012,20 @@ WHERE f.quality >= 0.5
             for name, q in _QUERY_SET.items()
         ),
         "content_sha256_invariant": op.content_sha256_sql(),
-        "tombstone_filtered_topk": oracles.bm25_sql(
-            parse("hash join"), extra_doc_pred="tf.doc_id % 7 <> 0"
-        ),
+        "more_like_this": oracles.more_like_this_sql(0, m=5),
         "tombstone_wand_topk": oracles.bm25_sql(
             parse("hash OR join OR scan"), extra_doc_pred="tf.doc_id % 7 <> 0"
         ),
         "search_highlight": oracles.highlight_sql(parse("hash join spark")),
         "search_facets": oracles.facet_sql(parse("hash OR join"), "lang"),
         "search_count": oracles.match_count_sql(parse("hash OR d* -join")),
+        "search_sorted_page": oracles.sorted_sql(
+            parse("hash OR join n_chars:>=150", attr_fields=_ATTR_FIELDS),
+            "n_chars",
+            ascending=False,
+            k=10,
+            offset=5,
+        ),
         "term_suggest": oracles.suggest_sql("s", 4),
         "ann_ivf_topk": op.ivf_topk_sql(0, 10, 8, 2),
         "ann_ivf_tombstone": op.ivf_topk_sql(

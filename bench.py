@@ -46,6 +46,12 @@ QUERIES = {
     "q19_fuzzy": "sort sow~1",  # round-6 §3.12 enumerated d=1 group
 }
 
+# served through parse(attr_fields=...) — n_chars range rides the
+# encoded numeric attr namespace (round-6 §3.13)
+ATTR_QUERIES = {
+    "q20_range": "hash n_chars:400..530",
+}
+
 # code-aware pipeline over the synthetic prod-schema table (the
 # north-star workload: BASELINE.json:6 code tokenization + skewed merge)
 CODE_QUERIES = {
@@ -135,8 +141,11 @@ def run_bench(sf_dir: str, cpus: int, emit_json: bool = True) -> dict:
                     # v6 (round-5): the documents index carries the
                     # positional stream so q14_phrase runs; the HEADLINE
                     # code build stays non-positional for wall
-                    # comparability across rounds
+                    # comparability across rounds. n_chars (round-6
+                    # §3.13) is a numeric attr so q20_range/q21_sorted
+                    # run index-only
                     positions=True,
+                    attr_cols=("lang", "n_chars"),
                 )
             )
             doc_walls.append(wall)
@@ -144,7 +153,11 @@ def run_bench(sf_dir: str, cpus: int, emit_json: bool = True) -> dict:
         build_s = min(doc_walls)
 
         def _doc_queries():
-            from xsearch_spark.operators.wand import facet_counts, suggest_terms
+            from xsearch_spark.operators.wand import (
+                facet_counts,
+                search_sorted,
+                suggest_terms,
+            )
 
             for _pass in range(2):  # second pass = warm
                 for name, q in QUERIES.items():
@@ -160,6 +173,24 @@ def run_bench(sf_dir: str, cpus: int, emit_json: bool = True) -> dict:
                 tq = time.monotonic()
                 suggest_terms(built, "s", 10).collect()
                 per_query["q18_suggest"] = time.monotonic() - tq
+                # round-6 §3.13/§3.14: numeric range filter (pushed
+                # term-interval scan) and sort-by-field pagination
+                for name, q in ATTR_QUERIES.items():
+                    tq = time.monotonic()
+                    search_wand(
+                        built, parse(q, attr_fields=("lang", "n_chars"))
+                    ).collect()
+                    per_query[name] = time.monotonic() - tq
+                tq = time.monotonic()
+                search_sorted(
+                    built,
+                    parse("hash OR join", attr_fields=("lang", "n_chars")),
+                    "n_chars",
+                    ascending=False,
+                    k=10,
+                    offset=5,
+                ).collect()
+                per_query["q21_sorted"] = time.monotonic() - tq
 
         # query sections carry their own steal stamp too (round 6): the
         # r5->r6 adjudication showed query-latency regressions can be

@@ -43,8 +43,9 @@ def main() -> None:
     built = build_index(
         spark, docs, out, text_col="text", variant="base",
         docs_per_segment=128, segs_per_shard=2, num_buckets=16,
-        attr_cols=("lang", "source"), positions=True,
+        attr_cols=("lang", "source", "n_chars"), positions=True,
     )
+    AF = ("lang", "source", "n_chars")
 
     sections: list[tuple[str, str, list[str], str]] = []
 
@@ -273,6 +274,65 @@ def main() -> None:
         "over the term alphabet, so the dictionary lookup stays the "
         "bucket-pruned IN-filtered scan — no dictionary walk at any "
         "vocabulary size, no source scan, no positional bytes.",
+    ))
+
+    # 5e3. numeric range filter (round-6 §3.13): the interval rides the
+    # encoded attr-term namespace as pushed >=/<= string comparisons —
+    # term-sorted row groups turn it into a per-bucket value seek;
+    # index-only, no poss, no dictionary sweep
+    wr_plan = plan_of(
+        search_wand(built, parse("hash n_chars:400..530", attr_fields=AF))
+    )
+    assert "documents.parquet" not in wr_plan, (
+        "range plan scans the source table — the interval must come "
+        "from the encoded attr postings"
+    )
+    assert "poss" not in wr_plan, "non-phrase range plan reads poss"
+    assert "GreaterThanOrEqual" in wr_plan and "LessThanOrEqual" in wr_plan, (
+        "range bounds not pushed to the parquet scan"
+    )
+    sections.append((
+        "Q8 WAND numeric range filter (pushed encoded-term interval)",
+        wr_plan,
+        ["MapInPandas", "TakeOrderedAndProject", "GreaterThanOrEqual"],
+        "A numeric range filter is a pushed [lo, hi] comparison over "
+        "the order-preserving-encoded attr terms — parquet row-group "
+        "min/max statistics bound the read to the value interval per "
+        "bucket (doc-values semantics from the one posting layout); "
+        "the allowlist intersects in the scorer like any attr filter.",
+    ))
+
+    # 5e4. sort-by-field + pagination (round-6 §3.14): match set and
+    # sort keys are BOTH index reads; the cut is a TakeOrdered with
+    # limit offset+k, never a full sort
+    from xsearch_spark.operators.wand import search_sorted
+
+    ss_plan = plan_of(
+        search_sorted(
+            built,
+            parse("hash OR join", attr_fields=AF),
+            "n_chars",
+            ascending=False,
+            k=10,
+            offset=5,
+        )
+    )
+    assert "documents.parquet" not in ss_plan, (
+        "sorted search scans the source table — sort keys must come "
+        "from the encoded attr postings"
+    )
+    assert "TakeOrderedAndProject" in ss_plan, (
+        "sorted page does not plan as TakeOrderedAndProject — a global "
+        "sort would materialize the full match set"
+    )
+    sections.append((
+        "Sorted page (§3.14) — index-only keys, TakeOrdered cut",
+        ss_plan,
+        ["TakeOrderedAndProject"],
+        "Match truth from the shared decoded-posting evaluation, sort "
+        "keys from one prefix-pruned scan of the encoded numeric attr "
+        "postings, joined on doc_id; offset+k rides the TakeOrdered "
+        "heap — no source scan, no full sort at any match-set size.",
     ))
 
     # 5f. dictionary completion (round-6 §3.11): suggest is one

@@ -83,6 +83,10 @@ def test_registry_fits_driver_cap():
         "bm25_wand_prefix", "bm25_rel_prefix_not", "term_suggest",
         # fuzzy groups (both engine paths; §3.12)
         "bm25_wand_fuzzy", "bm25_rel_fuzzy_not",
+        # numeric range filters + sort-by-field pagination (§3.13/§3.14)
+        "bm25_wand_range", "search_sorted_page",
+        # more-like-this (§3.16)
+        "more_like_this",
     ]:
         assert must in q, f"engine surface {must} lost its driver slot"
     # no overlap between the gated and extra registries

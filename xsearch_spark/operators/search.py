@@ -90,6 +90,11 @@ def score_postings(
         q = q.join(doc_stats_df, "doc_id")
     idf = idf_col(stats.n_docs, F.col("df").cast("double"))
     w = bm25_weight_col(idf, F.col("tf"), F.col("dl"), stats.avgdl)
+    # per-term boosts (round-6 §3.15): multiply the weight — same fold
+    # as the scorer path's idf scaling (dict() keeps the LAST
+    # declaration of a repeated term, matching boost_of)
+    for t, b in dict(getattr(parsed, "boosts", ())).items():
+        w = F.when(F.col("term") == t, w * F.lit(b)).otherwise(w)
     scored = q.select("doc_id", "term", w.alias("w"))
     aggs = [F.sum("w").alias("score")]
     if parsed.terms:
@@ -225,6 +230,20 @@ def apply_doc_filters(
             )
         else:
             raise ValueError(f"{fld}: filter requires the source table")
+    for fld, lo, hi in getattr(parsed, "ranges", ()):
+        # numeric range filter (round-6 §3.13), no-index fallback: a
+        # plain predicate semi-join on the source table (the index path
+        # serves it from the encoded attr postings instead)
+        if source_df is None:
+            raise ValueError(f"{fld}: range filter requires the source table")
+        pred = F.lit(True)
+        if lo is not None:
+            pred = pred & (F.col(fld) >= F.lit(lo))
+        if hi is not None:
+            pred = pred & (F.col(fld) <= F.lit(hi))
+        out = out.join(
+            source_df.filter(pred).select("doc_id"), "doc_id", "left_semi"
+        )
     for pi, ph in enumerate(getattr(parsed, "phrases", ())):
         if tokenized_df is None:
             raise ValueError(

@@ -438,6 +438,7 @@ def pruned_index_scan_prefix(
     terms: list[str],
     prefixes: list[str],
     num_buckets: int,
+    term_ranges: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """Q2 dictionary lookup with prefix groups (round-6, FIXTURES.md
     §3.10): exact terms keep the bucket-pruned scan; prefixes add a
@@ -449,13 +450,25 @@ def pruned_index_scan_prefix(
     prunes to the few row groups whose [min, max] term range straddles
     the prefix — per bucket, a dictionary range seek, not a scan.
     Synthetic attr terms (``\\x01`` prefix) can never match a
-    ``[a-z0-9_]+`` prefix, so no extra exclusion is needed."""
+    ``[a-z0-9_]+`` prefix, so no extra exclusion is needed.
+
+    ``term_ranges`` (round-6 §3.13): [lo_term, hi_term] closed intervals
+    over the ENCODED numeric attr namespace — pushed as >=/<= string
+    comparisons, which parquet row-group min/max statistics turn into a
+    per-bucket value-interval seek (the doc-values read of a numeric
+    range filter). Disjoint from both the exact list and any prefix (the
+    \\x01 namespace vs [a-z0-9_]+), so no cross-exclusion is needed."""
     base = pruned_index_scan(index_df, terms, num_buckets)
-    if not prefixes:
+    conds = []
+    for p in prefixes or []:
+        conds.append(F.col("term").startswith(p))
+    for lo, hi in term_ranges or []:
+        conds.append((F.col("term") >= lo) & (F.col("term") <= hi))
+    if not conds:
         return base
-    cond = F.col("term").startswith(prefixes[0])
-    for p in prefixes[1:]:
-        cond = cond | F.col("term").startswith(p)
+    cond = conds[0]
+    for c in conds[1:]:
+        cond = cond | c
     if terms:  # a term matching a prefix already rides the exact scan
         cond = cond & ~F.col("term").isin(terms)
     pre = index_df.filter(cond)
@@ -609,6 +622,69 @@ _EMPTY_TOPK = {"doc_id": np.empty(0, np.int64), "score": np.empty(0, np.float64)
 _EMPTY_I64 = np.empty(0, np.int64)
 
 
+def _attr_range_specs(built, parsed: ParsedQuery) -> list[tuple[str, str]]:
+    """[lo_term, hi_term] encoded-term intervals for the query's numeric
+    range filters (round-6, FIXTURES.md §3.13). Requires the field in
+    the index's ``num_attr_fields`` (order-preserving encoded values) —
+    a range over a string-attr or unindexed field RAISES; a silent
+    source scan would be the 10^12-doc anti-pattern."""
+    from xsearch_spark.constants import (
+        NUM_ATTR_WIDTH,
+        num_attr_encode,
+    )
+
+    out: list[tuple[str, str]] = []
+    for fld, lo, hi in getattr(parsed, "ranges", ()):
+        if not getattr(built, "has_num_attr", lambda f: False)(fld):
+            raise ValueError(
+                f"{fld}: range filter requires the field in the index's "
+                f"num_attr_fields (integer attr_cols, FIXTURES.md §3.13); "
+                f"this index carries {getattr(built, 'num_attr_fields', ())!r}"
+            )
+        lo_enc = num_attr_encode(lo) if lo is not None else "0" * NUM_ATTR_WIDTH
+        hi_enc = num_attr_encode(hi) if hi is not None else "9" * NUM_ATTR_WIDTH
+        out.append((attr_term(fld, lo_enc), attr_term(fld, hi_enc)))
+    return out
+
+
+def _split_range_rows(
+    g: pd.DataFrame, range_specs: list[tuple[str, str]]
+) -> tuple[pd.DataFrame, list[np.ndarray]]:
+    """Split a shard's scanned rows into (non-range rows, one sorted
+    doc-id allowlist per range interval). Row terms are compared as
+    strings — the encoding makes string order == value order, so a
+    range's allowlist is the union of its in-interval value terms'
+    postings."""
+    if not range_specs:
+        return g, []
+    terms = g["term"]
+    masks = [
+        ((terms >= lo) & (terms <= hi)).to_numpy(bool) for lo, hi in range_specs
+    ]
+    lists: list[np.ndarray] = []
+    for m in masks:
+        ids = [
+            codec.decode_doc_ids(b).astype(np.int64)
+            for b in g["doc_ids"][m]
+        ]
+        lists.append(
+            np.unique(np.concatenate(ids)) if ids else np.empty(0, np.int64)
+        )
+    rest = g[~np.logical_or.reduce(masks)]
+    return rest, lists
+
+
+def _scaled_idfs(idfs: dict[str, float], parsed: ParsedQuery) -> dict[str, float]:
+    """Fold per-term boosts (round-6, FIXTURES.md §3.15) into the idf
+    map: boost·w(t,d) == (boost·idf)·tf·(k1+1)/(...), so scaling idf is
+    the complete implementation — WAND's block-max bounds derive from
+    the same map and stay valid upper bounds automatically."""
+    boosts = dict(getattr(parsed, "boosts", ()))
+    if not boosts:
+        return idfs
+    return {t: v * boosts.get(t, 1.0) for t, v in idfs.items()}
+
+
 def _fuzzy_unions(parsed: ParsedQuery) -> tuple[frozenset[str], frozenset[str]]:
     """(positive, exclusion) candidate-term unions of the query's fuzzy
     groups (round-6, FIXTURES.md §3.12) — the exactly-enumerated d=1
@@ -645,8 +721,11 @@ def _attr_filter_terms(built, parsed: ParsedQuery) -> list[str]:
     source-cogroup fallback), these REQUIRE a v5 index carrying the
     field — raising beats a silent per-query corpus scan at 10^12
     docs."""
+    from xsearch_spark.constants import num_attr_encode
+
     out: list[str] = []
     has_attr = getattr(built, "has_attr", lambda f: False)
+    has_num = getattr(built, "has_num_attr", lambda f: False)
     for fld, val in getattr(parsed, "attrs", ()):
         if not has_attr(fld):
             raise ValueError(
@@ -654,6 +733,16 @@ def _attr_filter_terms(built, parsed: ParsedQuery) -> list[str]:
                 f"including {fld!r} (index layout v5); this index carries "
                 f"{getattr(built, 'attr_fields', ())!r}"
             )
+        if has_num(fld):
+            # numeric fields store encoded values (round-6 §3.13) —
+            # equality must encode; a non-integer literal can never match
+            try:
+                val = num_attr_encode(int(val))
+            except (TypeError, ValueError):
+                raise ValueError(
+                    f"{fld}: equality filter on a numeric attr needs an "
+                    f"integer value; got {val!r}"
+                ) from None
         out.append(attr_term(fld, val))
     return out
 
@@ -745,6 +834,7 @@ def search_wand(
     extra_attr_terms = _attr_filter_terms(built, parsed)
     required_attr_terms = ([lang_term] if lang_term else []) + extra_attr_terms
     phrase_terms = _phrase_terms(built, parsed)
+    range_specs = _attr_range_specs(built, parsed)
     # fuzzy neighborhoods ride the exact-term scan (bucket-pruned — the
     # whole point of the closed-form d=1 enumeration)
     scan_terms = (
@@ -757,6 +847,7 @@ def search_wand(
         scan_terms,
         list(prefixes) + list(exclude_prefixes),
         built.num_buckets,
+        term_ranges=range_specs,
     )
     rows = _prune_poss(rows, bool(phrase_terms))
     row_df = "df" in rows.columns
@@ -795,6 +886,9 @@ def search_wand(
             positive = positive | g["term"].isin(fz_pos)
         if not positive.any():
             return pd.DataFrame(_EMPTY_TOPK)
+        # numeric range rows (round-6 §3.13) are interval-membership
+        # allowlist carriers — split them out before posting assembly
+        g, range_lists = _split_range_rows(g, range_specs)
         lists, blocks, ex_lists, dfs, attr_lists, pos_lists = _assemble_shard(
             g, exclude_terms, avgdl, attr_set, phrase_terms, exclude_prefixes
         )
@@ -807,12 +901,19 @@ def search_wand(
                 if allowed is None
                 else np.intersect1d(allowed, lst, assume_unique=True)
             )
+        for lst in range_lists:
+            allowed = (
+                lst
+                if allowed is None
+                else np.intersect1d(allowed, lst, assume_unique=True)
+            )
         if tombs is not None and tombs.size:
             ex_lists = ex_lists + [tombs]
-        idfs = (
+        idfs = _scaled_idfs(
             {t: idf_py(n_docs, dfs[t]) for t in lists}
             if static_idfs is None
-            else static_idfs
+            else static_idfs,
+            parsed,
         )
         ids_out, scores_out = score_shard(
             lists, blocks, idfs, avgdl, parsed, k, ex_lists, allowed, pos_lists
@@ -861,6 +962,7 @@ def search_wand(
             and not prefixes
             and not exclude_prefixes
             and not fz_pos
+            and not range_specs
             and getattr(built, "unique_term_shard", False)
         ):
             # single-term query: every (term, shard) run scores alone —
@@ -943,6 +1045,16 @@ def search_wand_batch(
     # generic field:value filters per query (round-5): index-side only
     q_attr_terms = {qid: _attr_filter_terms(built, p) for qid, p in queries.items()}
     extra_attr_union = sorted({t for ts in q_attr_terms.values() for t in ts})
+    # numeric range filters per query (round-6 §3.13): the scan covers
+    # the union of every query's intervals; per-query membership slices
+    # the shared per-interval allowlists
+    q_range_specs = {
+        qid: _attr_range_specs(built, p) for qid, p in queries.items()
+    }
+    all_range_specs = sorted(
+        {spec for specs in q_range_specs.values() for spec in specs}
+    )
+    spec_idx = {spec: i for i, spec in enumerate(all_range_specs)}
     # phrase members per batch (v6): decode positions once for the union
     phrase_terms_all = frozenset(
         t for p in queries.values() for t in _phrase_terms(built, p)
@@ -954,7 +1066,11 @@ def search_wand_batch(
         + extra_attr_union
     )
     rows = pruned_index_scan_prefix(
-        built.index_df, scan_terms, all_prefixes, built.num_buckets
+        built.index_df,
+        scan_terms,
+        all_prefixes,
+        built.num_buckets,
+        term_ranges=all_range_specs,
     )
     rows = _prune_poss(rows, bool(phrase_terms_all))
     n_docs, avgdl = built.n_docs, built.avgdl
@@ -986,7 +1102,9 @@ def search_wand_batch(
                 {"query_id": pd.Series(dtype=object), **_EMPTY_TOPK}
             )
         out = []
-        # decode once per UNION of terms; slice per query
+        # decode once per UNION of terms; slice per query (range rows
+        # split out first — shared per-interval allowlists)
+        g, range_lists = _split_range_rows(g, all_range_specs)
         lists, blocks, _, dfs, attr_lists, pos_lists = _assemble_shard(
             g, set(), avgdl, attr_set, phrase_terms_all
         )
@@ -1020,7 +1138,9 @@ def search_wand_batch(
 
             q_lists = {t: lists[t] for t in lists if q_has(t)}
             q_blocks = {t: blocks[t] for t in q_lists}
-            idfs = {t: idf_py(n_docs, dfs[t]) for t in q_lists if t in dfs}
+            idfs = _scaled_idfs(
+                {t: idf_py(n_docs, dfs[t]) for t in q_lists if t in dfs}, p
+            )
             ex = [
                 lists[t][0]
                 for t in lists
@@ -1035,6 +1155,13 @@ def search_wand_batch(
                 allowed = np.empty(0, np.int64)
             for t_attr in q_attr_terms[qid]:
                 lst = attr_lists.get(t_attr, _EMPTY_I64)
+                allowed = (
+                    lst
+                    if allowed is None
+                    else np.intersect1d(allowed, lst, assume_unique=True)
+                )
+            for spec in q_range_specs[qid]:
+                lst = range_lists[spec_idx[spec]]
                 allowed = (
                     lst
                     if allowed is None
@@ -1175,7 +1302,7 @@ def _index_match_scored(
         )
         for t in _attr_filter_terms(built, parsed)
     ]
-    # phrases are served index-side below (positional stream), so the
+    # phrases and ranges are served index-side below/here, so the
     # generic filter application must not see them
     import dataclasses
 
@@ -1183,10 +1310,21 @@ def _index_match_scored(
         scored,
         long_postings,
         source_df,
-        dataclasses.replace(parsed, phrases=(), phrase_slops=()),
+        dataclasses.replace(parsed, phrases=(), phrase_slops=(), ranges=()),
         allowed_df=allowed_df,
         attr_allowed_dfs=attr_allowed_dfs or None,
     )
+    # numeric range filters (round-6 §3.13), declaratively: one pushed
+    # term-interval scan per range over the encoded attr namespace —
+    # the allowlist semi-join twin of the scorer-side intersection
+    for lo, hi in _attr_range_specs(built, parsed):
+        rows_r = built.index_df.filter(
+            (F.col("term") >= lo) & (F.col("term") <= hi)
+        )
+        adf = seg.decode_postings(rows_r, include_attrs=True)
+        scored = scored.join(
+            adf.select("doc_id").distinct(), "doc_id", "left_semi"
+        )
     # phrase adjacency (v6), declaratively: decode (term, doc_id, pos)
     # for the phrase members and express "consecutive positions" as a
     # k-way semi-join chain on (doc_id, pos + offset) — the relational
@@ -1281,9 +1419,15 @@ def facet_counts(
     if getattr(built, "has_attr", lambda f: False)(field):
         pref = f"{ATTR_TERM_PREFIX}{field}:"
         rows = built.index_df.filter(F.col("term").startswith(pref))
+        raw_val = F.col("term").substr(F.lit(len(pref) + 1), F.lit(2**30))
+        if getattr(built, "has_num_attr", lambda f: False)(field):
+            # round-6 §3.13: numeric values are stored order-preserving
+            # encoded — decode back to the int64 (same type the source
+            # fallback and the oracle emit)
+            raw_val = _num_attr_decode_col(raw_val)
         vals = seg.decode_postings(rows, include_attrs=True).select(
             "doc_id",
-            F.col("term").substr(F.lit(len(pref) + 1), F.lit(2**30)).alias("value"),
+            raw_val.alias("value"),
         )
     elif source_df is not None:
         col = source_df.schema[field].dataType
@@ -1323,6 +1467,160 @@ def match_count(
     return (
         _index_match_scored(built, parsed, source_df, tombstones)
         .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+def _num_attr_decode_col(col: "F.Column") -> "F.Column":
+    """Column twin of constants.num_attr_decode: 20-digit encoded value
+    -> int64 (via DECIMAL(20,0) — the encoded domain exceeds int64)."""
+    from decimal import Decimal
+
+    from xsearch_spark.constants import NUM_ATTR_OFFSET
+
+    return (
+        col.cast("decimal(20,0)") - F.lit(Decimal(NUM_ATTR_OFFSET))
+    ).cast("long")
+
+
+def search_sorted(
+    built,
+    parsed: ParsedQuery,
+    sort_field: str,
+    ascending: bool = False,
+    k: int = DEFAULT_TOP_K,
+    offset: int = 0,
+    source_df: DataFrame | None = None,
+    tombstones: DataFrame | None = None,
+) -> DataFrame:
+    """Sort-by-field + pagination (round-6, FIXTURES.md §3.14): the FULL
+    match set ordered by a NUMERIC attr value instead of the BM25 score
+    -> (doc_id, sort_value, score), rows [offset, offset+k) of the
+    total order (sort_value ASC|DESC, doc_id ASC) — the "sort by date /
+    size, page 2" result shape.
+
+    INDEX-ONLY on both sides: the match set is the shared
+    ``_index_match_scored`` evaluation (every query feature composes —
+    OR/NOT/attrs/ranges/phrases/prefixes/fuzzy/tombstones), and the
+    sort keys come from the field's order-preserving-encoded attr
+    postings through one prefix-pruned scan — the source table is never
+    touched. Docs lacking the field have no attr posting and drop out
+    (frozen: NULL never sorts). Requires the field in
+    ``num_attr_fields`` — numeric attrs are scalar by construction
+    (build-time validation), so the value join is 1:1 and the total
+    order is deterministic.
+
+    Scale shape: the values side is posting-list-bounded, the join is
+    one shuffle (AQE broadcasts the smaller side), and the global cut
+    plans as TakeOrderedAndProject with limit offset+k — per-partition
+    heaps, never a full sort.
+    """
+    from xsearch_spark.constants import ATTR_TERM_PREFIX
+    from xsearch_spark.operators import segments as seg
+
+    if not getattr(built, "has_num_attr", lambda f: False)(sort_field):
+        raise ValueError(
+            f"{sort_field}: sort requires the field in the index's "
+            f"num_attr_fields (integer attr_cols, FIXTURES.md §3.13); "
+            f"this index carries {getattr(built, 'num_attr_fields', ())!r}"
+        )
+    match = _index_match_scored(built, parsed, source_df, tombstones)
+    pref = f"{ATTR_TERM_PREFIX}{sort_field}:"
+    rows = built.index_df.filter(F.col("term").startswith(pref))
+    vals = seg.decode_postings(rows, include_attrs=True).select(
+        "doc_id",
+        _num_attr_decode_col(
+            F.col("term").substr(F.lit(len(pref) + 1), F.lit(2**30))
+        ).alias("sort_value"),
+    )
+    joined = match.join(vals, "doc_id")
+    order = [
+        F.asc("sort_value") if ascending else F.desc("sort_value"),
+        F.asc("doc_id"),
+    ]
+    out = joined.select("doc_id", "sort_value", "score").orderBy(*order)
+    if offset:
+        out = out.offset(offset)
+    return out.limit(k)
+
+
+def more_like_this(
+    built,
+    doc_id: int,
+    source_df: DataFrame,
+    m: int = 5,
+    k: int = DEFAULT_TOP_K,
+    text_col: str = "text",
+    variant: str = "base",
+    tombstones: DataFrame | None = None,
+) -> DataFrame:
+    """More-like-this (round-6, FIXTURES.md §3.16): find documents
+    similar to a seed doc -> (doc_id, score) top-k, seed excluded.
+
+    FROZEN semantics: seed terms = the seed doc's top-``m`` DISTINCT
+    analyzed terms ranked by their BM25 weight in the seed itself,
+    ``w(t, seed)`` with the collection idf (ties: term ASC — a total
+    order); the result is the ordinary OR query over those terms
+    (§3.2 scoring) with the seed dropped from the result set.
+
+    Scale shape (the Lucene MLT topology): driver-side work is O(dl) —
+    ONE pushed doc_id lookup fetches the seed text (at 10^12 docs the
+    source is id-partitioned, so this is a point read, never a scan),
+    the seed is re-analyzed in-process (the same A3 chain as query
+    analysis), and per-term df for its <= dl distinct terms comes back
+    through the ordinary bucket-pruned dictionary scan. The actual
+    search is the unmodified OR engine path — WAND pruning included —
+    asking for k+1 and dropping the seed (exact: the top-k excluding
+    one known doc is the top-(k+1) minus that doc, truncated).
+    """
+    import collections
+
+    from xsearch_spark.functions.tokenize import tokenize_query
+
+    rows0 = (
+        source_df.filter(F.col("doc_id") == int(doc_id))
+        .select(text_col)
+        .collect()
+    )
+    if not rows0:
+        raise ValueError(f"more_like_this: doc_id {doc_id} not in source")
+    toks = tokenize_query(rows0[0][0], variant)
+    tf = collections.Counter(toks)
+    dl = len(toks)
+    if not tf:
+        return source_df.sparkSession.createDataFrame(
+            [], "doc_id long, score double"
+        )
+    terms = sorted(tf)
+    scan = pruned_index_scan(built.index_df, terms, built.num_buckets)
+    if "df" in scan.columns:
+        dfs = {
+            r["term"]: int(r["df"])
+            for r in scan.select("term", "df").distinct().collect()
+        }
+    else:  # pre-v4 fallback: driver dictionary
+        dfs = built.df_of(terms)
+    n_docs, avgdl = built.n_docs, built.avgdl
+    denom_base = K1 * (1.0 - B + B * dl / avgdl)
+    w = {
+        t: idf_py(n_docs, dfs[t])
+        * tf[t]
+        * (K1 + 1.0)
+        / (tf[t] + denom_base)
+        for t in dfs
+    }
+    seed_terms = tuple(sorted(w, key=lambda t: (-w[t], t))[:m])
+    if not seed_terms:
+        return source_df.sparkSession.createDataFrame(
+            [], "doc_id long, score double"
+        )
+    parsed = ParsedQuery(terms=seed_terms, connective="OR")
+    topk1 = search_wand(
+        built, parsed, k=k + 1, source_df=source_df, tombstones=tombstones
+    )
+    return (
+        topk1.filter(F.col("doc_id") != int(doc_id))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
     )
 
 

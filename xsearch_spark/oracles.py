@@ -63,6 +63,20 @@ def _doc_attr_filters(
             f" AND tf.doc_id IN (SELECT doc_id FROM {table_expr} "
             f"WHERE {pred})"
         )
+    for fld, lo, hi in getattr(parsed, "ranges", ()):
+        # numeric range filters (round-6 §3.13): plain comparisons over
+        # the source column — the declarative twin of the engine's
+        # encoded term-interval scan
+        conds = []
+        if lo is not None:
+            conds.append(f"{fld} >= {int(lo)}")
+        if hi is not None:
+            conds.append(f"{fld} <= {int(hi)}")
+        pred = " AND ".join(conds) or "TRUE"
+        out += (
+            f" AND tf.doc_id IN (SELECT doc_id FROM {table_expr} "
+            f"WHERE {pred})"
+        )
     return out
 
 
@@ -191,7 +205,7 @@ def bm25_code_sql(
     if _no_positive(parsed):
         return "SELECT doc_id, 0.0::DOUBLE AS score FROM documents WHERE false"
     idf = idf_sql("s.n", "tdf.df")
-    w = bm25_weight_sql(idf, "tf.tf", "dl.dl", "s.avgdl")
+    w = _boosted_w_sql(bm25_weight_sql(idf, "tf.tf", "dl.dl", "s.avgdl"), parsed)
     having = _having_sql(parsed)
     lang_filter = _doc_attr_filters(parsed, table_expr)
     not_filter = _not_filter_sql(parsed)
@@ -237,6 +251,20 @@ def collection_stats_sql(table: str = "documents", text_col: str = "text") -> st
 WITH dl AS (SELECT len(list_filter(string_split_regex(lower({text_col}), {rgx}), x -> x <> '')) AS dl FROM {table})
 SELECT count(*) AS n_docs, round(sum(dl)::DOUBLE / count(*), {R}) AS avgdl FROM dl
 """
+
+
+def _boosted_w_sql(w: str, parsed: ParsedQuery) -> str:
+    """Per-term boosts (round-6, FIXTURES.md §3.15): multiply the BM25
+    weight by the term's declared factor (last declaration of a
+    repeated term wins, matching plans.query.boost_of)."""
+    boosts = dict(getattr(parsed, "boosts", ()))
+    if not boosts:
+        return w
+    cases = " ".join(
+        f"WHEN tf.term = {_sql_quote(t)} THEN {b!r}"
+        for t, b in boosts.items()
+    )
+    return f"({w}) * (CASE {cases} ELSE 1.0 END)"
 
 
 def _lev_pred_sql(col: str, body: str) -> str:
@@ -329,6 +357,7 @@ def _match_ctes(
     set instead."""
     idf = idf_sql("s.n", "tdf.df")
     w = bm25_weight_sql(idf, "tf.tf", "dl.dl", "s.avgdl")
+    w = _boosted_w_sql(w, parsed)
     having = _having_sql(parsed)
     lang_filter = _doc_attr_filters(parsed, table, array_fields)
     not_filter = _not_filter_sql(parsed)
@@ -486,6 +515,77 @@ def _phrase_sql(parsed: ParsedQuery, table: str) -> tuple[str, str]:
         f"lower(text), {rgx}), x -> x <> '') AS t FROM {table})"
     )
     return pred, cte
+
+
+def sorted_sql(
+    parsed: ParsedQuery,
+    sort_field: str,
+    ascending: bool = False,
+    k: int = 10,
+    offset: int = 0,
+    table: str = "documents",
+    extra_doc_pred: str | None = None,
+    array_fields: tuple[str, ...] = (),
+) -> str:
+    """Sort-by-field + pagination oracle (round-6, FIXTURES.md §3.14):
+    the FULL match set ordered (sort_field ASC|DESC, doc_id ASC), rows
+    [offset, offset+k) — the declarative twin of ``wand.search_sorted``.
+    Shares ``_match_ctes`` (one source of match truth); NULL-valued
+    docs drop out."""
+    if _no_positive(parsed):
+        return (
+            "SELECT doc_id, 0::BIGINT AS sort_value, 0.0::DOUBLE AS score "
+            f"FROM {table} WHERE false"
+        )
+    ctes = _match_ctes(parsed, table, extra_doc_pred, array_fields)
+    direction = "ASC" if ascending else "DESC"
+    return f"""
+WITH {ctes}
+SELECT m.doc_id, d.{sort_field}::BIGINT AS sort_value,
+       round(m.raw_score, {R}) AS score
+FROM scored m JOIN {table} d USING (doc_id)
+WHERE d.{sort_field} IS NOT NULL
+ORDER BY sort_value {direction}, m.doc_id ASC
+LIMIT {k} OFFSET {offset}
+"""
+
+
+def more_like_this_sql(
+    doc_id: int,
+    m: int = 5,
+    k: int = 10,
+    table: str = "documents",
+    extra_doc_pred: str | None = None,
+) -> str:
+    """More-like-this oracle (round-6, FIXTURES.md §3.16), fully
+    declarative: seed terms = the seed doc's top-m distinct terms by
+    their own BM25 weight (collection idf; ties term ASC), result =
+    the OR query over them minus the seed doc."""
+    idf = idf_sql("s.n", "tdf.df")
+    w = bm25_weight_sql(idf, "tf.tf", "dl.dl", "s.avgdl")
+    extra = f"AND ({extra_doc_pred})" if extra_doc_pred else ""
+    return f"""
+WITH {corpus_ctes(table)},
+seed AS (
+  SELECT tf.term, {w} AS w
+  FROM tf JOIN tdf USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  WHERE tf.doc_id = {int(doc_id)}
+),
+top_terms AS (SELECT term FROM seed ORDER BY w DESC, term ASC LIMIT {int(m)}),
+w2 AS (
+  SELECT tf.doc_id, {w} AS w
+  FROM tf JOIN tdf USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  WHERE tf.term IN (SELECT term FROM top_terms)
+    AND tf.doc_id <> {int(doc_id)} {extra}
+),
+scored AS (SELECT doc_id, sum(w) AS raw_score FROM w2 GROUP BY doc_id)
+SELECT doc_id, round(raw_score, {R}) AS score
+FROM scored ORDER BY raw_score DESC, doc_id ASC LIMIT {int(k)}
+"""
 
 
 def suggest_sql(prefix: str, n: int = 10, table: str = "documents") -> str:

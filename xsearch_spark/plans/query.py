@@ -90,6 +90,9 @@ _PREFIX_BODY_RE = re.compile(r"[a-z0-9_]+\Z")
 # a fuzzy token is body~[N] with the same single-term body shape; the
 # distance digits are validated separately (only 0/absent/1 are legal)
 _FUZZY_TOKEN_RE = re.compile(r"(?P<body>[a-z0-9_]+)~(?P<d>\d*)\Z")
+# a boost token is term^N[.M] (round-6, FIXTURES.md §3.15): the term's
+# BM25 weight is multiplied by N.M in the per-doc sum
+_BOOST_TOKEN_RE = re.compile(r"(?P<body>[a-z0-9_]+)\^(?P<b>\d+(?:\.\d+)?)\Z")
 # numeric range filter values (round-6, FIXTURES.md §3.13):
 # `field:>=N` / `field:>N` / `field:<=N` / `field:<N` / `field:lo..hi`
 _RANGE_CMP_RE = re.compile(r"(?P<op>>=|>|<=|<)(?P<n>-?\d+)\Z")
@@ -131,12 +134,27 @@ class ParsedQuery:
     ranges: tuple[tuple[str, int | None, int | None], ...] = field(
         default_factory=tuple
     )
+    # per-term boosts (round-6, FIXTURES.md §3.15): term -> multiplier
+    # applied to the term's BM25 weight in the per-doc sum; terms absent
+    # here have boost 1.0. Connective/match semantics are unchanged —
+    # boost only scales the score contribution.
+    boosts: tuple[tuple[str, float], ...] = field(default_factory=tuple)
 
 
 def phrase_slop(parsed: "ParsedQuery", i: int) -> int:
     """Slop of phrase ``i`` under the empty-means-all-zero convention."""
     slops = getattr(parsed, "phrase_slops", ())
     return slops[i] if i < len(slops) else 0
+
+
+def boost_of(parsed: "ParsedQuery", term: str) -> float:
+    """The term's boost multiplier (1.0 when unboosted; last declaration
+    wins — FIXTURES.md §3.15)."""
+    out = 1.0
+    for t, b in getattr(parsed, "boosts", ()):
+        if t == term:
+            out = b
+    return out
 
 
 def parse(
@@ -161,6 +179,7 @@ def parse(
     fuzzies: list[str] = []
     exclude_fuzzies: list[str] = []
     ranges: list[tuple[str, int | None, int | None]] = []
+    boosts: list[tuple[str, float]] = []
     fields = set(attr_fields)
 
     def _take_phrase(m: "re.Match[str]") -> str:
@@ -239,6 +258,19 @@ def parse(
                 f"is exactly enumerable over the term alphabet "
                 f"(FIXTURES.md §3.12)"
             )
+        bm = _BOOST_TOKEN_RE.fullmatch(body.lower())
+        if bm is not None:
+            # §3.15: term^N — the body's analyzed terms join the query
+            # normally with their weights multiplied by N (boost on an
+            # exclusion is meaningless and ignored: the doc is dropped)
+            b = float(bm.group("b"))
+            for term in tokenize_query(bm.group("body"), variant):
+                target = exclude if neg else include
+                if term not in target:
+                    target.append(term)
+                if not neg:
+                    boosts.append((term, b))
+            continue
         if body.endswith("*"):
             pre = body[:-1].lower()
             if _PREFIX_BODY_RE.fullmatch(pre):
@@ -268,4 +300,5 @@ def parse(
         fuzzies=tuple(fuzzies),
         exclude_fuzzies=tuple(exclude_fuzzies),
         ranges=tuple(ranges),
+        boosts=tuple(boosts),
     )
