@@ -307,6 +307,12 @@ _BATCH_ONLY = frozenset(
         # engine path against the CASE-multiplied oracle)
         "bm25_fuzzy",
         "bm25_boost",
+        # round-6 demotion for the stats/histogram/search_after slots:
+        # the naive-path phrase shape — the phrase surface keeps two
+        # gated slots on the engine paths (bm25_wand_phrase,
+        # bm25_rel_phrase_lang) and this query still runs inside both
+        # gated batch entries
+        "bm25_phrase",
     }
 )
 
@@ -371,6 +377,21 @@ def _q_search_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     return highlight_matches(topk, src, parsed.terms, text_col="text", context=30)
 
 
+def _q_spell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did-you-mean (round-6, FIXTURES.md §3.18): top-n vocabulary
+    terms within Levenshtein distance 1 of a misspelled input, ranked
+    by the global df carried on every v4+ index row
+    (wand.spell_suggest) — the "did you mean …?" surface. The probe is
+    the bucket-pruned exact-term IN scan over the SAME closed-form d=1
+    neighborhood fuzzy queries expand; the oracle states membership as
+    a plain levenshtein predicate over the corpus vocabulary, so this
+    gate also re-verifies the enumeration's completeness."""
+    from xsearch_spark.operators.wand import spell_suggest
+
+    built = _index(spark, sf_dir)
+    return spell_suggest(built, "sow", 5)
+
+
 def _q_term_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dictionary completion (round-6, FIXTURES.md §3.11): top-n
     vocabulary terms under a prefix by global df, read collect-free
@@ -410,6 +431,60 @@ def _q_search_sorted_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     built = _index(spark, sf_dir)
     parsed = parse("hash OR join n_chars:>=150", attr_fields=_ATTR_FIELDS)
     out = search_sorted(built, parsed, "n_chars", ascending=False, k=10, offset=5)
+    return out.select(
+        "doc_id",
+        "sort_value",
+        F.round(F.col("score"), SCORE_ROUND_DECIMALS).alias("score"),
+    )
+
+
+def _q_search_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.17 (round-6): numeric-field statistics over the FULL match
+    set — count/min/max/sum/avg of n_chars across the docs matching an
+    OR query with a lang attr filter, entirely index-side (match truth
+    from _index_match_scored, values decoded from the
+    order-preserving-encoded attr postings). Oracle: oracles.stats_sql
+    over the shared _match_ctes (plain aggregates on the source
+    column)."""
+    from xsearch_spark.operators.wand import field_stats
+
+    built = _index(spark, sf_dir)
+    parsed = parse("hash OR join lang:en", attr_fields=_ATTR_FIELDS)
+    return field_stats(built, parsed, "n_chars")
+
+
+def _q_search_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.17 (round-6): fixed-interval histogram over the FULL match
+    set — n_chars bucketed to multiples of 100 across the docs matching
+    an OR + prefix-group + exclusion query, index-only like facets.
+    Bucket floor is exact int64 arithmetic on BOTH sides (engine
+    v - pmod(v, i); oracle v - ((v % i + i) % i)) so boundaries agree
+    everywhere including negatives. Oracle: oracles.histogram_sql."""
+    from xsearch_spark.operators.wand import facet_histogram
+
+    built = _index(spark, sf_dir)
+    return facet_histogram(built, parse("hash OR d* -join"), "n_chars", 100)
+
+
+def _q_search_after_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.14 (round-6): CURSOR pagination — page 1 (k=5, ascending
+    n_chars) is collected driver-side (O(k), like MLT's seed read) and
+    its last row becomes the `after` cursor for page 2 (k=10). The
+    oracle states the same rows as LIMIT 10 OFFSET 5 of the total
+    order: cursor-walking == offset paging IS the frozen semantic, and
+    engine-side the cursor additionally bounds the encoded attr-term
+    scan (deep paging without the O(offset) heap). The query stacks a
+    range filter and sorts ASCENDING (the offset entry sorts DESC), so
+    both directions stay driver-gated."""
+    from xsearch_spark.operators.wand import search_sorted
+
+    built = _index(spark, sf_dir)
+    parsed = parse("hash OR join n_chars:>=150", attr_fields=_ATTR_FIELDS)
+    page1 = search_sorted(built, parsed, "n_chars", ascending=True, k=5).collect()
+    cursor = (page1[-1]["sort_value"], page1[-1]["doc_id"])
+    out = search_sorted(
+        built, parsed, "n_chars", ascending=True, k=10, after=cursor
+    )
     return out.select(
         "doc_id",
         "sort_value",
@@ -814,9 +889,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # slots — N and avgdl sit in EVERY bm25 weight denominator, so any
     # stats error breaks every gated score hash (same argument as the
     # doc_len demotion); the scalar pair stays exact-value parity-swept
+    # round-6: term_df demoted to extras for the stats/histogram/
+    # search_after slots — the per-term global df sits in EVERY gated
+    # bm25 weight's idf numerator (same argument as the collection_stats
+    # and doc_len demotions); it stays exact-value parity-swept
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "tokens_tf": _q_tf,
-        "term_df": _q_df,
         "topk_fetch": _q_topk_fetch,
     }
     for name, qstr in _QUERY_SET.items():
@@ -834,20 +912,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "search_facets": _q_search_facets,
             "search_count": _q_search_count,
             "search_sorted_page": _q_search_sorted_page,
+            "search_after_page": _q_search_after_page,
+            "search_stats": _q_search_stats,
+            "search_histogram": _q_search_histogram,
             "more_like_this": _q_more_like_this,
             "term_suggest": _q_term_suggest,
+            "spell_suggest": _q_spell_suggest,
             "bm25_batch": _q_bm25_batch,
             "bm25_batch_tombstone": _q_bm25_batch_tombstone,
             # round-6: tombstone_filtered_topk (rel-path anti-join)
             # demoted to extras for the more_like_this slot — S5 stays
-            # driver-gated via tombstone_wand_topk, bm25_batch_tombstone
-            # and ann_ivf_tombstone
-            "tombstone_wand_topk": _q_tombstone_wand,
+            # driver-gated via bm25_batch_tombstone (same WAND scorer
+            # path with tombstones) and ann_ivf_tombstone
             "tokens_tf_cjk": _q_tf_cjk,
             "content_sha256_invariant": _q_sha256_invariant,
             "dedup_minhash_sigs": _q_minhash,
             "dedup_lsh_pairs": _q_lsh_pairs,
-            "dedup_ngram_jaccard": _q_ngram_jaccard,
             "dedup_near_clusters": _q_near_dup_clusters,
             "dedup_simhash": _q_simhash,
             "dedup_exact_keep": _q_dedup_keep,
@@ -914,6 +994,18 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-6 demotion for the more_like_this slot (S5 rel-path
         # anti-join; the wand/batch/ann tombstone surfaces keep slots)
         "tombstone_filtered_topk": _q_tombstone_topk,
+        # round-6 demotions for the stats/histogram/search_after slots:
+        # the per-term df gate (every gated bm25 hash carries df in its
+        # idf numerator) and the individual wand-tombstone shape (S5 on
+        # the WAND scorer stays gated via bm25_batch_tombstone, which
+        # drives the same path with the same tombstone set)
+        "term_df": _q_df,
+        "tombstone_wand_topk": _q_tombstone_wand,
+        # round-6 demotion for the spell_suggest slot: the pair-
+        # restricted shingle-join verification stays exercised inside
+        # the gated dedup_near_clusters (its recursive-closure oracle
+        # embeds the same jaccard threshold over the same LSH pairs)
+        "dedup_ngram_jaccard": _q_ngram_jaccard,
     }
     for name in sorted(_BATCH_ONLY):
         q[name] = _make_bm25_query(_QUERY_SET[name])
@@ -951,6 +1043,11 @@ WHERE rn = 1
         "tombstone_filtered_topk": oracles.bm25_sql(
             parse("hash join"), extra_doc_pred="tf.doc_id % 7 <> 0"
         ),
+        "term_df": oracles.df_sql(),
+        "tombstone_wand_topk": oracles.bm25_sql(
+            parse("hash OR join OR scan"), extra_doc_pred="tf.doc_id % 7 <> 0"
+        ),
+        "dedup_ngram_jaccard": op.ngram_jaccard_sql(16, 4, 3),
     }
     for name in sorted(_BATCH_ONLY):
         o[name] = oracles.bm25_sql(parse(_QUERY_SET[name]))
@@ -979,11 +1076,9 @@ def oracle_sql() -> dict[str, str]:
 
     o: dict[str, str] = {
         "tokens_tf": oracles.tf_sql(),
-        "term_df": oracles.df_sql(),
         "topk_fetch": oracles.bm25_fetch_sql(parse("hash join"), ["lang", "source"]),
         "dedup_minhash_sigs": op.minhash_sql(16),
         "dedup_lsh_pairs": op.lsh_pairs_sql(16, 4),
-        "dedup_ngram_jaccard": op.ngram_jaccard_sql(16, 4, 3),
         "dedup_near_clusters": op.near_dup_clusters_sql(16, 4, 3, 0.3),
         "dedup_simhash": op.simhash_sql(),
         "ann_cosine_topk": op.cosine_topk_sql(0, 10),
@@ -1013,9 +1108,6 @@ WHERE f.quality >= 0.5
         ),
         "content_sha256_invariant": op.content_sha256_sql(),
         "more_like_this": oracles.more_like_this_sql(0, m=5),
-        "tombstone_wand_topk": oracles.bm25_sql(
-            parse("hash OR join OR scan"), extra_doc_pred="tf.doc_id % 7 <> 0"
-        ),
         "search_highlight": oracles.highlight_sql(parse("hash join spark")),
         "search_facets": oracles.facet_sql(parse("hash OR join"), "lang"),
         "search_count": oracles.match_count_sql(parse("hash OR d* -join")),
@@ -1026,7 +1118,24 @@ WHERE f.quality >= 0.5
             k=10,
             offset=5,
         ),
+        # search_after_page's oracle IS offset paging: the cursor (last
+        # row of the ascending k=5 page 1) positions page 2 at exactly
+        # rows [5, 15) of the total order — LIMIT 10 OFFSET 5
+        "search_after_page": oracles.sorted_sql(
+            parse("hash OR join n_chars:>=150", attr_fields=_ATTR_FIELDS),
+            "n_chars",
+            ascending=True,
+            k=10,
+            offset=5,
+        ),
+        "search_stats": oracles.stats_sql(
+            parse("hash OR join lang:en", attr_fields=_ATTR_FIELDS), "n_chars"
+        ),
+        "search_histogram": oracles.histogram_sql(
+            parse("hash OR d* -join"), "n_chars", 100
+        ),
         "term_suggest": oracles.suggest_sql("s", 4),
+        "spell_suggest": oracles.spell_sql("sow", 5),
         "ann_ivf_topk": op.ivf_topk_sql(0, 10, 8, 2),
         "ann_ivf_tombstone": op.ivf_topk_sql(
             0, 10, 8, 2, extra_vec_pred="e.vec_id % 7 <> 3"

@@ -335,6 +335,82 @@ def main() -> None:
         "heap — no source scan, no full sort at any match-set size.",
     ))
 
+    # 5e5. cursor pagination (round-6 §3.14 search_after): the cursor
+    # bounds the encoded attr-term scan itself (order preservation at
+    # work) — deep pages skip the already-walked value range at the
+    # parquet row-group level and the heap stays k-deep
+    sa_plan = plan_of(
+        search_sorted(
+            built,
+            parse("hash OR join", attr_fields=AF),
+            "n_chars",
+            ascending=False,
+            k=10,
+            after=(300, 0),
+        )
+    )
+    assert "documents.parquet" not in sa_plan, (
+        "cursor page scans the source table"
+    )
+    assert "LessThanOrEqual(term," in sa_plan, (
+        "descending cursor does not push an encoded-term upper bound "
+        "into the attr scan — deep paging degenerates to a full value "
+        "sweep per page"
+    )
+    assert "TakeOrderedAndProject" in sa_plan, (
+        "cursor page does not plan as TakeOrderedAndProject"
+    )
+    sections.append((
+        "Cursor page (§3.14 search_after) — pushed value bound, k-deep heap",
+        sa_plan,
+        ["LessThanOrEqual(term,", "TakeOrderedAndProject"],
+        "The cursor value becomes a pushed comparison on the "
+        "order-preserving-encoded attr terms, so each deeper page READS "
+        "less (row-group min/max prune the walked range) and the "
+        "TakeOrdered heap stays k-deep — offset paging's offset+k heap "
+        "and full-range scan are gone.",
+    ))
+
+    # 5e6. match-set aggregations (round-6 §3.17): stats and histogram
+    # are index-only like facets — values from the numeric attr
+    # postings, no source scan, no positional bytes, one partial-agg
+    from xsearch_spark.operators.wand import facet_histogram, field_stats
+
+    st_plan = plan_of(
+        field_stats(built, parse("hash OR join", attr_fields=AF), "n_chars")
+    )
+    assert "documents.parquet" not in st_plan, (
+        "field_stats scans the source table — values must come from "
+        "the encoded attr postings"
+    )
+    assert "poss" not in st_plan, "non-phrase stats plan reads poss"
+    sections.append((
+        "Field stats over the match set (§3.17 — index-only)",
+        st_plan,
+        ["HashAggregate"],
+        "min/max/sum/avg/count decode from the field's encoded attr "
+        "postings joined to the shared match set — posting-list-sized "
+        "inputs, a single partial-agg reduce, no source scan.",
+    ))
+
+    hg_plan = plan_of(
+        facet_histogram(
+            built, parse("hash OR join", attr_fields=AF), "n_chars", 100
+        )
+    )
+    assert "documents.parquet" not in hg_plan, (
+        "histogram scans the source table"
+    )
+    assert "poss" not in hg_plan, "non-phrase histogram plan reads poss"
+    sections.append((
+        "Fixed-interval histogram (§3.17 — index-only, exact int floors)",
+        hg_plan,
+        ["HashAggregate", "pmod"],
+        "Buckets are exact int64 arithmetic (v - pmod(v, interval)) on "
+        "the decoded attr values — whole-stage-codegen'd, no float "
+        "division, one partial-agg count per bucket.",
+    ))
+
     # 5f. dictionary completion (round-6 §3.11): suggest is one
     # startswith-pushed scan + distinct over the matched dictionary
     # slice — the full vocabulary is never collected or aggregated

@@ -1,0 +1,235 @@
+"""Round-6 numeric aggregations over the match set (FIXTURES.md §3.17:
+field_stats + facet_histogram) and cursor pagination (§3.14
+search_after): oracle parity, page-walk == offset-paging equivalence,
+exact-int bucket floors across negatives, composition with filters and
+tombstones, and fail-fast guards."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from xsearch_spark import oracles
+from xsearch_spark.operators.wand import (
+    facet_histogram,
+    field_stats,
+    search_sorted,
+)
+from xsearch_spark.plans.build_index import build_index
+from xsearch_spark.plans.query import parse
+from xsearch_spark.sources.io import read_documents
+
+AF = ("lang", "source", "n_chars")
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("aggs_index"))
+    bi = build_index(
+        spark,
+        read_documents(spark, SF_DIR),
+        out,
+        text_col="text",
+        variant="base",
+        docs_per_segment=128,
+        segs_per_shard=2,
+        num_buckets=16,
+        attr_cols=AF,
+        positions=True,
+    )
+    yield bi
+    shutil.rmtree(out, ignore_errors=True)
+
+
+STATS_QUERIES = [
+    "hash OR join",
+    "hash lang:en",  # attr filter composes
+    "s* -dup n_chars:150..900",  # prefix + NOT + range compose
+    "hash n_chars:9000..9999",  # empty match set
+]
+
+
+@pytest.mark.parametrize("q", STATS_QUERIES)
+def test_field_stats_matches_oracle(spark, built, duck, q):
+    parsed = parse(q, attr_fields=AF)
+    got = field_stats(built, parsed, "n_chars").collect()[0]
+    want = duck.execute(oracles.stats_sql(parsed, "n_chars")).fetchone()
+    assert got["n_docs"] == want[0], q
+    if want[0] == 0:
+        assert got["min_value"] is None and got["sum_value"] is None
+    else:
+        assert (got["min_value"], got["max_value"], got["sum_value"]) == (
+            want[1],
+            want[2],
+            want[3],
+        ), q
+        assert abs(got["avg_value"] - float(want[4])) < 1e-9, q
+
+
+@pytest.mark.parametrize("q,interval", [
+    ("hash OR join", 100),
+    ("hash lang:en", 250),
+    ("s* -dup n_chars:150..900", 64),  # non-decimal interval
+])
+def test_histogram_matches_oracle(spark, built, duck, q, interval):
+    parsed = parse(q, attr_fields=AF)
+    got = sorted(
+        (r["bucket"], r["n_docs"])
+        for r in facet_histogram(built, parsed, "n_chars", interval).collect()
+    )
+    want = sorted(
+        (int(r[0]), int(r[1]))
+        for r in duck.execute(
+            oracles.histogram_sql(parsed, "n_chars", interval)
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0, q
+
+
+def test_stats_histogram_respect_tombstones(spark, built, duck):
+    """Both aggregations ride _index_match_scored — the tombstone
+    anti-join must thin them exactly like every other surface."""
+    parsed = parse("hash OR join", attr_fields=AF)
+    tombs = spark.range(0, 10**6, 7).select(F.col("id").alias("doc_id"))
+    pred = "tf.doc_id % 7 <> 0"
+    got = field_stats(built, parsed, "n_chars", tombstones=tombs).collect()[0]
+    want = duck.execute(
+        oracles.stats_sql(parsed, "n_chars", extra_doc_pred=pred)
+    ).fetchone()
+    assert (got["n_docs"], got["sum_value"]) == (want[0], want[3])
+    ghist = sorted(
+        (r["bucket"], r["n_docs"])
+        for r in facet_histogram(
+            built, parsed, "n_chars", 100, tombstones=tombs
+        ).collect()
+    )
+    whist = sorted(
+        (int(r[0]), int(r[1]))
+        for r in duck.execute(
+            oracles.histogram_sql(parsed, "n_chars", 100, extra_doc_pred=pred)
+        ).fetchall()
+    )
+    assert ghist == whist
+
+
+def test_histogram_negative_floor(spark, tmp_path):
+    """Bucket floor must be the largest multiple <= value for NEGATIVE
+    values too (exact int arithmetic, no float division): -1 at
+    interval 100 lands in bucket -100, not 0."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "text": ["alpha beta"] * 6,
+            "delta": [-250, -100, -1, 0, 99, 100],
+        }
+    )
+    out = str(tmp_path / "neg_hist_idx")
+    bi = build_index(
+        spark,
+        spark.createDataFrame(pdf),
+        out,
+        text_col="text",
+        docs_per_segment=4,
+        segs_per_shard=2,
+        num_buckets=4,
+        attr_cols=("delta",),
+    )
+    parsed = parse("alpha", attr_fields=("delta",))
+    got = dict(
+        (r["bucket"], r["n_docs"])
+        for r in facet_histogram(bi, parsed, "delta", 100).collect()
+    )
+    assert got == {-300: 1, -100: 2, 0: 2, 100: 1}
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_search_after_walk_equals_offset_pages(spark, built, duck):
+    """Walking the whole match set with search_after (cursor = last row
+    of the previous page) must reproduce the offset paging of the same
+    total order exactly, both directions — the frozen §3.14 semantic."""
+    parsed = parse("hash OR join", attr_fields=AF)
+    for asc in (False, True):
+        full = [
+            (int(r[0]), int(r[1]), float(r[2]))
+            for r in duck.execute(
+                oracles.sorted_sql(
+                    parsed, "n_chars", ascending=asc, k=10**6, offset=0
+                )
+            ).fetchall()
+        ]
+        assert len(full) > 12
+        walked: list[tuple[int, int, float]] = []
+        cursor = None
+        while True:
+            page = search_sorted(
+                built, parsed, "n_chars", ascending=asc, k=5, after=cursor
+            ).collect()
+            if not page:
+                break
+            walked.extend(
+                (r["doc_id"], r["sort_value"], round(r["score"], 6)) for r in page
+            )
+            cursor = (page[-1]["sort_value"], page[-1]["doc_id"])
+        assert [(d, v) for d, v, _ in walked] == [(d, v) for d, v, _ in full]
+        assert all(abs(a[2] - round(b[2], 6)) < 1e-9 for a, b in zip(walked, full))
+
+
+def test_search_after_matches_offset_oracle(spark, built, duck):
+    """One cursor page == the equivalent LIMIT/OFFSET oracle rows (the
+    driver-gate shape): page 2 after an ascending k=5 page 1."""
+    parsed = parse("hash OR join n_chars:>=150", attr_fields=AF)
+    p1 = search_sorted(built, parsed, "n_chars", ascending=True, k=5).collect()
+    cur = (p1[-1]["sort_value"], p1[-1]["doc_id"])
+    got = [
+        (r["doc_id"], r["sort_value"])
+        for r in search_sorted(
+            built, parsed, "n_chars", ascending=True, k=10, after=cur
+        ).collect()
+    ]
+    want = [
+        (int(r[0]), int(r[1]))
+        for r in duck.execute(
+            oracles.sorted_sql(parsed, "n_chars", ascending=True, k=10, offset=5)
+        ).fetchall()
+    ]
+    assert got == want and len(got) == 10
+
+
+def test_after_cursor_bounds_the_attr_scan(spark, built):
+    """The cursor must push an encoded-term bound into the attr-postings
+    scan (the deep-paging lever): the physical plan's PushedFilters for
+    a descending cursor page carries a LessThanOrEqual on term."""
+    parsed = parse("hash OR join", attr_fields=AF)
+    plan = search_sorted(
+        built, parsed, "n_chars", ascending=False, k=5, after=(300, 0)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "LessThanOrEqual(term," in plan
+    plan_asc = search_sorted(
+        built, parsed, "n_chars", ascending=True, k=5, after=(300, 0)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThanOrEqual(term," in plan_asc
+
+
+def test_agg_guards_raise(spark, built):
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        search_sorted(
+            built, parse("hash", attr_fields=AF), "n_chars",
+            offset=5, after=(1, 2),
+        )
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        oracles.sorted_sql(
+            parse("hash", attr_fields=AF), "n_chars", offset=5, after=(1, 2)
+        )
+    with pytest.raises(ValueError, match="num_attr_fields"):
+        field_stats(built, parse("hash", attr_fields=AF), "lang")
+    with pytest.raises(ValueError, match="num_attr_fields"):
+        facet_histogram(built, parse("hash", attr_fields=AF), "source", 10)
+    with pytest.raises(ValueError, match="positive int"):
+        facet_histogram(built, parse("hash", attr_fields=AF), "n_chars", 0)
+    with pytest.raises(ValueError, match="positive int"):
+        oracles.histogram_sql(parse("hash", attr_fields=AF), "n_chars", -5)

@@ -70,8 +70,11 @@ def test_registry_fits_driver_cap():
         f"{list(q)[entrymod.DRIVER_ENTRY_CAP:]}"
     )
     # every distinct engine surface must hold a driver-gated slot
+    # (bm25_phrase moved to _BATCH_ONLY for the §3.17 slots: the naive
+    # phrase shape still runs inside both gated batch entries while the
+    # engine-path phrase surfaces keep individual slots)
     for must in [
-        "bm25_phrase", "bm25_wand_phrase", "bm25_rel_phrase_lang",
+        "bm25_wand_phrase", "bm25_rel_phrase_lang",
         "bm25_rel_source_not", "bm25_wand_subtoken_code",
         "bm25_wand_compound_code", "bm25_wand_code_lang",
         "bm25_wand_single_hot", "bm25_batch", "bm25_batch_tombstone",
@@ -87,6 +90,10 @@ def test_registry_fits_driver_cap():
         "bm25_wand_range", "search_sorted_page",
         # more-like-this (§3.16)
         "more_like_this",
+        # cursor pagination + match-set aggregations (§3.14/§3.17)
+        "search_after_page", "search_stats", "search_histogram",
+        # spell suggestion (§3.18)
+        "spell_suggest",
     ]:
         assert must in q, f"engine surface {must} lost its driver slot"
     # no overlap between the gated and extra registries

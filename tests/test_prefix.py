@@ -14,6 +14,7 @@ from xsearch_spark.operators.wand import (
     search_index_relational,
     search_wand,
     search_wand_batch,
+    spell_suggest,
     suggest_terms,
 )
 from xsearch_spark.plans.build_index import build_index
@@ -136,6 +137,27 @@ def test_suggest_invalid_prefix_raises(built):
     for bad in ("", "a b", "A-", "\x01lang"):
         with pytest.raises(ValueError, match="one term shape"):
             suggest_terms(built, bad)
+
+
+@pytest.mark.parametrize("body", ["sow", "joim", "hach", "the", "zzzz"])
+def test_spell_matches_oracle(built, duck, body):
+    """§3.18: the enumerated d<=1 probe must equal the declarative
+    levenshtein predicate over the corpus vocabulary — including the
+    d=0 self-match ('the') and the no-neighbor case ('zzzz')."""
+    got = [(r["term"], r["df"]) for r in spell_suggest(built, body, 5).collect()]
+    want = [tuple(r) for r in duck.execute(oracles.spell_sql(body, 5)).fetchall()]
+    assert got == want, body
+
+
+def test_spell_guards_raise(built):
+    import dataclasses
+
+    for bad in ("", "a b", "A-", "\x01lang", "x" * 65):
+        with pytest.raises(ValueError, match="one term shape"):
+            spell_suggest(built, bad)
+    legacy = dataclasses.replace(built, index_df=built.index_df.drop("df"))
+    with pytest.raises(ValueError, match="v4\\+ index"):
+        spell_suggest(legacy, "sow")
 
 
 def test_prefix_requires_df_rows_raises(built):

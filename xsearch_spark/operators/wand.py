@@ -1482,6 +1482,43 @@ def _num_attr_decode_col(col: "F.Column") -> "F.Column":
     ).cast("long")
 
 
+def _num_attr_values(
+    built,
+    field: str,
+    lo_term: str | None = None,
+    hi_term: str | None = None,
+) -> DataFrame:
+    """(doc_id, value) decoded from a numeric attr field's
+    order-preserving-encoded postings — ONE prefix-pruned index scan,
+    the source table never touched. ``lo_term``/``hi_term`` bound the
+    scan to an encoded-term interval (pushed to parquet, so row-group
+    min/max statistics prune by VALUE — the cursor-pagination and
+    range lever). Raises when the field is not a numeric attr of this
+    index (scalar-int by construction, so the (doc, value) relation is
+    1:1)."""
+    from xsearch_spark.constants import ATTR_TERM_PREFIX
+    from xsearch_spark.operators import segments as seg
+
+    if not getattr(built, "has_num_attr", lambda f: False)(field):
+        raise ValueError(
+            f"{field}: requires the field in the index's "
+            f"num_attr_fields (integer attr_cols, FIXTURES.md §3.13); "
+            f"this index carries {getattr(built, 'num_attr_fields', ())!r}"
+        )
+    pref = f"{ATTR_TERM_PREFIX}{field}:"
+    rows = built.index_df.filter(F.col("term").startswith(pref))
+    if lo_term is not None:
+        rows = rows.filter(F.col("term") >= lo_term)
+    if hi_term is not None:
+        rows = rows.filter(F.col("term") <= hi_term)
+    return seg.decode_postings(rows, include_attrs=True).select(
+        "doc_id",
+        _num_attr_decode_col(
+            F.col("term").substr(F.lit(len(pref) + 1), F.lit(2**30))
+        ).alias("value"),
+    )
+
+
 def search_sorted(
     built,
     parsed: ParsedQuery,
@@ -1489,6 +1526,7 @@ def search_sorted(
     ascending: bool = False,
     k: int = DEFAULT_TOP_K,
     offset: int = 0,
+    after: tuple[int, int] | None = None,
     source_df: DataFrame | None = None,
     tombstones: DataFrame | None = None,
 ) -> DataFrame:
@@ -1509,30 +1547,48 @@ def search_sorted(
     (build-time validation), so the value join is 1:1 and the total
     order is deterministic.
 
+    ``after=(value, doc_id)`` (§3.14, cursor pagination): return the k
+    rows strictly AFTER that cursor in the total order instead of an
+    offset page — walking pages via the previous page's last row is
+    exactly equivalent to offset paging (that equivalence IS the
+    oracle) but scale-correct for deep paging: the cursor bounds the
+    attr-postings scan itself (encoded term <= enc(value) descending /
+    >= ascending — order-preservation at work), so parquet row-group
+    min/max pruning skips the already-walked value range and the top-k
+    heap stays k-deep where an offset page needs offset+k. Mutually
+    exclusive with a non-zero offset.
+
     Scale shape: the values side is posting-list-bounded, the join is
     one shuffle (AQE broadcasts the smaller side), and the global cut
     plans as TakeOrderedAndProject with limit offset+k — per-partition
     heaps, never a full sort.
     """
-    from xsearch_spark.constants import ATTR_TERM_PREFIX
-    from xsearch_spark.operators import segments as seg
-
-    if not getattr(built, "has_num_attr", lambda f: False)(sort_field):
+    if after is not None and offset:
         raise ValueError(
-            f"{sort_field}: sort requires the field in the index's "
-            f"num_attr_fields (integer attr_cols, FIXTURES.md §3.13); "
-            f"this index carries {getattr(built, 'num_attr_fields', ())!r}"
+            "offset and after are mutually exclusive (FIXTURES.md §3.14): "
+            "a cursor page is already positioned"
         )
     match = _index_match_scored(built, parsed, source_df, tombstones)
-    pref = f"{ATTR_TERM_PREFIX}{sort_field}:"
-    rows = built.index_df.filter(F.col("term").startswith(pref))
-    vals = seg.decode_postings(rows, include_attrs=True).select(
-        "doc_id",
-        _num_attr_decode_col(
-            F.col("term").substr(F.lit(len(pref) + 1), F.lit(2**30))
-        ).alias("sort_value"),
+    lo_term = hi_term = None
+    if after is not None:
+        from xsearch_spark.constants import ATTR_TERM_PREFIX, num_attr_encode
+
+        bound = f"{ATTR_TERM_PREFIX}{sort_field}:{num_attr_encode(after[0])}"
+        if ascending:
+            lo_term = bound
+        else:
+            hi_term = bound
+    vals = _num_attr_values(built, sort_field, lo_term, hi_term).select(
+        "doc_id", F.col("value").alias("sort_value")
     )
     joined = match.join(vals, "doc_id")
+    if after is not None:
+        av, ad = after
+        sv = F.col("sort_value")
+        strict = sv > F.lit(av) if ascending else sv < F.lit(av)
+        joined = joined.filter(
+            strict | ((sv == F.lit(av)) & (F.col("doc_id") > F.lit(ad)))
+        )
     order = [
         F.asc("sort_value") if ascending else F.desc("sort_value"),
         F.asc("doc_id"),
@@ -1541,6 +1597,68 @@ def search_sorted(
     if offset:
         out = out.offset(offset)
     return out.limit(k)
+
+
+def field_stats(
+    built,
+    parsed: ParsedQuery,
+    field: str,
+    source_df: DataFrame | None = None,
+    tombstones: DataFrame | None = None,
+) -> DataFrame:
+    """Numeric-field statistics over the FULL match set (round-6,
+    FIXTURES.md §3.17) -> one (n_docs, min_value, max_value, sum_value,
+    avg_value) row — the result-page "price range / size stats"
+    aggregation. INDEX-ONLY like facets: values decode from the
+    numeric attr postings (one prefix-pruned scan), the match set is
+    the shared ``_index_match_scored`` truth, and the aggregate is a
+    partial-agg reduce — no top-k, no source fetch. Docs lacking the
+    field carry no attr posting and drop out (n_docs counts docs WITH
+    the field, consistent with facet/sort NULL semantics)."""
+    match = _index_match_scored(built, parsed, source_df, tombstones).select(
+        "doc_id"
+    )
+    vals = _num_attr_values(built, field)
+    return vals.join(match, "doc_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.sum("value").alias("sum_value"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+
+
+def facet_histogram(
+    built,
+    parsed: ParsedQuery,
+    field: str,
+    interval: int,
+    source_df: DataFrame | None = None,
+    tombstones: DataFrame | None = None,
+) -> DataFrame:
+    """Fixed-interval histogram over the FULL match set (round-6,
+    FIXTURES.md §3.17) -> (bucket, n_docs) with bucket = the largest
+    multiple of ``interval`` <= value (floor semantics for negatives
+    too, via exact int64 arithmetic — ``v - pmod(v, interval)`` — so
+    both sides agree at every boundary; no float division anywhere).
+    The numeric-facet twin of ``facet_counts``: same index-only shape
+    (one prefix-pruned attr scan + one doc_id join + a partial-agg
+    count), every query feature composes."""
+    if interval <= 0:
+        raise ValueError(f"interval must be a positive int, got {interval!r}")
+    match = _index_match_scored(built, parsed, source_df, tombstones).select(
+        "doc_id"
+    )
+    vals = _num_attr_values(built, field)
+    bucket = (
+        F.col("value") - F.pmod(F.col("value"), F.lit(interval))
+    ).alias("bucket")
+    return (
+        vals.join(match, "doc_id")
+        .select(bucket)
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
 
 
 def more_like_this(
@@ -1621,6 +1739,44 @@ def more_like_this(
         topk1.filter(F.col("doc_id") != int(doc_id))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
+    )
+
+
+def spell_suggest(built, body: str, n: int = 5) -> DataFrame:
+    """Did-you-mean (round-6, FIXTURES.md §3.18): the top-``n``
+    vocabulary terms within Levenshtein distance <= 1 of ``body`` by
+    global document frequency -> (term, df), ordered (df DESC,
+    term ASC) — the "did you mean …?" result-page surface (the exact
+    d=0 term is a candidate too, so a correctly-spelled input ranks
+    itself). The fuzzy-group mirror of ``suggest_terms``: candidates
+    are the SAME exact closed-form d<=1 neighborhood fuzzy queries
+    expand (``constants.fuzzy_candidates``), enumerated driver-side,
+    so the dictionary probe is the ordinary bucket-pruned exact-term
+    IN scan — zero Spark jobs to plan, no dictionary walk, no
+    startswith sweep at any vocabulary size; df rides every v4+ index
+    row. The DuckDB oracle states membership declaratively
+    (``levenshtein(term, body) <= 1`` over the corpus vocabulary),
+    independently verifying the enumeration is complete."""
+    from xsearch_spark.constants import MAX_FUZZY_LEN, fuzzy_candidates
+    from xsearch_spark.plans.query import _PREFIX_BODY_RE
+
+    if not _PREFIX_BODY_RE.fullmatch(body or "") or len(body) > MAX_FUZZY_LEN:
+        raise ValueError(
+            f"spell_suggest input must be one term shape [a-z0-9_]+ "
+            f"(<= {MAX_FUZZY_LEN} chars); got {body!r}"
+        )
+    rows = pruned_index_scan(
+        built.index_df, list(fuzzy_candidates(body)), built.num_buckets
+    )
+    if "df" not in rows.columns:
+        raise ValueError(
+            "spell_suggest requires a v4+ index (denormalized df rows)"
+        )
+    return (
+        rows.select("term", F.col("df").cast("long").alias("df"))
+        .distinct()
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(n)
     )
 
 

@@ -523,6 +523,7 @@ def sorted_sql(
     ascending: bool = False,
     k: int = 10,
     offset: int = 0,
+    after: tuple[int, int] | None = None,
     table: str = "documents",
     extra_doc_pred: str | None = None,
     array_fields: tuple[str, ...] = (),
@@ -531,7 +532,11 @@ def sorted_sql(
     the FULL match set ordered (sort_field ASC|DESC, doc_id ASC), rows
     [offset, offset+k) — the declarative twin of ``wand.search_sorted``.
     Shares ``_match_ctes`` (one source of match truth); NULL-valued
-    docs drop out."""
+    docs drop out. ``after=(value, doc_id)``: the k rows strictly after
+    that cursor in the total order (cursor pagination; mutually
+    exclusive with a non-zero offset, like the engine)."""
+    if after is not None and offset:
+        raise ValueError("offset and after are mutually exclusive")
     if _no_positive(parsed):
         return (
             "SELECT doc_id, 0::BIGINT AS sort_value, 0.0::DOUBLE AS score "
@@ -539,14 +544,84 @@ def sorted_sql(
         )
     ctes = _match_ctes(parsed, table, extra_doc_pred, array_fields)
     direction = "ASC" if ascending else "DESC"
+    cursor = ""
+    if after is not None:
+        av, ad = after
+        cmp = ">" if ascending else "<"
+        cursor = (
+            f"AND (d.{sort_field} {cmp} {av} "
+            f"OR (d.{sort_field} = {av} AND m.doc_id > {ad}))"
+        )
     return f"""
 WITH {ctes}
 SELECT m.doc_id, d.{sort_field}::BIGINT AS sort_value,
        round(m.raw_score, {R}) AS score
 FROM scored m JOIN {table} d USING (doc_id)
-WHERE d.{sort_field} IS NOT NULL
+WHERE d.{sort_field} IS NOT NULL {cursor}
 ORDER BY sort_value {direction}, m.doc_id ASC
 LIMIT {k} OFFSET {offset}
+"""
+
+
+def stats_sql(
+    parsed: ParsedQuery,
+    field: str,
+    table: str = "documents",
+    extra_doc_pred: str | None = None,
+    array_fields: tuple[str, ...] = (),
+) -> str:
+    """Numeric-field statistics oracle (round-6, FIXTURES.md §3.17):
+    one (n_docs, min_value, max_value, sum_value, avg_value) row over
+    the FULL match set — the declarative twin of ``wand.field_stats``.
+    Shares ``_match_ctes``; NULL-valued docs drop out (n_docs counts
+    docs WITH the field). sum over BIGINT returns HUGEINT in DuckDB —
+    cast back (CLAUDE.md invariant)."""
+    if _no_positive(parsed):
+        return (
+            "SELECT 0::BIGINT AS n_docs, NULL::BIGINT AS min_value, "
+            "NULL::BIGINT AS max_value, NULL::BIGINT AS sum_value, "
+            "NULL::DOUBLE AS avg_value"
+        )
+    ctes = _match_ctes(parsed, table, extra_doc_pred, array_fields)
+    return f"""
+WITH {ctes}
+SELECT count(*)::BIGINT AS n_docs,
+       min(d.{field})::BIGINT AS min_value,
+       max(d.{field})::BIGINT AS max_value,
+       sum(d.{field})::BIGINT AS sum_value,
+       round(avg(d.{field}), {R}) AS avg_value
+FROM scored m JOIN {table} d USING (doc_id)
+WHERE d.{field} IS NOT NULL
+"""
+
+
+def histogram_sql(
+    parsed: ParsedQuery,
+    field: str,
+    interval: int,
+    table: str = "documents",
+    extra_doc_pred: str | None = None,
+    array_fields: tuple[str, ...] = (),
+) -> str:
+    """Fixed-interval histogram oracle (round-6, FIXTURES.md §3.17):
+    (bucket, n_docs) over the FULL match set with bucket = the largest
+    multiple of ``interval`` <= value — floor semantics stated in exact
+    integer arithmetic (``v - ((v % i + i) % i)``, DuckDB % keeps the
+    dividend's sign) so both sides agree at every boundary including
+    negatives. Declarative twin of ``wand.facet_histogram``."""
+    if interval <= 0:
+        raise ValueError(f"interval must be a positive int, got {interval!r}")
+    if _no_positive(parsed):
+        return "SELECT 0::BIGINT AS bucket, 0::BIGINT AS n_docs WHERE false"
+    ctes = _match_ctes(parsed, table, extra_doc_pred, array_fields)
+    v = f"d.{field}"
+    return f"""
+WITH {ctes}
+SELECT ({v} - (({v} % {interval} + {interval}) % {interval}))::BIGINT AS bucket,
+       count(*)::BIGINT AS n_docs
+FROM scored m JOIN {table} d USING (doc_id)
+WHERE {v} IS NOT NULL
+GROUP BY 1
 """
 
 
@@ -600,6 +675,24 @@ tdf AS (SELECT term, count(*) AS df FROM
         (SELECT DISTINCT term, doc_id FROM tok) GROUP BY term)
 SELECT term, df::BIGINT AS df FROM tdf
 WHERE starts_with(term, {_sql_quote(prefix)})
+ORDER BY df DESC, term ASC LIMIT {n}
+"""
+
+
+def spell_sql(body: str, n: int = 5, table: str = "documents") -> str:
+    """Did-you-mean oracle (round-6, FIXTURES.md §3.18): the top-``n``
+    corpus vocabulary terms within Levenshtein distance <= 1 of
+    ``body`` by document frequency, (df DESC, term ASC) — the
+    declarative twin of ``wand.spell_suggest`` (same membership
+    predicate as fuzzy groups, so it also re-verifies the closed-form
+    neighborhood enumeration; df comes corpus-side, pinned equal to
+    the index-row df by the term_df parity sweep)."""
+    return f"""
+WITH {tokens_cte(table)},
+tdf AS (SELECT term, count(*) AS df FROM
+        (SELECT DISTINCT term, doc_id FROM tok) GROUP BY term)
+SELECT term, df::BIGINT AS df FROM tdf
+WHERE {_lev_pred_sql("term", body)}
 ORDER BY df DESC, term ASC LIMIT {n}
 """
 
