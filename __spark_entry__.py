@@ -118,16 +118,27 @@ _ATTR_QUERY_SET = {
     # at sf0.01 "hash join"~1 matches 55 docs vs 27 adjacent vs 322
     # unordered-AND, so the window filter is discriminative at the
     # driver's scale on both engine paths
+    # round-6: bm25_rel_proximity_lang demoted to extra_queries() for
+    # the boolean-group slot — the proximity surface keeps its engine-
+    # path gate (bm25_wand_proximity) and the rel-path ordered-window
+    # chain stays exact-value parity-swept in extras
     "bm25_wand_proximity": ('"hash join"~1 spark', "wand"),
-    "bm25_rel_proximity_lang": ('lang:en "scan merge"~2', "rel"),
+    # boolean OR-groups (round-6, FIXTURES.md §3.19): a two-member
+    # conjunct group + an exclusion group + a lang attr filter on the
+    # WAND path — group >= 1 enforcement, member scoring, exclusion
+    # union, and the attr intersection all on the one pruned scan
+    "bm25_wand_group": ("lang:en (hash OR join) -(dup OR slow)", "wand"),
     # prefix groups (round-6, FIXTURES.md §3.10): d* expands to
     # {data, dup} — dup's df (25) is ~16x rarer than data's, so the
     # expansion's per-term idf spread is discriminative; the rel entry
     # stacks a lang: filter with a six-term expansion (s*) and an
     # exclusion prefix. Both served index-only (the expansion comes
     # from the startswith-pushed dictionary scan, never the source)
+    # round-6: bm25_rel_prefix_not demoted to extra_queries() for the
+    # explain_score slot — the rel-path prefix machinery stays gated
+    # through search_count and search_histogram (both evaluate
+    # `hash OR d* -join` through _index_match_scored)
     "bm25_wand_prefix": ("d* join", "wand"),
-    "bm25_rel_prefix_not": ("lang:en s* -du*", "rel"),
     # fuzzy groups (round-6, FIXTURES.md §3.12): sow~1 expands to
     # {slow, row} in the documents vocabulary — a genuine two-member
     # d=1 neighborhood, served through the bucket-pruned exact-term
@@ -135,8 +146,10 @@ _ATTR_QUERY_SET = {
     # with an EXCLUSION neighborhood. The DuckDB oracle states
     # membership declaratively (levenshtein(term, body) <= 1), so these
     # rows also verify the engine's closed-form enumeration is complete
+    # round-6: bm25_rel_fuzzy_not demoted to extra_queries() for the
+    # min_match slot — fuzzy keeps its engine-path gate (bm25_wand_fuzzy)
+    # and the rel-path exclusion neighborhood stays parity-swept
     "bm25_wand_fuzzy": ("sort sow~1", "wand"),
-    "bm25_rel_fuzzy_not": ("lang:en hash -sow~1", "rel"),
     # numeric range filters (round-6, FIXTURES.md §3.13): n_chars rides
     # the index as order-preserving-encoded attr postings, so a range
     # is a pushed term-interval scan — the wand entry takes a selective
@@ -266,6 +279,14 @@ _QUERY_SET = {
     # oracle (boost folds into per-term idf, so the WAND bounds path is
     # exercised too)
     "bm25_boost": "hash^2.5 join",
+    # boolean OR-groups (round-6, §3.19) — batch-only: both batch
+    # entries drive per-query group-membership slicing (incl. groups x
+    # tombstones); the individual engine-path slot is bm25_wand_group
+    "bm25_group": "(scan OR merge) -(dup OR slow)",
+    # minimum should match (round-6, §3.20) — batch-only: per-query
+    # clause counting inside both batch entries (incl. msm x
+    # tombstones); the individual engine-path slot is bm25_wand_msm
+    "bm25_msm": "hash OR join OR scan min_match:2",
 }
 
 # The driver's correctness gate evaluates only the FIRST 50 queries()
@@ -313,6 +334,12 @@ _BATCH_ONLY = frozenset(
         # bm25_rel_phrase_lang) and this query still runs inside both
         # gated batch entries
         "bm25_phrase",
+        # round-6 §3.19: groups enter batch-only directly (the engine-
+        # path group surface holds the individual bm25_wand_group slot)
+        "bm25_group",
+        # round-6 §3.20: msm enters batch-only directly (the engine-
+        # path msm surface holds the individual bm25_wand_msm slot)
+        "bm25_msm",
     }
 )
 
@@ -375,6 +402,38 @@ def _q_search_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src = _corpus(spark, sf_dir).source
     return highlight_matches(topk, src, parsed.terms, text_col="text", context=30)
+
+
+def _make_synonym_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synonym expansion (round-6, FIXTURES.md §3.21) on the WAND path:
+    `hash sort` with hash -> {join, scan} — served exactly as the
+    boolean group `(hash OR join OR scan) sort` (the structural
+    equality IS the spec), so the oracle is the grouped query's."""
+    from xsearch_spark.operators.wand import search_wand
+
+    built = _index(spark, sf_dir)
+    parsed = parse("hash sort", synonyms={"hash": ["join", "scan"]})
+    topk = search_wand(built, parsed)
+    return topk.select(
+        "doc_id", F.round(F.col("score"), SCORE_ROUND_DECIMALS).alias("score")
+    )
+
+
+def _q_explain_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score explanation (round-6, FIXTURES.md §3.22): the per-term
+    BM25 breakdown of doc 0 under a query mixing a plain term, a
+    boost, a prefix group, and a boolean group — every positive-
+    membership source in one gate (wand.explain_score). Index-only;
+    the oracle states the same rows from the corpus CTEs."""
+    from xsearch_spark.operators.wand import explain_score
+
+    built = _index(spark, sf_dir)
+    return explain_score(built, parse(_EXPLAIN_QUERY), 0)
+
+
+# doc 0's text is deterministic (seed=42); the query mixes membership
+# sources whose members are all present in doc 0 at every driver sf
+_EXPLAIN_QUERY = "the^2 s* (scan OR join) data"
 
 
 def _q_spell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -918,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "more_like_this": _q_more_like_this,
             "term_suggest": _q_term_suggest,
             "spell_suggest": _q_spell_suggest,
+            "explain_score": _q_explain_score,
             "bm25_batch": _q_bm25_batch,
             "bm25_batch_tombstone": _q_bm25_batch_tombstone,
             # round-6: tombstone_filtered_topk (rel-path anti-join)
@@ -1006,6 +1066,25 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the gated dedup_near_clusters (its recursive-closure oracle
         # embeds the same jaccard threshold over the same LSH pairs)
         "dedup_ngram_jaccard": _q_ngram_jaccard,
+        # round-6 demotion for the bm25_wand_group slot (the wand
+        # proximity surface keeps its gate); plus the rel-path boolean-
+        # group twin (two conjunct groups through _index_match_scored)
+        "bm25_rel_proximity_lang": _make_attr_query(
+            'lang:en "scan merge"~2', "rel"
+        ),
+        "bm25_rel_group": _make_attr_query(
+            "(hash OR join) (sort OR merge)", "rel"
+        ),
+        # round-6 demotion for the bm25_wand_msm slot (fuzzy keeps its
+        # engine-path gate, bm25_wand_fuzzy)
+        "bm25_rel_fuzzy_not": _make_attr_query("lang:en hash -sow~1", "rel"),
+        # round-6 demotion for the explain_score slot (rel prefix stays
+        # gated via search_count/search_histogram's match evaluation)
+        "bm25_rel_prefix_not": _make_attr_query("lang:en s* -du*", "rel"),
+        # synonym expansion (§3.21): a rewrite into boolean groups —
+        # the oracle is the explicitly grouped query's (that structural
+        # equality is the spec, pinned by tests/test_synonyms.py)
+        "bm25_synonym": _make_synonym_query,
     }
     for name in sorted(_BATCH_ONLY):
         q[name] = _make_bm25_query(_QUERY_SET[name])
@@ -1048,6 +1127,19 @@ WHERE rn = 1
             parse("hash OR join OR scan"), extra_doc_pred="tf.doc_id % 7 <> 0"
         ),
         "dedup_ngram_jaccard": op.ngram_jaccard_sql(16, 4, 3),
+        "bm25_rel_proximity_lang": oracles.bm25_sql(
+            parse('lang:en "scan merge"~2', attr_fields=_ATTR_FIELDS)
+        ),
+        "bm25_rel_group": oracles.bm25_sql(
+            parse("(hash OR join) (sort OR merge)", attr_fields=_ATTR_FIELDS)
+        ),
+        "bm25_rel_fuzzy_not": oracles.bm25_sql(
+            parse("lang:en hash -sow~1", attr_fields=_ATTR_FIELDS)
+        ),
+        "bm25_rel_prefix_not": oracles.bm25_sql(
+            parse("lang:en s* -du*", attr_fields=_ATTR_FIELDS)
+        ),
+        "bm25_synonym": oracles.bm25_sql(parse("(hash OR join OR scan) sort")),
     }
     for name in sorted(_BATCH_ONLY):
         o[name] = oracles.bm25_sql(parse(_QUERY_SET[name]))
@@ -1068,6 +1160,10 @@ _INDEX_QUERY_SET = {
     "bm25_wand_and": ("hash join", "wand"),
     "bm25_wand_or_hot": ("the OR scan OR join", "wand"),
     "bm25_wand_single_hot": ("the", "wand"),
+    # minimum should match (round-6, FIXTURES.md §3.20) on the SAME hot
+    # OR shape as bm25_wand_or_hot: 2-of-3 drives the msm-qualified
+    # theta seed and the clause-count filter through real WAND pruning
+    "bm25_wand_msm": ("the OR scan OR join min_match:2", "wand"),
 }
 
 
@@ -1136,6 +1232,7 @@ WHERE f.quality >= 0.5
         ),
         "term_suggest": oracles.suggest_sql("s", 4),
         "spell_suggest": oracles.spell_sql("sow", 5),
+        "explain_score": oracles.explain_sql(parse(_EXPLAIN_QUERY), 0),
         "ann_ivf_topk": op.ivf_topk_sql(0, 10, 8, 2),
         "ann_ivf_tombstone": op.ivf_topk_sql(
             0, 10, 8, 2, extra_vec_pred="e.vec_id % 7 <> 3"

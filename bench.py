@@ -44,6 +44,11 @@ QUERIES = {
     "q15_proximity": '"hash join"~2 spark',  # round-6 ordered window
     "q17_prefix": "s* merge",  # round-6 §3.10 startswith expansion
     "q19_fuzzy": "sort sow~1",  # round-6 §3.12 enumerated d=1 group
+    # round-6 §3.19 boolean OR-group + exclusion group: pays the same
+    # plan as a plain multi-term query (exact-term IN scan)
+    "q25_group": "(hash OR join) sort -(dup OR slow)",
+    # round-6 §3.20 minimum should match over the hot-OR shape
+    "q26_msm": "the OR scan OR join min_match:2",
 }
 
 # served through parse(attr_fields=...) — n_chars range rides the

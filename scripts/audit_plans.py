@@ -276,6 +276,56 @@ def main() -> None:
         "vocabulary size, no source scan, no positional bytes.",
     ))
 
+    # 5e2b. boolean OR-group (round-6 §3.19): members are explicit
+    # terms, so the group pays exactly an ordinary multi-term query's
+    # plan — the same bucket-pruned exact-term IN scan, no prefix sweep,
+    # no source table, no positional bytes
+    wg_plan = plan_of(
+        search_wand(built, parse("(hash OR join) sort -(dup OR slow)"))
+    )
+    assert "documents.parquet" not in wg_plan, (
+        "boolean-group plan scans the source table — members must ride "
+        "the exact-term scan"
+    )
+    assert "poss" not in wg_plan, "non-phrase group plan reads poss"
+    assert "StringStartsWith" not in wg_plan, (
+        "boolean-group scan fell back to a dictionary sweep"
+    )
+    assert "bucket" in wg_plan, "group scan lost bucket partition pruning"
+    sections.append((
+        "Q8 WAND boolean OR-group (explicit member set, exact scan)",
+        wg_plan,
+        ["MapInPandas", "TakeOrderedAndProject"],
+        "A boolean OR-group's members (and an exclusion group's) are "
+        "explicit terms, so the whole query — >= 1-of-set enforcement "
+        "included — rides the one bucket-pruned IN-filtered scan: the "
+        "plan is indistinguishable from a plain multi-term query's.",
+    ))
+
+    # 5e2c. minimum should match (round-6 §3.20): clause counting is
+    # scorer-internal — the plan is byte-for-byte the plain hot-OR
+    # query's (bucket-pruned IN scan, no source, no poss, no sweep)
+    wm_plan = plan_of(
+        search_wand(built, parse("the OR scan OR join min_match:2"))
+    )
+    assert "documents.parquet" not in wm_plan, (
+        "min_match plan scans the source table"
+    )
+    assert "poss" not in wm_plan, "non-phrase min_match plan reads poss"
+    assert "StringStartsWith" not in wm_plan, (
+        "min_match scan fell back to a dictionary sweep"
+    )
+    assert "bucket" in wm_plan, "min_match scan lost bucket pruning"
+    sections.append((
+        "Q8 WAND minimum should match (scorer-internal clause count)",
+        wm_plan,
+        ["MapInPandas", "TakeOrderedAndProject"],
+        "min_match is applied inside the Arrow scorer (clause arrays "
+        "from the already-read posting lists; theta seeded only from "
+        "qualifying docs) — the Spark plan is identical to the plain "
+        "OR query's one-scan, one-exchange shape.",
+    ))
+
     # 5e3. numeric range filter (round-6 §3.13): the interval rides the
     # encoded attr-term namespace as pushed >=/<= string comparisons —
     # term-sorted row groups turn it into a per-bucket value seek;

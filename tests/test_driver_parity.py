@@ -78,14 +78,17 @@ def test_registry_fits_driver_cap():
         "bm25_rel_source_not", "bm25_wand_subtoken_code",
         "bm25_wand_compound_code", "bm25_wand_code_lang",
         "bm25_wand_single_hot", "bm25_batch", "bm25_batch_tombstone",
-        # round-6 surfaces: ordered-window proximity (both engine
-        # paths), the highlight/snippet result page, facet counts,
-        # prefix groups (both engine paths) and dictionary completion
-        "bm25_wand_proximity", "bm25_rel_proximity_lang",
+        # round-6 surfaces: ordered-window proximity (engine path; the
+        # rel twin was demoted for the boolean-group slot and stays in
+        # the extras sweep), the highlight/snippet result page, facets
+        "bm25_wand_proximity",
         "search_highlight", "search_facets", "search_count",
-        "bm25_wand_prefix", "bm25_rel_prefix_not", "term_suggest",
-        # fuzzy groups (both engine paths; §3.12)
-        "bm25_wand_fuzzy", "bm25_rel_fuzzy_not",
+        # (bm25_rel_prefix_not demoted for the explain_score slot; the
+        # rel prefix machinery stays gated via search_count/histogram)
+        "bm25_wand_prefix", "term_suggest",
+        # fuzzy groups (engine path; the rel twin was demoted for the
+        # min_match slot and stays in the extras sweep)
+        "bm25_wand_fuzzy",
         # numeric range filters + sort-by-field pagination (§3.13/§3.14)
         "bm25_wand_range", "search_sorted_page",
         # more-like-this (§3.16)
@@ -94,6 +97,9 @@ def test_registry_fits_driver_cap():
         "search_after_page", "search_stats", "search_histogram",
         # spell suggestion (§3.18)
         "spell_suggest",
+        # boolean OR-groups (§3.19) + minimum should match (§3.20) +
+        # score explanation (§3.22)
+        "bm25_wand_group", "bm25_wand_msm", "explain_score",
     ]:
         assert must in q, f"engine surface {must} lost its driver slot"
     # no overlap between the gated and extra registries

@@ -36,6 +36,38 @@ from xsearch_spark.operators.build import CollectionStats
 from xsearch_spark.plans.query import ParsedQuery
 
 
+def _set_groups(parsed: ParsedQuery) -> list[list[str]]:
+    """The query's term-SET groups as explicit member lists: fuzzy
+    groups enumerate theirs (round-6, FIXTURES.md §3.12); boolean
+    OR-groups give them explicitly (§3.19). Identical ">= 1 of the
+    set, members score as bare terms" semantics, so every code path
+    treats them as one list."""
+    from xsearch_spark.constants import fuzzy_candidates
+
+    return [
+        list(fuzzy_candidates(b)) for b in getattr(parsed, "fuzzies", ())
+    ] + [list(g) for g in getattr(parsed, "groups", ())]
+
+
+def positive_term_pred(parsed: ParsedQuery):
+    """Column-predicate factory for the query's POSITIVE scored-term
+    membership (plain terms + prefix startswith + fuzzy/boolean group
+    members) — the ONE source of relational match truth, shared by
+    score_postings and explain_score."""
+    prefixes = list(getattr(parsed, "prefixes", ()))
+    set_groups = _set_groups(parsed)
+
+    def term_pred(col: "F.Column") -> "F.Column":
+        cond = col.isin(list(parsed.terms)) if parsed.terms else F.lit(False)
+        for p in prefixes:
+            cond = cond | col.startswith(p)
+        for g in set_groups:
+            cond = cond | col.isin(g)
+        return cond
+
+    return term_pred
+
+
 def score_postings(
     postings_df: DataFrame,
     term_stats_df: DataFrame,
@@ -61,25 +93,13 @@ def score_postings(
     same shape with membership in the exactly-enumerated d=1
     neighborhood (an IN literal) instead of ``startswith``.
     """
-    from xsearch_spark.constants import fuzzy_candidates
-
     prefixes = list(getattr(parsed, "prefixes", ()))
-    fuzzy_groups = [
-        list(fuzzy_candidates(b)) for b in getattr(parsed, "fuzzies", ())
-    ]
+    fuzzy_groups = _set_groups(parsed)
     if not parsed.terms and not prefixes and not fuzzy_groups:
         return postings_df.sparkSession.createDataFrame(
             [], "doc_id long, score double"
         )
-
-    def term_pred(col: "F.Column") -> "F.Column":
-        cond = col.isin(list(parsed.terms)) if parsed.terms else F.lit(False)
-        for p in prefixes:
-            cond = cond | col.startswith(p)
-        for g in fuzzy_groups:
-            cond = cond | col.isin(g)
-        return cond
-
+    term_pred = positive_term_pred(parsed)
     q = postings_df.filter(term_pred(F.col("term")))
     if "df" not in q.columns:
         ts = term_stats_df.filter(term_pred(F.col("term")))
@@ -123,6 +143,15 @@ def score_postings(
             agg = agg.filter(F.col(f"_pfx{i}") == 1)
         for i in range(len(fuzzy_groups)):
             agg = agg.filter(F.col(f"_fz{i}") == 1)
+    elif getattr(parsed, "min_match", 0):
+        # §3.20: >= min_match satisfied clauses (plain terms count
+        # individually; each group's >= 1 flag contributes one)
+        sat = F.col("n_terms") if parsed.terms else F.lit(0)
+        for i in range(len(prefixes)):
+            sat = sat + F.col(f"_pfx{i}")
+        for i in range(len(fuzzy_groups)):
+            sat = sat + F.col(f"_fz{i}")
+        agg = agg.filter(sat >= F.lit(parsed.min_match))
     return agg.select("doc_id", "score")
 
 
@@ -263,7 +292,8 @@ def apply_doc_filters(
         out = out.join(match, "doc_id", "left_semi")
     ex_prefixes = getattr(parsed, "exclude_prefixes", ())
     ex_fuzzies = getattr(parsed, "exclude_fuzzies", ())
-    if parsed.exclude or ex_prefixes or ex_fuzzies:
+    ex_groups = getattr(parsed, "exclude_groups", ())
+    if parsed.exclude or ex_prefixes or ex_fuzzies or ex_groups:
         from xsearch_spark.constants import fuzzy_candidates
 
         cond = (
@@ -275,6 +305,8 @@ def apply_doc_filters(
             cond = cond | F.col("term").startswith(p)  # ANY prefixed term
         for b in ex_fuzzies:  # round-6: -body~1 drops docs containing
             cond = cond | F.col("term").isin(list(fuzzy_candidates(b)))
+        for g in ex_groups:  # round-6 §3.19: -(a OR b) drops docs
+            cond = cond | F.col("term").isin(list(g))  # with ANY member
         bad = postings_df.filter(cond).select("doc_id").distinct()
         out = out.join(bad, "doc_id", "left_anti")
     return out

@@ -131,6 +131,13 @@ def score_shard(
             "phrase queries require AND semantics (parse() enforces this); "
             "got a ParsedQuery with phrases and connective='OR'"
         )
+    if getattr(parsed, "min_match", 0) and parsed.connective != "OR":
+        # parse() rejects min_match under AND; a hand-built ParsedQuery
+        # would otherwise silently ignore it (AND already requires all)
+        raise ValueError(
+            "min_match requires OR semantics (parse() enforces this); "
+            "got a ParsedQuery with min_match and connective='AND'"
+        )
     present = [t for t in parsed.terms if t in lists]
     # prefix groups (round-6, FIXTURES.md §3.10): each group's local
     # members are the shard's vocabulary terms under the prefix; the
@@ -142,10 +149,12 @@ def score_shard(
         for p in prefixes
     }
     # fuzzy groups (round-6, FIXTURES.md §3.12): same group semantics as
-    # prefixes, membership by the exactly-enumerated d=1 neighborhood
+    # prefixes, membership by the exactly-enumerated d=1 neighborhood.
+    # Boolean OR-groups (round-6, FIXTURES.md §3.19) are the same shape
+    # again with the member set explicit — they share this list
     fuzzy_sets = [
         frozenset(fuzzy_candidates(b)) for b in getattr(parsed, "fuzzies", ())
-    ]
+    ] + [frozenset(g) for g in getattr(parsed, "groups", ())]
     fz_members = [
         [t for t in lists if t in s and t not in parsed.terms] for s in fuzzy_sets
     ]
@@ -184,9 +193,26 @@ def score_shard(
             if cand.size == 0:
                 return np.empty(0, np.int64), np.empty(0, np.float64)
     else:
-        cand = _or_candidates(
-            scored_terms, lists, blocks, idfs, avgdl, k, exclude_lists, allowed
+        msm = int(getattr(parsed, "min_match", 0) or 0)
+        clause_arrays = (
+            _msm_clause_arrays(present, prefixes, fuzzy_sets, lists)
+            if msm
+            else None
         )
+        cand = _or_candidates(
+            scored_terms,
+            lists,
+            blocks,
+            idfs,
+            avgdl,
+            k,
+            exclude_lists,
+            allowed,
+            msm=msm,
+            clause_arrays=clause_arrays,
+        )
+        if msm:  # §3.20: >= msm satisfied clauses (only a filter)
+            cand = cand[_msm_count(cand, clause_arrays) >= msm]
     cand = _apply_filters(cand, exclude_lists, allowed)
     if getattr(parsed, "phrases", ()):
         cand = _phrase_filter(
@@ -361,6 +387,35 @@ def _apply_filters(
     return cand
 
 
+def _msm_clause_arrays(
+    present: list[str],
+    prefixes: tuple[str, ...],
+    fuzzy_sets: list[frozenset[str]],
+    lists: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]],
+) -> list[np.ndarray]:
+    """One sorted-unique doc array per positive CLAUSE (§3.20): each
+    present plain term, then each prefix/fuzzy/boolean group (the union
+    of its local members' lists — a group is satisfied by >= 1)."""
+    member_sets = [[t for t in lists if t.startswith(p)] for p in prefixes] + [
+        [t for t in lists if t in s] for s in fuzzy_sets
+    ]
+    return [lists[t][0] for t in present] + [
+        np.unique(np.concatenate([lists[t][0] for t in ms]))
+        if ms
+        else np.empty(0, np.int64)
+        for ms in member_sets
+    ]
+
+
+def _msm_count(cand: np.ndarray, clause_arrays: list[np.ndarray]) -> np.ndarray:
+    """Satisfied-clause count per candidate (inputs sorted unique)."""
+    cnt = np.zeros(cand.size, dtype=np.int64)
+    for arr in clause_arrays:
+        if arr.size:
+            cnt += np.isin(cand, arr, assume_unique=True)
+    return cnt
+
+
 def _or_candidates(
     present: list[str],
     lists: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]],
@@ -370,6 +425,8 @@ def _or_candidates(
     k: int,
     exclude_lists: list[np.ndarray] | None = None,
     allowed: np.ndarray | None = None,
+    msm: int = 0,
+    clause_arrays: list[np.ndarray] | None = None,
 ) -> np.ndarray:
     """Block-max pruned OR candidate set (superset of true top-k docs)."""
     total = sum(lists[t][0].size for t in present)
@@ -386,6 +443,12 @@ def _or_candidates(
     # is always <= the true k-th score, so pruning stays exact.
     seed_term = max(present, key=lambda t: ub[t])
     seed = _apply_filters(lists[seed_term][0], exclude_lists, allowed)
+    if msm and clause_arrays is not None:
+        # §3.20: theta must come only from msm-QUALIFYING docs — a
+        # non-qualifying seed doc could inflate theta above the true
+        # post-filter k-th score and prune blocks holding genuine
+        # top-k docs (the same subset-seed rule as exclude/lang)
+        seed = seed[_msm_count(seed, clause_arrays) >= msm]
     seed_scores, _ = _gather_scores(seed, {t: lists[t] for t in present}, idfs, avgdl)
     if seed.size >= k:
         theta = float(np.partition(-seed_scores, k - 1)[k - 1] * -1.0)
@@ -686,18 +749,20 @@ def _scaled_idfs(idfs: dict[str, float], parsed: ParsedQuery) -> dict[str, float
 
 
 def _fuzzy_unions(parsed: ParsedQuery) -> tuple[frozenset[str], frozenset[str]]:
-    """(positive, exclusion) candidate-term unions of the query's fuzzy
-    groups (round-6, FIXTURES.md §3.12) — the exactly-enumerated d=1
-    neighborhoods. Both ride the ordinary bucket-pruned exact-term scan:
-    fuzzy needs NO dictionary walk (unlike prefix groups)."""
+    """(positive, exclusion) member-term unions of the query's TERM-SET
+    groups: fuzzy groups (round-6, FIXTURES.md §3.12 — the
+    exactly-enumerated d=1 neighborhoods) and boolean OR-groups
+    (round-6, FIXTURES.md §3.19 — explicit member sets). Both ride the
+    ordinary bucket-pruned exact-term scan: neither needs a dictionary
+    walk (unlike prefix groups)."""
     pos = frozenset(
         t for b in getattr(parsed, "fuzzies", ()) for t in fuzzy_candidates(b)
-    )
+    ) | frozenset(t for g in getattr(parsed, "groups", ()) for t in g)
     neg = frozenset(
         t
         for b in getattr(parsed, "exclude_fuzzies", ())
         for t in fuzzy_candidates(b)
-    )
+    ) | frozenset(t for g in getattr(parsed, "exclude_groups", ()) for t in g)
     return pos, neg
 
 
@@ -860,7 +925,7 @@ def search_wand(
             # would collect the vocabulary (the anti-pattern audit_plans
             # forbids)
             raise ValueError(
-                "prefix/fuzzy queries require a v4+ index (denormalized df)"
+                "prefix/fuzzy/group queries require a v4+ index (denormalized df)"
             )
         stats = built.df_of(all_terms)
         static_idfs = {
@@ -1079,7 +1144,7 @@ def search_wand_batch(
     else:  # pre-v4 fallback
         if all_prefixes or all_fuzzy:
             raise ValueError(
-                "prefix/fuzzy queries require a v4+ index (denormalized df)"
+                "prefix/fuzzy/group queries require a v4+ index (denormalized df)"
             )
         static_stats = built.df_of(all_terms)
     per_q = {qid: (p, set(p.exclude)) for qid, p in queries.items()}
@@ -1740,6 +1805,57 @@ def more_like_this(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def explain_score(built, parsed: ParsedQuery, doc_id: int) -> DataFrame:
+    """Score explanation (round-6, FIXTURES.md §3.22): the per-term
+    BM25 breakdown of ``doc_id`` under ``parsed`` — one row per
+    POSITIVE scored term the doc contains -> (term, tf, dl, df, idf,
+    weight), term ASC, with boosts folded into weight. For a doc in
+    the query's match set, sum(weight) == its search score exactly
+    (test-pinned). Lucene's explain contract: match semantics
+    (connective, filters, exclusions) are NOT re-evaluated — explain
+    states what the present terms contribute.
+
+    Index-only and O(query posting lists): the members ride the same
+    bucket-pruned scan a search issues (prefix groups via the pushed
+    startswith range), df comes off the v4 rows, and the doc filter
+    applies after decode — never a source scan, dictionary walk, or
+    positional read."""
+    from xsearch_spark.functions.bm25 import bm25_weight_col, idf_col
+    from xsearch_spark.operators import segments as seg
+    from xsearch_spark.operators.search import positive_term_pred
+
+    fz_pos, _ = _fuzzy_unions(parsed)
+    all_terms = list(parsed.terms) + sorted(fz_pos - set(parsed.terms))
+    rows = pruned_index_scan_prefix(
+        built.index_df,
+        all_terms,
+        list(getattr(parsed, "prefixes", ())),
+        built.num_buckets,
+    )
+    rows = _prune_poss(rows, False)
+    if "df" not in rows.columns:
+        raise ValueError(
+            "explain_score requires a v4+ index (denormalized df)"
+        )
+    long = seg.decode_postings(rows).filter(F.col("doc_id") == int(doc_id))
+    long = long.filter(positive_term_pred(parsed)(F.col("term")))
+    idf = idf_col(built.n_docs, F.col("df").cast("double"))
+    w = bm25_weight_col(idf, F.col("tf"), F.col("dl"), built.avgdl)
+    for t, b in dict(getattr(parsed, "boosts", ())).items():
+        # §3.15: the same last-wins fold as the relational scorer
+        w = F.when(F.col("term") == t, w * F.lit(b)).otherwise(w)
+    from xsearch_spark.constants import SCORE_ROUND_DECIMALS
+
+    return long.select(
+        "term",
+        F.col("tf").cast("int").alias("tf"),
+        F.col("dl").cast("int").alias("dl"),
+        F.col("df").cast("long").alias("df"),
+        F.round(idf, SCORE_ROUND_DECIMALS).alias("idf"),
+        F.round(w, SCORE_ROUND_DECIMALS).alias("weight"),
+    ).orderBy("term")
 
 
 def spell_suggest(built, body: str, n: int = 5) -> DataFrame:

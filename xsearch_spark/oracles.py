@@ -28,12 +28,13 @@ def _sql_quote(s: str) -> str:
 
 def _no_positive(parsed: ParsedQuery) -> bool:
     """True when the query has no positive membership source at all (no
-    plain terms, no prefix group, no fuzzy group) — the match set is
+    plain terms, no prefix/fuzzy/boolean group) — the match set is
     empty by construction."""
     return not (
         parsed.terms
         or getattr(parsed, "prefixes", ())
         or getattr(parsed, "fuzzies", ())
+        or getattr(parsed, "groups", ())
     )
 
 
@@ -211,7 +212,10 @@ def bm25_code_sql(
     not_filter = _not_filter_sql(parsed)
     w_term = (
         ", tf.term AS term"
-        if getattr(parsed, "prefixes", ()) or getattr(parsed, "fuzzies", ())
+        if getattr(parsed, "prefixes", ())
+        or getattr(parsed, "fuzzies", ())
+        or getattr(parsed, "groups", ())
+        or getattr(parsed, "min_match", 0)
         else ""
     )
     return f"""
@@ -292,6 +296,9 @@ def _term_pred_sql(parsed: ParsedQuery, col: str = "tf.term") -> str:
         conds.append(f"starts_with({col}, {_sql_quote(p)})")
     for b in getattr(parsed, "fuzzies", ()):
         conds.append(_lev_pred_sql(col, b))
+    for g in getattr(parsed, "groups", ()):  # §3.19: explicit member set
+        members = ", ".join(_sql_quote(t) for t in g)
+        conds.append(f"{col} IN ({members})")
     return "(" + " OR ".join(conds) + ")"
 
 
@@ -306,6 +313,9 @@ def _not_filter_sql(parsed: ParsedQuery) -> str:
         conds.append(f"starts_with(term, {_sql_quote(p)})")
     for b in getattr(parsed, "exclude_fuzzies", ()):
         conds.append(_lev_pred_sql("term", b))
+    for g in getattr(parsed, "exclude_groups", ()):  # §3.19: any member
+        members = ", ".join(_sql_quote(t) for t in g)
+        conds.append(f"term IN ({members})")
     if not conds:
         return ""
     return (
@@ -319,11 +329,37 @@ def _having_sql(parsed: ParsedQuery) -> str:
     every prefix group matched by >= 1 term. The no-prefix form keeps
     the historical ``count(*) = n`` shape (the w rows are exactly the
     plain-term rows there)."""
-    if parsed.connective != "AND":
-        return ""
     prefixes = getattr(parsed, "prefixes", ())
     fuzzies = getattr(parsed, "fuzzies", ())
-    if not prefixes and not fuzzies:
+    groups = getattr(parsed, "groups", ())
+    if parsed.connective != "AND":
+        msm = int(getattr(parsed, "min_match", 0) or 0)
+        if not msm:
+            return ""
+        # §3.20: >= msm satisfied clauses — each plain term counts
+        # individually (w rows are (doc, term)-unique), each group's
+        # ">= 1 member" indicator contributes one
+        parts = []
+        if parsed.terms:
+            terms_list = ", ".join(_sql_quote(t) for t in parsed.terms)
+            parts.append(f"count(*) FILTER (WHERE term IN ({terms_list}))")
+        for p in prefixes:
+            parts.append(
+                f"(count(*) FILTER (WHERE starts_with(term, "
+                f"{_sql_quote(p)})) >= 1)::INT"
+            )
+        for b in fuzzies:
+            parts.append(
+                f"(count(*) FILTER (WHERE {_lev_pred_sql('term', b)}) "
+                f">= 1)::INT"
+            )
+        for g in groups:
+            members = ", ".join(_sql_quote(t) for t in g)
+            parts.append(
+                f"(count(*) FILTER (WHERE term IN ({members})) >= 1)::INT"
+            )
+        return "HAVING " + " + ".join(parts) + f" >= {msm}"
+    if not prefixes and not fuzzies and not groups:
         return f"HAVING count(*) = {len(parsed.terms)}"
     conds = []
     if parsed.terms:
@@ -340,6 +376,9 @@ def _having_sql(parsed: ParsedQuery) -> str:
         conds.append(
             f"count(*) FILTER (WHERE {_lev_pred_sql('term', b)}) >= 1"
         )
+    for g in groups:  # §3.19: >= 1 member of each boolean group
+        members = ", ".join(_sql_quote(t) for t in g)
+        conds.append(f"count(*) FILTER (WHERE term IN ({members})) >= 1")
     return "HAVING " + " AND ".join(conds)
 
 
@@ -366,7 +405,10 @@ def _match_ctes(
     # the w rows carry term only when the HAVING needs per-group FILTERs
     w_term = (
         ", tf.term AS term"
-        if getattr(parsed, "prefixes", ()) or getattr(parsed, "fuzzies", ())
+        if getattr(parsed, "prefixes", ())
+        or getattr(parsed, "fuzzies", ())
+        or getattr(parsed, "groups", ())
+        or getattr(parsed, "min_match", 0)
         else ""
     )
     return f"""{corpus_ctes(table)}{tarr_cte},
@@ -676,6 +718,27 @@ tdf AS (SELECT term, count(*) AS df FROM
 SELECT term, df::BIGINT AS df FROM tdf
 WHERE starts_with(term, {_sql_quote(prefix)})
 ORDER BY df DESC, term ASC LIMIT {n}
+"""
+
+
+def explain_sql(
+    parsed: ParsedQuery, doc_id: int, table: str = "documents"
+) -> str:
+    """Score-explanation oracle (round-6, FIXTURES.md §3.22): the
+    per-term BM25 breakdown of one doc under the query's positive
+    scored-term predicate — (term, tf, dl, df, idf, weight), term ASC,
+    boosts folded into weight. Declarative twin of
+    ``wand.explain_score``; same rounding discipline as every score."""
+    idf = idf_sql("s.n", "tdf.df")
+    w = _boosted_w_sql(bm25_weight_sql(idf, "tf.tf", "dl.dl", "s.avgdl"), parsed)
+    return f"""
+WITH {corpus_ctes(table)}
+SELECT tf.term AS term, tf.tf AS tf, dl.dl::INT AS dl, tdf.df::BIGINT AS df,
+       round({idf}, {R}) AS idf, round({w}, {R}) AS weight
+FROM tf JOIN tdf USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+CROSS JOIN stats s
+WHERE tf.doc_id = {int(doc_id)} AND {_term_pred_sql(parsed)}
+ORDER BY term
 """
 
 

@@ -66,6 +66,31 @@ Grammar (xsearch-style free-text term bag, plus the pinned extensions):
                             to plain analysis (the ``*`` is a
                             separator char and vanishes).
 
+  * ``(a OR b ...)``     -> BOOLEAN GROUP (round 6, FIXTURES.md
+                            §3.19): the doc must contain >= 1 of the
+                            members' analyzed terms (under AND; under
+                            OR the group degenerates to its member
+                            bag). Members score like bare terms.
+                            ``-(a OR b)`` excludes docs containing ANY
+                            member. Members must be single
+                            ``[A-Za-z0-9_]+`` tokens (else raise);
+                            parens without an OR keyword inside stay
+                            plain text (separator chars). Same group
+                            semantics as prefix/fuzzy groups with an
+                            explicit member set.
+
+  * ``synonyms=``        -> SYNONYM EXPANSION (round 6, FIXTURES.md
+                            §3.21, a parse() kwarg not query syntax):
+                            positive plain terms with an entry become
+                            the boolean group ``(term OR alts...)`` —
+                            pure §3.19 rewrite, no engine machinery.
+  * ``min_match:N``      -> MINIMUM SHOULD MATCH (round 6, FIXTURES.md
+                            §3.20): under OR, the doc must satisfy
+                            >= N positive clauses (plain term = one
+                            clause; each prefix/fuzzy/boolean group =
+                            one clause). Only a filter — scoring is
+                            unchanged. Raises under AND.
+
 Driver-side only — a query is one string; nothing to distribute.
 Duplicate terms count once (FIXTURES.md §3.2).
 """
@@ -97,6 +122,14 @@ _BOOST_TOKEN_RE = re.compile(r"(?P<body>[a-z0-9_]+)\^(?P<b>\d+(?:\.\d+)?)\Z")
 # `field:>=N` / `field:>N` / `field:<=N` / `field:<N` / `field:lo..hi`
 _RANGE_CMP_RE = re.compile(r"(?P<op>>=|>|<=|<)(?P<n>-?\d+)\Z")
 _RANGE_DOTS_RE = re.compile(r"(?P<lo>-?\d+)\.\.(?P<hi>-?\d+)\Z")
+# boolean OR-groups (round-6, FIXTURES.md §3.19): an innermost
+# parenthesized span, optionally negated; recognized as a group only
+# when its contents contain the OR keyword (else the text is left in
+# place and the parens vanish as separator chars — pre-§3.19 behavior)
+_GROUP_RE = re.compile(r"(-?)\(([^()]*)\)")
+# a group member must be ONE raw token of the term alphabet (upper case
+# allowed — analysis lowercases); anything fancier inside a group raises
+_GROUP_MEMBER_RE = re.compile(r"[A-Za-z0-9_]+\Z")
 
 
 @dataclass(frozen=True)
@@ -139,6 +172,20 @@ class ParsedQuery:
     # here have boost 1.0. Connective/match semantics are unchanged —
     # boost only scales the score contribution.
     boosts: tuple[tuple[str, float], ...] = field(default_factory=tuple)
+    # boolean OR-groups (round-6, FIXTURES.md §3.19): each entry is an
+    # explicit member-term set; under AND the doc must contain >= 1
+    # member (under OR the group degenerates to its member bag);
+    # members score like bare terms. exclude_groups drop docs
+    # containing ANY member. Same group semantics as prefixes/fuzzies
+    # with the member set given explicitly instead of derived.
+    groups: tuple[tuple[str, ...], ...] = field(default_factory=tuple)
+    exclude_groups: tuple[tuple[str, ...], ...] = field(default_factory=tuple)
+    # minimum should match (round-6, FIXTURES.md §3.20): under OR the
+    # doc must satisfy >= min_match positive clauses (plain term = one
+    # clause; each prefix/fuzzy/boolean group = one clause, satisfied
+    # by >= 1 member). 0 = absent (plain OR). ONLY a filter — scoring
+    # is unchanged. parse() raises when set under AND.
+    min_match: int = 0
 
 
 def phrase_slop(parsed: "ParsedQuery", i: int) -> int:
@@ -161,12 +208,20 @@ def parse(
     query: str,
     variant: str = "base",
     attr_fields: Sequence[str] = DEFAULT_ATTR_FIELDS,
+    synonyms: "dict[str, Sequence[str]] | None" = None,
 ) -> ParsedQuery:
     """``attr_fields``: the field names recognized as ``field:value``
     filters — pass the index's ``attr_fields`` (plus "lang") so only
     genuinely filterable fields are parsed as filters; anything else
     stays query text (a colon inside prose must not silently become an
-    empty filter)."""
+    empty filter).
+
+    ``synonyms`` (round-6, FIXTURES.md §3.21): term -> alternatives.
+    Every positive plain query term with an entry is rewritten into
+    the boolean group ``(term OR alts...)`` — §3.19 semantics, so the
+    engine paths, the SQL oracle, and min_match clause counting need
+    no synonym-specific machinery. One-level rewrite; excluded terms,
+    group/phrase members, and prefix/fuzzy bodies never expand."""
     connective = "AND"
     lang: str | None = None
     include: list[str] = []
@@ -203,9 +258,81 @@ def parse(
         return " " + m.group(1) + " "  # 0/1-term span: plain text
 
     query = _PHRASE_RE.sub(_take_phrase, query)
+    groups: list[tuple[str, ...]] = []
+    exclude_groups: list[tuple[str, ...]] = []
+
+    def _take_group(m: "re.Match[str]") -> str:
+        # §3.19: innermost parenthesized span. Only an OR-separated
+        # member list is a group; anything else stays in place (the
+        # parens are separator chars under every analyzer, so plain
+        # `f(x)` queries keep their pre-§3.19 meaning).
+        body = m.group(2)
+        toks = body.split()
+        if "OR" not in toks:
+            return m.group(0)
+        members: list[str] = []
+        cur: list[str] = []
+        for t in toks + ["OR"]:
+            if t != "OR":
+                cur.append(t)
+                continue
+            if len(cur) != 1:
+                raise ValueError(
+                    "boolean group members must be single plain terms "
+                    f"separated by OR (FIXTURES.md §3.19); got ({body})"
+                )
+            members.append(cur[0])
+            cur = []
+        terms_g: list[str] = []
+        for mtok in members:
+            if not _GROUP_MEMBER_RE.fullmatch(mtok):
+                raise ValueError(
+                    f"boolean group member {mtok!r} is not a plain term "
+                    "(no nested groups/phrases/prefixes/fuzzies/boosts/"
+                    "field syntax inside a group — FIXTURES.md §3.19)"
+                )
+            emitted = tokenize_query(mtok, variant)
+            if not emitted:
+                raise ValueError(
+                    f"boolean group member {mtok!r} analyzes to no terms"
+                )
+            for t in emitted:
+                if t not in terms_g:
+                    terms_g.append(t)
+        neg = m.group(1) == "-"
+        if len(terms_g) == 1:  # degenerate group: one distinct term
+            target = exclude if neg else include
+            if terms_g[0] not in target:
+                target.append(terms_g[0])
+        else:
+            target_g = exclude_groups if neg else groups
+            if tuple(terms_g) not in target_g:
+                target_g.append(tuple(terms_g))
+        return " "
+
+    # fixpoint: consuming an inner group can expose an outer paren pair
+    # (e.g. `((a OR b) OR c)` leaves `( OR c)`, which must then raise
+    # via the empty-member rule); degrading matches return themselves,
+    # so the loop terminates as soon as nothing changes
+    while True:
+        substituted = _GROUP_RE.sub(_take_group, query)
+        if substituted == query:
+            break
+        query = substituted
+    min_match = 0
     for token in query.split():
         if token == "OR":
             connective = "OR"
+            continue
+        if token.startswith("min_match:"):
+            # §3.20: reserved token, intercepted before field parsing
+            n = token[len("min_match:") :]
+            if not n.isdigit() or int(n) < 1:
+                raise ValueError(
+                    f"min_match needs a positive integer, got {n!r} "
+                    f"(FIXTURES.md §3.20)"
+                )
+            min_match = int(n)  # last declaration wins
             continue
         fld, sep, val = token.partition(":")
         if sep and fld in fields:
@@ -285,8 +412,37 @@ def parse(
             target = exclude if neg else include
             if term not in target:
                 target.append(term)
+    if synonyms:
+        # §3.21: rewrite positive plain terms into boolean groups —
+        # keys/values analyzed with the query's variant; one level only
+        syn: dict[str, list[str]] = {}
+        for key, vals in synonyms.items():
+            kt = tokenize_query(str(key), variant)
+            if len(kt) != 1:
+                raise ValueError(
+                    f"synonym key {key!r} must analyze to exactly one "
+                    f"term; got {kt!r} (FIXTURES.md §3.21)"
+                )
+            syn[kt[0]] = [
+                t for v in vals for t in tokenize_query(str(v), variant)
+            ]
+        new_include: list[str] = []
+        for term in include:
+            members = list(dict.fromkeys([term, *syn.get(term, ())]))
+            if len(members) == 1:
+                new_include.append(term)
+            elif tuple(members) not in groups:
+                groups.append(tuple(members))
+        include = new_include
     if phrases:
         connective = "AND"  # frozen: phrases force conjunctive semantics
+    if min_match and connective != "OR":
+        # §3.20: msm applies to SHOULD clauses only — under AND
+        # everything is already required (phrases force AND, so a
+        # phrase + min_match query lands here too)
+        raise ValueError(
+            "min_match requires the OR connective (FIXTURES.md §3.20)"
+        )
     return ParsedQuery(
         terms=tuple(include),
         connective=connective,
@@ -301,4 +457,7 @@ def parse(
         exclude_fuzzies=tuple(exclude_fuzzies),
         ranges=tuple(ranges),
         boosts=tuple(boosts),
+        groups=tuple(groups),
+        exclude_groups=tuple(exclude_groups),
+        min_match=min_match,
     )
