@@ -551,6 +551,66 @@ def _q_search_after_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_search_after_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.23 (round-6): RELEVANCE-order cursor pagination — page 1
+    (k=5) of the frozen (round6(score) DESC, doc_id ASC) order is
+    collected driver-side and its last row cursors into page 2 (k=10).
+    Oracle: rows [5, 15) of the same order (LIMIT 10 OFFSET 5 —
+    cursor-walk == offset paging is the frozen §3.23 equivalence). The
+    hot-OR shape keeps WAND block pruning active under the cursor-
+    restricted theta seed."""
+    from xsearch_spark.operators.wand import search_after_topk
+
+    built = _index(spark, sf_dir)
+    parsed = parse("the OR scan OR join")
+    page1 = search_after_topk(built, parsed, k=5).collect()
+    cursor = (float(page1[-1]["score"]), int(page1[-1]["doc_id"]))
+    return search_after_topk(built, parsed, k=10, after=cursor)
+
+
+def _q_multi_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.25 (round-6): multi-field fused search — a title index (the
+    deterministic first-6-words field, with_title) at weight 2.5 plus
+    the body index at 1.0, per-field queries with their own semantics,
+    one fuse job (operators.fields.multi_field_search). Oracle:
+    oracles.multi_field_sql over the same derived field tables."""
+    from xsearch_spark.operators.fields import multi_field_search
+
+    return multi_field_search(
+        {
+            "title": (_title_index(spark, sf_dir), parse("the OR data")),
+            "body": (_index(spark, sf_dir), parse("hash join")),
+        },
+        weights={"title": 2.5},
+    )
+
+
+_TITLE_INDEX_CACHE: dict[str, object] = {}
+
+
+def _title_index(spark: SparkSession, sf_dir: str):
+    """Packed index over the derived title field (§3.25) — field-local
+    statistics by construction (its avgdl is the ~6-word title's)."""
+    if sf_dir not in _TITLE_INDEX_CACHE:
+        from xsearch_spark.operators.fields import with_title
+        from xsearch_spark.plans.build_index import build_index
+
+        out = os.path.join(
+            tempfile.gettempdir(), "xsearch_titleidx" + sf_dir.replace("/", "_")
+        )
+        _TITLE_INDEX_CACHE[sf_dir] = build_index(
+            spark,
+            with_title(_corpus(spark, sf_dir).source),
+            out,
+            text_col="title",
+            variant="base",
+            docs_per_segment=256,
+            segs_per_shard=2,
+            num_buckets=16,
+        )
+    return _TITLE_INDEX_CACHE[sf_dir]
+
+
 def _q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§3.16 (round-6): more-like-this — seed doc 0's top-5 terms by
     their own BM25 weight feed the ordinary OR engine path, seed
@@ -970,8 +1030,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "search_highlight": _q_search_highlight,
             "search_facets": _q_search_facets,
             "search_count": _q_search_count,
-            "search_sorted_page": _q_search_sorted_page,
+            # round-6: search_sorted_page demoted to extras for the
+            # search_after_score slot — §3.14 offset paging is
+            # DEFINITIONALLY the oracle of search_after_page (cursor ==
+            # offset equivalence) and the engine offset path stays
+            # exact-value parity-swept in extras
             "search_after_page": _q_search_after_page,
+            "search_after_score": _q_search_after_score,
             "search_stats": _q_search_stats,
             "search_histogram": _q_search_histogram,
             "more_like_this": _q_more_like_this,
@@ -995,7 +1060,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ann_lsh_buckets": _q_ann_lsh_buckets,
             "ann_ivf_topk": _q_ann_ivf,
             "ann_ivf_tombstone": _q_ann_ivf_tombstone,
-            "emb_cosine_pairs": _q_emb_pairs,
+            # round-6: emb_cosine_pairs demoted to extras for the
+            # multi_field_search slot — the gated emb_near_clusters
+            # consumes the same verified pair set (its recursive-closure
+            # oracle embeds the identical threshold join; the
+            # dedup_ngram_jaccard demotion argument)
+            "multi_field_search": _q_multi_field,
             "emb_near_clusters": _q_emb_clusters,
             "text_lang_id": _q_lang_id,
             "text_quality_score": _q_quality,
@@ -1085,6 +1155,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the oracle is the explicitly grouped query's (that structural
         # equality is the spec, pinned by tests/test_synonyms.py)
         "bm25_synonym": _make_synonym_query,
+        # round-6 demotion for the search_after_score slot (§3.14
+        # offset paging is the cursor entries' oracle form; the engine
+        # offset heap stays parity-swept here)
+        "search_sorted_page": _q_search_sorted_page,
+        # round-6 demotion for the multi_field_search slot (the gated
+        # emb_near_clusters embeds the same verified pair join)
+        "emb_cosine_pairs": _q_emb_pairs,
     }
     for name in sorted(_BATCH_ONLY):
         q[name] = _make_bm25_query(_QUERY_SET[name])
@@ -1140,6 +1217,14 @@ WHERE rn = 1
             parse("lang:en s* -du*", attr_fields=_ATTR_FIELDS)
         ),
         "bm25_synonym": oracles.bm25_sql(parse("(hash OR join OR scan) sort")),
+        "search_sorted_page": oracles.sorted_sql(
+            parse("hash OR join n_chars:>=150", attr_fields=_ATTR_FIELDS),
+            "n_chars",
+            ascending=False,
+            k=10,
+            offset=5,
+        ),
+        "emb_cosine_pairs": op.emb_cosine_pairs_sql(0.2, 8),
     }
     for name in sorted(_BATCH_ONLY):
         o[name] = oracles.bm25_sql(parse(_QUERY_SET[name]))
@@ -1207,12 +1292,10 @@ WHERE f.quality >= 0.5
         "search_highlight": oracles.highlight_sql(parse("hash join spark")),
         "search_facets": oracles.facet_sql(parse("hash OR join"), "lang"),
         "search_count": oracles.match_count_sql(parse("hash OR d* -join")),
-        "search_sorted_page": oracles.sorted_sql(
-            parse("hash OR join n_chars:>=150", attr_fields=_ATTR_FIELDS),
-            "n_chars",
-            ascending=False,
-            k=10,
-            offset=5,
+        # rows [5, 15) of the §3.23 rounded relevance order — the
+        # cursor entry's frozen offset equivalence
+        "search_after_score": oracles.bm25_after_sql(
+            parse("the OR scan OR join"), k=10, offset=5
         ),
         # search_after_page's oracle IS offset paging: the cursor (last
         # row of the ascending k=5 page 1) positions page 2 at exactly
@@ -1242,7 +1325,12 @@ WHERE f.quality >= 0.5
             f"({oracles.bm25_sql(parse(q), extra_doc_pred='tf.doc_id % 7 <> 0')})"
             for name, q in _QUERY_SET.items()
         ),
-        "emb_cosine_pairs": op.emb_cosine_pairs_sql(0.2, 8),
+        "multi_field_search": oracles.multi_field_sql(
+            [
+                (oracles.title_documents_sql(), parse("the OR data"), 2.5),
+                ("documents", parse("hash join"), 1.0),
+            ]
+        ),
         "emb_near_clusters": op.emb_near_dup_clusters_sql(0.2, 8),
     }
     for name, qstr in _QUERY_SET.items():

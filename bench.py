@@ -228,6 +228,18 @@ def run_bench(sf_dir: str, cpus: int, emit_json: bool = True) -> dict:
                     100,
                 ).collect()
                 per_query["q24_histogram"] = time.monotonic() - tq
+                # round-6 §3.23: relevance-order cursor page (deep page
+                # cost == page-1 cost; fixed mid-order cursor)
+                from xsearch_spark.operators.wand import search_after_topk
+
+                tq = time.monotonic()
+                search_after_topk(
+                    built,
+                    parse("the OR scan OR join"),
+                    k=10,
+                    after=(1.0, 0),
+                ).collect()
+                per_query["q27_score_cursor"] = time.monotonic() - tq
 
         # query sections carry their own steal stamp too (round 6): the
         # r5->r6 adjudication showed query-latency regressions can be

@@ -89,8 +89,10 @@ def test_registry_fits_driver_cap():
         # fuzzy groups (engine path; the rel twin was demoted for the
         # min_match slot and stays in the extras sweep)
         "bm25_wand_fuzzy",
-        # numeric range filters + sort-by-field pagination (§3.13/§3.14)
-        "bm25_wand_range", "search_sorted_page",
+        # numeric range filters (§3.13); field-sort offset paging was
+        # demoted for the relevance-cursor slot (its offset form is the
+        # cursor entries' oracle) and stays in the extras sweep
+        "bm25_wand_range",
         # more-like-this (§3.16)
         "more_like_this",
         # cursor pagination + match-set aggregations (§3.14/§3.17)
@@ -98,8 +100,11 @@ def test_registry_fits_driver_cap():
         # spell suggestion (§3.18)
         "spell_suggest",
         # boolean OR-groups (§3.19) + minimum should match (§3.20) +
-        # score explanation (§3.22)
+        # score explanation (§3.22) + relevance-cursor paging (§3.23)
         "bm25_wand_group", "bm25_wand_msm", "explain_score",
+        "search_after_score",
+        # multi-field fused search (§3.25)
+        "multi_field_search",
     ]:
         assert must in q, f"engine surface {must} lost its driver slot"
     # no overlap between the gated and extra registries

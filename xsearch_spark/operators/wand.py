@@ -116,11 +116,15 @@ def score_shard(
     exclude_lists: list[np.ndarray] | None = None,
     allowed: np.ndarray | None = None,
     pos_lists: dict[str, tuple] | None = None,
+    after: tuple[float, int] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact local top-k for one shard. ``lists``: term -> (doc_ids, tfs,
     dls); ``blocks``: term -> (block_last, block_max_factor);
     ``pos_lists`` (v6): term -> (doc_ids, flat_positions, offsets) for
-    phrase adjacency."""
+    phrase adjacency. ``after`` (round-6, FIXTURES.md §3.23): a
+    (rounded_score, doc_id) cursor — only docs strictly after it in
+    the (round6 DESC, doc_id ASC) order survive, and the returned
+    scores are the ROUNDED values (the paging order's own key)."""
     if getattr(parsed, "phrases", ()) and parsed.connective != "AND":
         # parse() forces AND whenever phrases exist; a hand-built
         # ParsedQuery(connective='OR', phrases=...) would otherwise pass
@@ -210,6 +214,7 @@ def score_shard(
             allowed,
             msm=msm,
             clause_arrays=clause_arrays,
+            after=after,
         )
         if msm:  # §3.20: >= msm satisfied clauses (only a filter)
             cand = cand[_msm_count(cand, clause_arrays) >= msm]
@@ -226,6 +231,15 @@ def score_shard(
     scores, _ = _gather_scores(
         cand, {t: lists[t] for t in scored_terms}, idfs, avgdl
     )
+    if after is not None:
+        # §3.23: the cursor filter runs BEFORE the local heap (a doc
+        # beyond the cursor may rank below the unfiltered local top-k),
+        # and the heap orders by the rounded value — the paging key
+        scores = _round6(scores)
+        keep = _after_keep(cand, scores, after)
+        cand, scores = cand[keep], scores[keep]
+        if cand.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
     return _local_topk(cand, scores, k)
 
 
@@ -387,6 +401,23 @@ def _apply_filters(
     return cand
 
 
+def _round6(x: np.ndarray) -> np.ndarray:
+    """Half-up 6-decimal rounding of positive scores — the NumPy twin
+    of the presentation rounding (Spark F.round / DuckDB round, both
+    half-away-from-zero; scores are positive so half-up == both). The
+    §3.23 paging total order is defined over THIS value."""
+    return np.floor(x * 1e6 + 0.5) / 1e6
+
+
+def _after_keep(
+    cand: np.ndarray, rounded: np.ndarray, after: tuple[float, int]
+) -> np.ndarray:
+    """Mask of docs strictly AFTER the cursor in the §3.23 order
+    (round6(score) DESC, doc_id ASC)."""
+    cs, cd = after
+    return (rounded < cs) | ((rounded == cs) & (cand > cd))
+
+
 def _msm_clause_arrays(
     present: list[str],
     prefixes: tuple[str, ...],
@@ -427,6 +458,7 @@ def _or_candidates(
     allowed: np.ndarray | None = None,
     msm: int = 0,
     clause_arrays: list[np.ndarray] | None = None,
+    after: tuple[float, int] | None = None,
 ) -> np.ndarray:
     """Block-max pruned OR candidate set (superset of true top-k docs)."""
     total = sum(lists[t][0].size for t in present)
@@ -450,6 +482,11 @@ def _or_candidates(
         # top-k docs (the same subset-seed rule as exclude/lang)
         seed = seed[_msm_count(seed, clause_arrays) >= msm]
     seed_scores, _ = _gather_scores(seed, {t: lists[t] for t in present}, idfs, avgdl)
+    if after is not None:
+        # §3.23: theta must come only from docs BEYOND the cursor —
+        # same subset-seed exactness rule as exclude/lang/msm
+        keep = _after_keep(seed, _round6(seed_scores), after)
+        seed, seed_scores = seed[keep], seed_scores[keep]
     if seed.size >= k:
         theta = float(np.partition(-seed_scores, k - 1)[k - 1] * -1.0)
         # the block bound (idf * max_factor summed per term) and the exact
@@ -459,6 +496,12 @@ def _or_candidates(
         # Hypothesis sweep). Relax by a relative epsilon: pruning less is
         # always exact, pruning on a hairline never is.
         theta -= 1e-9 * max(1.0, abs(theta))
+        if after is not None:
+            # §3.23: the paging order ranks by ROUNDED score — a doc
+            # whose raw score sits up to one rounding quantum below
+            # theta can still tie the k-th rounded value and win by
+            # doc_id, so the raw-score pruning bound must relax by it
+            theta -= 1e-6
     else:
         theta = -np.inf
     keep_docs = []
@@ -853,6 +896,7 @@ def search_wand(
     k: int = DEFAULT_TOP_K,
     source_df: DataFrame | None = None,
     tombstones: DataFrame | None = None,
+    after: tuple[float, int] | None = None,
 ) -> DataFrame:
     """Engine-path search over the packed index -> (doc_id, score) exact
     top-k (raw scores; caller rounds for presentation).
@@ -981,7 +1025,8 @@ def search_wand(
             parsed,
         )
         ids_out, scores_out = score_shard(
-            lists, blocks, idfs, avgdl, parsed, k, ex_lists, allowed, pos_lists
+            lists, blocks, idfs, avgdl, parsed, k, ex_lists, allowed,
+            pos_lists, after,
         )
         return pd.DataFrame({"doc_id": ids_out, "score": scores_out})
 
@@ -1662,6 +1707,53 @@ def search_sorted(
     if offset:
         out = out.offset(offset)
     return out.limit(k)
+
+
+def search_after_topk(
+    built,
+    parsed: ParsedQuery,
+    k: int = DEFAULT_TOP_K,
+    after: tuple[float, int] | None = None,
+    source_df: DataFrame | None = None,
+    tombstones: DataFrame | None = None,
+    path: str = "wand",
+) -> DataFrame:
+    """Relevance-order cursor paging (round-6, FIXTURES.md §3.23): the
+    k docs strictly after ``after`` = (rounded_score, doc_id) in the
+    frozen paging order (round(score, 6) DESC, doc_id ASC);
+    ``after=None`` is page 1 of that order. Page-walk == offset paging
+    over the same order (the oracle states LIMIT k OFFSET N). Scores
+    come back ALREADY rounded — they are the paging key.
+
+    Engine shape: identical to a plain top-k (one pruned scan, one
+    exchange) — the cursor filter runs inside the scorer before every
+    local heap, and the WAND theta seed is restricted to docs beyond
+    the cursor (subset-seed exactness, with the raw-vs-rounded pruning
+    bound relaxed by one rounding quantum). Deep pages therefore cost
+    the same as page 1, never an offset+k heap."""
+    from xsearch_spark.constants import SCORE_ROUND_DECIMALS
+
+    if path == "rel":
+        from xsearch_spark.operators import search as rel
+
+        scored = _index_match_scored(built, parsed, source_df, tombstones)
+        scored = scored.select(
+            "doc_id",
+            F.round(F.col("score"), SCORE_ROUND_DECIMALS).alias("score"),
+        )
+        if after is not None:
+            cs, cd = float(after[0]), int(after[1])
+            scored = scored.filter(
+                (F.col("score") < cs)
+                | ((F.col("score") == cs) & (F.col("doc_id") > cd))
+            )
+        return rel.top_k(scored, k)
+    cur = (
+        (float(after[0]), int(after[1]))
+        if after is not None
+        else (float("inf"), -1)  # page 1: keep all, order by round6
+    )
+    return search_wand(built, parsed, k, source_df, tombstones, after=cur)
 
 
 def field_stats(

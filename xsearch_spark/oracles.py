@@ -444,6 +444,83 @@ FROM scored ORDER BY raw_score DESC, doc_id ASC LIMIT {k}
 """
 
 
+def title_documents_sql(table: str = "documents", n: int = 6) -> str:
+    """Derived-table SQL: the deterministic fielded stand-in corpus —
+    `title` = the first ``n`` space-separated words of text, exposed AS
+    the table's text column (DuckDB side of the §3.25 gate; exact twin
+    of ``operators.fields.with_title``)."""
+    return (
+        f"(SELECT doc_id, array_to_string(list_slice(string_split(text, ' '), "
+        f"1, {int(n)}), ' ') AS text, lang, source, n_chars FROM {table})"
+    )
+
+
+def multi_field_sql(
+    field_specs: "list[tuple[str, ParsedQuery, float]]",
+    k: int = 10,
+    extra_doc_pred: str | None = None,
+) -> str:
+    """Multi-field fused-search oracle (round-6, FIXTURES.md §3.25):
+    each (table_expr, parsed, weight) contributes its FULL §3.2 match
+    set scored with that table's own field-local statistics; fused
+    score = sum of weighted per-field raw scores per doc, rounded
+    AFTER summation, top-k (score DESC, doc_id ASC). Declarative twin
+    of ``operators.fields.multi_field_search``."""
+    parts = []
+    for tbl, parsed, w in field_specs:
+        if _no_positive(parsed):
+            continue
+        ctes = _match_ctes(parsed, tbl, extra_doc_pred)
+        parts.append(
+            f"SELECT doc_id, raw_score * {float(w)!r} AS ws FROM "
+            f"(WITH {ctes} SELECT doc_id, raw_score FROM scored)"
+        )
+    if not parts:
+        return "SELECT doc_id, 0.0::DOUBLE AS score FROM documents WHERE false"
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+SELECT doc_id, round(sum(ws), {R}) AS score
+FROM ({union})
+GROUP BY doc_id
+ORDER BY sum(ws) DESC, doc_id ASC LIMIT {int(k)}
+"""
+
+
+def bm25_after_sql(
+    parsed: ParsedQuery,
+    k: int = 10,
+    after: tuple[float, int] | None = None,
+    offset: int = 0,
+    table: str = "documents",
+    extra_doc_pred: str | None = None,
+    array_fields: tuple[str, ...] = (),
+) -> str:
+    """Relevance-order cursor-paging oracle (round-6, FIXTURES.md
+    §3.23): the match set ordered by the FROZEN paging key
+    (round(score, 6) DESC, doc_id ASC), rows strictly after the
+    ``after`` cursor (or rows [offset, offset+k) — cursor-walk ==
+    offset paging is the frozen equivalence). Shares ``_match_ctes``
+    with every other aggregate (one source of match truth)."""
+    if after is not None and offset:
+        raise ValueError("offset and after are mutually exclusive")
+    if _no_positive(parsed):
+        return "SELECT doc_id, 0.0::DOUBLE AS score FROM documents WHERE false"
+    ctes = _match_ctes(parsed, table, extra_doc_pred, array_fields)
+    cursor = ""
+    if after is not None:
+        cs, cd = float(after[0]), int(after[1])
+        cursor = (
+            f"WHERE round(raw_score, {R}) < {cs!r} "
+            f"OR (round(raw_score, {R}) = {cs!r} AND doc_id > {cd})"
+        )
+    return f"""
+WITH {ctes}
+SELECT doc_id, round(raw_score, {R}) AS score
+FROM scored {cursor}
+ORDER BY score DESC, doc_id ASC LIMIT {k} OFFSET {offset}
+"""
+
+
 def facet_sql(
     parsed: ParsedQuery,
     field: str,
