@@ -150,6 +150,10 @@ _ATTR_QUERY_SET = {
     # min_match slot — fuzzy keeps its engine-path gate (bm25_wand_fuzzy)
     # and the rel-path exclusion neighborhood stays parity-swept
     "bm25_wand_fuzzy": ("sort sow~1", "wand"),
+    # wildcard groups (round-6, FIXTURES.md §3.24): an interior-
+    # star pattern + plain term + exclusion wildcard — the glob rides
+    # the startswith-bounded scan, membership narrows executor-side
+    "bm25_wand_wildcard": ("s*t hash -d*p", "wand"),
     # numeric range filters (round-6, FIXTURES.md §3.13): n_chars rides
     # the index as order-preserving-encoded attr postings, so a range
     # is a pushed term-interval scan — the wand entry takes a selective
@@ -1057,7 +1061,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_simhash": _q_simhash,
             "dedup_exact_keep": _q_dedup_keep,
             "ann_cosine_topk": _q_ann_cosine,
-            "ann_lsh_buckets": _q_ann_lsh_buckets,
+            # round-6: ann_lsh_buckets demoted to extras for the
+            # bm25_wand_wildcard slot — the identical SRP projection is
+            # structurally embedded in the gated ann_ivf_topk /
+            # ann_ivf_tombstone serving path (bucket-partitioned index
+            # build + the query_bucket_of Python-twin parity)
             "ann_ivf_topk": _q_ann_ivf,
             "ann_ivf_tombstone": _q_ann_ivf_tombstone,
             # round-6: emb_cosine_pairs demoted to extras for the
@@ -1162,6 +1170,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-6 demotion for the multi_field_search slot (the gated
         # emb_near_clusters embeds the same verified pair join)
         "emb_cosine_pairs": _q_emb_pairs,
+        # round-6 demotion for the bm25_wand_wildcard slot (the SRP
+        # projection stays gated inside the IVF serving entries)
+        "ann_lsh_buckets": _q_ann_lsh_buckets,
     }
     for name in sorted(_BATCH_ONLY):
         q[name] = _make_bm25_query(_QUERY_SET[name])
@@ -1225,6 +1236,7 @@ WHERE rn = 1
             offset=5,
         ),
         "emb_cosine_pairs": op.emb_cosine_pairs_sql(0.2, 8),
+        "ann_lsh_buckets": op.lsh_buckets_sql(8),
     }
     for name in sorted(_BATCH_ONLY):
         o[name] = oracles.bm25_sql(parse(_QUERY_SET[name]))
@@ -1263,7 +1275,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_near_clusters": op.near_dup_clusters_sql(16, 4, 3, 0.3),
         "dedup_simhash": op.simhash_sql(),
         "ann_cosine_topk": op.cosine_topk_sql(0, 10),
-        "ann_lsh_buckets": op.lsh_buckets_sql(8),
+
         "text_lang_id": op.lang_id_sql(),
         "text_quality_score": op.quality_score_sql(),
         "text_token_counts": op.token_counts_sql(),

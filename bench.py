@@ -49,6 +49,8 @@ QUERIES = {
     "q25_group": "(hash OR join) sort -(dup OR slow)",
     # round-6 §3.20 minimum should match over the hot-OR shape
     "q26_msm": "the OR scan OR join min_match:2",
+    # round-6 §3.24 wildcard group (prefix-bounded scan + glob narrow)
+    "q28_wildcard": "s*t hash -d*p",
 }
 
 # served through parse(attr_fields=...) — n_chars range rides the

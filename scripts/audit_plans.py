@@ -302,6 +302,29 @@ def main() -> None:
         "plan is indistinguishable from a plain multi-term query's.",
     ))
 
+    # 5e2d. wildcard group (round-6 §3.24): the scan is bounded by the
+    # pushed literal prefix before the first '*' (the same
+    # StringStartsWith range as a prefix group); glob membership
+    # narrows executor-side — no source, no poss, no full sweep
+    ww_plan = plan_of(search_wand(built, parse("s*t hash -d*p")))
+    assert "documents.parquet" not in ww_plan, (
+        "wildcard plan scans the source table"
+    )
+    assert "poss" not in ww_plan, "non-phrase wildcard plan reads poss"
+    assert "StringStartsWith" in ww_plan, (
+        "wildcard pattern prefix not pushed to the dictionary scan — "
+        "the expansion degenerates to a full sweep"
+    )
+    sections.append((
+        "Q8 WAND wildcard group (prefix-bounded scan, glob membership)",
+        ww_plan,
+        ["MapInPandas", "TakeOrderedAndProject", "StringStartsWith"],
+        "A wildcard pattern reads only the dictionary range under its "
+        "literal prefix (pushed startswith; term-sorted row groups "
+        "bound the read); the anchored-glob membership and exclusion "
+        "narrow executor-side in the scorer.",
+    ))
+
     # 5e2c. minimum should match (round-6 §3.20): clause counting is
     # scorer-internal — the plan is byte-for-byte the plain hot-OR
     # query's (bucket-pruned IN scan, no source, no poss, no sweep)

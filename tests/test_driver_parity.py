@@ -103,8 +103,8 @@ def test_registry_fits_driver_cap():
         # score explanation (§3.22) + relevance-cursor paging (§3.23)
         "bm25_wand_group", "bm25_wand_msm", "explain_score",
         "search_after_score",
-        # multi-field fused search (§3.25)
-        "multi_field_search",
+        # multi-field fused search (§3.25) + wildcard groups (§3.24)
+        "multi_field_search", "bm25_wand_wildcard",
     ]:
         assert must in q, f"engine surface {must} lost its driver slot"
     # no overlap between the gated and extra registries

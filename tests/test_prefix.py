@@ -75,7 +75,9 @@ def test_prefix_parse():
     assert parse("foo-bar*").prefixes == ()
     assert parse("foo-bar*").terms == ("foo", "bar")
     assert parse("*").prefixes == () and parse("*").terms == ()
-    assert parse("s**").prefixes == () and parse("s**").terms == ("s",)
+    # round-6 §3.24: a repeated/interior '*' is a WILDCARD group now
+    # (pre-§3.24 this degraded to the plain term) — still not a prefix
+    assert parse("s**").prefixes == () and parse("s**").wildcards == ("s**",)
     # '*' inside a quoted span is a separator, never a prefix
     q = parse('"hash join*"')
     assert q.prefixes == () and q.phrases == (("hash", "join"),)

@@ -146,6 +146,31 @@ def fuzzy_candidates(body: str) -> tuple[str, ...]:
     return tuple(sorted(out))
 
 
+def wildcard_regex(pattern: str) -> str:
+    """Anchored regex for a §3.24 wildcard pattern over the term
+    alphabet: each ``*`` matches any run of term characters (incl.
+    empty); everything else is literal. The SAME string is valid and
+    equivalent under Python ``re``, Java regex (Spark ``rlike``), and
+    RE2 (DuckDB ``regexp_matches``) — no lookarounds, no
+    backreferences, one character class."""
+    import re as _re
+
+    return (
+        "^"
+        + "".join(
+            "[a-z0-9_]*" if c == "*" else _re.escape(c) for c in pattern
+        )
+        + "$"
+    )
+
+
+def wildcard_scan_prefix(pattern: str) -> str:
+    """The literal prefix before the first ``*`` — what bounds the
+    dictionary scan (§3.24 requires it non-empty: leading wildcards
+    would force a full vocabulary sweep and RAISE at parse)."""
+    return pattern.split("*", 1)[0]
+
+
 # --- Skew handling (SURVEY.md B5, §4) ------------------------------------
 # Terms whose document frequency exceeds this fraction of total postings
 # divided by the shuffle partition count are "hot" and get salted.

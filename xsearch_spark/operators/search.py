@@ -54,13 +54,18 @@ def positive_term_pred(parsed: ParsedQuery):
     membership (plain terms + prefix startswith + fuzzy/boolean group
     members) — the ONE source of relational match truth, shared by
     score_postings and explain_score."""
+    from xsearch_spark.constants import wildcard_regex
+
     prefixes = list(getattr(parsed, "prefixes", ()))
+    wildcards = list(getattr(parsed, "wildcards", ()))
     set_groups = _set_groups(parsed)
 
     def term_pred(col: "F.Column") -> "F.Column":
         cond = col.isin(list(parsed.terms)) if parsed.terms else F.lit(False)
         for p in prefixes:
             cond = cond | col.startswith(p)
+        for w in wildcards:  # §3.24: anchored glob membership
+            cond = cond | col.rlike(wildcard_regex(w))
         for g in set_groups:
             cond = cond | col.isin(g)
         return cond
@@ -93,9 +98,12 @@ def score_postings(
     same shape with membership in the exactly-enumerated d=1
     neighborhood (an IN literal) instead of ``startswith``.
     """
+    from xsearch_spark.constants import wildcard_regex
+
     prefixes = list(getattr(parsed, "prefixes", ()))
+    wildcards = list(getattr(parsed, "wildcards", ()))
     fuzzy_groups = _set_groups(parsed)
-    if not parsed.terms and not prefixes and not fuzzy_groups:
+    if not parsed.terms and not prefixes and not wildcards and not fuzzy_groups:
         return postings_df.sparkSession.createDataFrame(
             [], "doc_id long, score double"
         )
@@ -135,22 +143,31 @@ def score_postings(
                 F.when(F.col("term").isin(g), F.lit(1)).otherwise(F.lit(0))
             ).alias(f"_fz{i}")
         )
+    for i, wc in enumerate(wildcards):  # §3.24: glob-membership flags
+        aggs.append(
+            F.max(
+                F.when(
+                    F.col("term").rlike(wildcard_regex(wc)), F.lit(1)
+                ).otherwise(F.lit(0))
+            ).alias(f"_wc{i}")
+        )
     agg = scored.groupBy("doc_id").agg(*aggs)
+    group_flags = (
+        [f"_pfx{i}" for i in range(len(prefixes))]
+        + [f"_fz{i}" for i in range(len(fuzzy_groups))]
+        + [f"_wc{i}" for i in range(len(wildcards))]
+    )
     if parsed.connective == "AND":
         if parsed.terms:
             agg = agg.filter(F.col("n_terms") == len(parsed.terms))
-        for i in range(len(prefixes)):
-            agg = agg.filter(F.col(f"_pfx{i}") == 1)
-        for i in range(len(fuzzy_groups)):
-            agg = agg.filter(F.col(f"_fz{i}") == 1)
+        for flag in group_flags:
+            agg = agg.filter(F.col(flag) == 1)
     elif getattr(parsed, "min_match", 0):
         # §3.20: >= min_match satisfied clauses (plain terms count
         # individually; each group's >= 1 flag contributes one)
         sat = F.col("n_terms") if parsed.terms else F.lit(0)
-        for i in range(len(prefixes)):
-            sat = sat + F.col(f"_pfx{i}")
-        for i in range(len(fuzzy_groups)):
-            sat = sat + F.col(f"_fz{i}")
+        for flag in group_flags:
+            sat = sat + F.col(flag)
         agg = agg.filter(sat >= F.lit(parsed.min_match))
     return agg.select("doc_id", "score")
 
@@ -293,8 +310,9 @@ def apply_doc_filters(
     ex_prefixes = getattr(parsed, "exclude_prefixes", ())
     ex_fuzzies = getattr(parsed, "exclude_fuzzies", ())
     ex_groups = getattr(parsed, "exclude_groups", ())
-    if parsed.exclude or ex_prefixes or ex_fuzzies or ex_groups:
-        from xsearch_spark.constants import fuzzy_candidates
+    ex_wildcards = getattr(parsed, "exclude_wildcards", ())
+    if parsed.exclude or ex_prefixes or ex_fuzzies or ex_groups or ex_wildcards:
+        from xsearch_spark.constants import fuzzy_candidates, wildcard_regex
 
         cond = (
             F.col("term").isin(list(parsed.exclude))
@@ -307,6 +325,8 @@ def apply_doc_filters(
             cond = cond | F.col("term").isin(list(fuzzy_candidates(b)))
         for g in ex_groups:  # round-6 §3.19: -(a OR b) drops docs
             cond = cond | F.col("term").isin(list(g))  # with ANY member
+        for wc in ex_wildcards:  # round-6 §3.24: -pat drops docs with
+            cond = cond | F.col("term").rlike(wildcard_regex(wc))
         bad = postings_df.filter(cond).select("doc_id").distinct()
         out = out.join(bad, "doc_id", "left_anti")
     return out

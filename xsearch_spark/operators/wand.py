@@ -34,6 +34,8 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import re
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -54,6 +56,8 @@ from xsearch_spark.constants import (
     attr_term,
     fuzzy_candidates,
     idf as idf_py,
+    wildcard_regex,
+    wildcard_scan_prefix,
 )
 from xsearch_spark.functions import codec
 from xsearch_spark.functions.buckets import buckets_of
@@ -162,10 +166,20 @@ def score_shard(
     fz_members = [
         [t for t in lists if t in s and t not in parsed.terms] for s in fuzzy_sets
     ]
+    # wildcard groups (round-6, FIXTURES.md §3.24): prefix-group shape
+    # with anchored-glob membership over the shard vocabulary
+    wc_regexes = [
+        re.compile(wildcard_regex(w)) for w in getattr(parsed, "wildcards", ())
+    ]
+    wc_members = [
+        [t for t in lists if rx.fullmatch(t) and t not in parsed.terms]
+        for rx in wc_regexes
+    ]
     scored_terms = (
         present
         + [t for ms in pfx_members.values() for t in ms]
         + [t for ms in fz_members for t in ms]
+        + [t for ms in wc_members for t in ms]
     )
     scored_terms = list(dict.fromkeys(scored_terms))
     if not scored_terms:
@@ -174,9 +188,11 @@ def score_shard(
         if len(present) != len(parsed.terms):
             return np.empty(0, np.int64), np.empty(0, np.float64)
         group_lists = [lists[t][0] for t in present]
-        member_sets = [
-            [t for t in lists if t.startswith(p)] for p in prefixes
-        ] + [[t for t in lists if t in s] for s in fuzzy_sets]
+        member_sets = (
+            [[t for t in lists if t.startswith(p)] for p in prefixes]
+            + [[t for t in lists if t in s] for s in fuzzy_sets]
+            + [[t for t in lists if rx.fullmatch(t)] for rx in wc_regexes]
+        )
         for group in member_sets:
             # a member that is also a plain term still satisfies the
             # group — re-include it here (pfx_members/fz_members keep it
@@ -199,7 +215,7 @@ def score_shard(
     else:
         msm = int(getattr(parsed, "min_match", 0) or 0)
         clause_arrays = (
-            _msm_clause_arrays(present, prefixes, fuzzy_sets, lists)
+            _msm_clause_arrays(present, prefixes, fuzzy_sets, wc_regexes, lists)
             if msm
             else None
         )
@@ -422,14 +438,17 @@ def _msm_clause_arrays(
     present: list[str],
     prefixes: tuple[str, ...],
     fuzzy_sets: list[frozenset[str]],
+    wc_regexes: "list[re.Pattern[str]]",
     lists: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]],
 ) -> list[np.ndarray]:
     """One sorted-unique doc array per positive CLAUSE (§3.20): each
-    present plain term, then each prefix/fuzzy/boolean group (the union
-    of its local members' lists — a group is satisfied by >= 1)."""
-    member_sets = [[t for t in lists if t.startswith(p)] for p in prefixes] + [
-        [t for t in lists if t in s] for s in fuzzy_sets
-    ]
+    present plain term, then each prefix/fuzzy/boolean/wildcard group
+    (the union of its local members' lists — satisfied by >= 1)."""
+    member_sets = (
+        [[t for t in lists if t.startswith(p)] for p in prefixes]
+        + [[t for t in lists if t in s] for s in fuzzy_sets]
+        + [[t for t in lists if rx.fullmatch(t)] for rx in wc_regexes]
+    )
     return [lists[t][0] for t in present] + [
         np.unique(np.concatenate([lists[t][0] for t in ms]))
         if ms
@@ -600,6 +619,7 @@ def _assemble_shard(
     attr_terms: set[str] | frozenset[str] = frozenset(),
     position_terms: set[str] | frozenset[str] = frozenset(),
     exclude_prefixes: tuple[str, ...] = (),
+    exclude_patterns: "tuple[re.Pattern[str], ...]" = (),
 ) -> tuple:
     """Decode one shard's index rows into per-term posting arrays.
 
@@ -636,9 +656,11 @@ def _assemble_shard(
     has_poss = "poss" in g.columns
     for r in g.itertuples(index=False):
         ids = codec.decode_doc_ids(r.doc_ids).astype(np.int64)
-        if r.term in exclude_terms or (
-            exclude_prefixes and r.term.startswith(exclude_prefixes)
-        ):  # -body* (round-6): exclusion wins over any positive match
+        if (
+            r.term in exclude_terms
+            or (exclude_prefixes and r.term.startswith(exclude_prefixes))
+            or any(rx.fullmatch(r.term) for rx in exclude_patterns)
+        ):  # -body* / -pat*ern (round-6): exclusion wins over positive
             ex_lists.append(ids)
             continue
         if r.term in attr_terms:
@@ -935,6 +957,17 @@ def search_wand(
     all_terms = list(parsed.terms) + list(parsed.exclude)
     prefixes = tuple(getattr(parsed, "prefixes", ()))
     exclude_prefixes = tuple(getattr(parsed, "exclude_prefixes", ()))
+    # wildcard groups (§3.24): scan bounded by the literal prefix
+    # before the first '*'; glob membership narrows executor-side
+    wildcards = tuple(getattr(parsed, "wildcards", ()))
+    exclude_wildcards = tuple(getattr(parsed, "exclude_wildcards", ()))
+    wc_pos_rx = tuple(re.compile(wildcard_regex(w)) for w in wildcards)
+    wc_neg_rx = tuple(
+        re.compile(wildcard_regex(w)) for w in exclude_wildcards
+    )
+    wc_scan_prefixes = [
+        wildcard_scan_prefix(w) for w in wildcards + exclude_wildcards
+    ]
     fz_pos, fz_neg = _fuzzy_unions(parsed)
     use_attr_lang = parsed.lang is not None and getattr(
         built, "has_attr", lambda f: False
@@ -954,7 +987,7 @@ def search_wand(
     rows = pruned_index_scan_prefix(
         built.index_df,
         scan_terms,
-        list(prefixes) + list(exclude_prefixes),
+        list(prefixes) + list(exclude_prefixes) + wc_scan_prefixes,
         built.num_buckets,
         term_ranges=range_specs,
     )
@@ -963,7 +996,7 @@ def search_wand(
     if row_df:
         static_idfs = None
     else:  # pre-v4 fallback: driver dictionary
-        if prefixes or exclude_prefixes or fz_pos or fz_neg:
+        if prefixes or exclude_prefixes or fz_pos or fz_neg or wc_pos_rx or wc_neg_rx:
             # the expansion set is only enumerable executor-side from
             # the denormalized df rows; a driver-dictionary expansion
             # would collect the vocabulary (the anti-pattern audit_plans
@@ -993,13 +1026,16 @@ def search_wand(
             positive = positive | g["term"].str.startswith(tuple(prefixes))
         if fz_pos:
             positive = positive | g["term"].isin(fz_pos)
+        for rx in wc_pos_rx:
+            positive = positive | g["term"].str.fullmatch(rx).fillna(False)
         if not positive.any():
             return pd.DataFrame(_EMPTY_TOPK)
         # numeric range rows (round-6 §3.13) are interval-membership
         # allowlist carriers — split them out before posting assembly
         g, range_lists = _split_range_rows(g, range_specs)
         lists, blocks, ex_lists, dfs, attr_lists, pos_lists = _assemble_shard(
-            g, exclude_terms, avgdl, attr_set, phrase_terms, exclude_prefixes
+            g, exclude_terms, avgdl, attr_set, phrase_terms, exclude_prefixes,
+            wc_neg_rx,
         )
         # AND-intersect every index-side attr allowlist into `allowed`
         # (which may already hold the pre-v5 cogroup lang allowlist)
@@ -1072,6 +1108,8 @@ def search_wand(
             and not prefixes
             and not exclude_prefixes
             and not fz_pos
+            and not wc_pos_rx
+            and not wc_neg_rx
             and not range_specs
             and getattr(built, "unique_term_shard", False)
         ):
@@ -1139,6 +1177,36 @@ def search_wand_batch(
             + list(getattr(p, "exclude_prefixes", ()))
         }
     )
+    # wildcard groups (round-6 §3.24): the scan covers the union of
+    # every query's pattern prefixes; per-query membership re-derives
+    # executor-side by anchored-glob match
+    q_wc = {
+        qid: (
+            tuple(
+                re.compile(wildcard_regex(w))
+                for w in getattr(p, "wildcards", ())
+            ),
+            tuple(
+                re.compile(wildcard_regex(w))
+                for w in getattr(p, "exclude_wildcards", ())
+            ),
+        )
+        for qid, p in queries.items()
+    }
+    all_wc_prefixes = sorted(
+        {
+            wildcard_scan_prefix(w)
+            for p in queries.values()
+            for w in list(getattr(p, "wildcards", ()))
+            + list(getattr(p, "exclude_wildcards", ()))
+        }
+    )
+    all_pos_rx = tuple(
+        re.compile(wildcard_regex(w))
+        for w in sorted(
+            {w for p in queries.values() for w in getattr(p, "wildcards", ())}
+        )
+    )
     # fuzzy groups (round-6): per-query enumerated neighborhoods; the
     # scan covers their union as ordinary exact terms
     q_fuzzy = {qid: _fuzzy_unions(p) for qid, p in queries.items()}
@@ -1178,7 +1246,7 @@ def search_wand_batch(
     rows = pruned_index_scan_prefix(
         built.index_df,
         scan_terms,
-        all_prefixes,
+        all_prefixes + all_wc_prefixes,
         built.num_buckets,
         term_ranges=all_range_specs,
     )
@@ -1187,7 +1255,7 @@ def search_wand_batch(
     if "df" in rows.columns:
         static_stats = None
     else:  # pre-v4 fallback
-        if all_prefixes or all_fuzzy:
+        if all_prefixes or all_fuzzy or all_wc_prefixes:
             raise ValueError(
                 "prefix/fuzzy/group queries require a v4+ index (denormalized df)"
             )
@@ -1207,6 +1275,8 @@ def search_wand_batch(
         positive = g["term"].isin(positive_all)
         if positive_prefixes:
             positive = positive | g["term"].str.startswith(positive_prefixes)
+        for rx in all_pos_rx:
+            positive = positive | g["term"].str.fullmatch(rx).fillna(False)
         if not positive.any():
             return pd.DataFrame(
                 {"query_id": pd.Series(dtype=object), **_EMPTY_TOPK}
@@ -1229,21 +1299,24 @@ def search_wand_batch(
             ppfx = tuple(getattr(p, "prefixes", ()))
             expfx = tuple(getattr(p, "exclude_prefixes", ()))
             fz_pos_q, fz_neg_q = q_fuzzy[qid]
+            wc_pos_q, wc_neg_q = q_wc[qid]
 
             def q_has(t: str) -> bool:
                 # mirror the single-query path's _assemble_shard routing:
-                # exclusion (exact, prefixed, or fuzzy-neighborhood)
-                # wins over positive match
+                # exclusion (exact, prefixed, fuzzy-neighborhood, or
+                # wildcard) wins over positive match
                 if (
                     t in ex_terms
                     or (expfx and t.startswith(expfx))
                     or t in fz_neg_q
+                    or any(rx.fullmatch(t) for rx in wc_neg_q)
                 ):
                     return False
                 return (
                     t in p.terms
                     or (bool(ppfx) and t.startswith(ppfx))
                     or t in fz_pos_q
+                    or any(rx.fullmatch(t) for rx in wc_pos_q)
                 )
 
             q_lists = {t: lists[t] for t in lists if q_has(t)}
@@ -1257,6 +1330,7 @@ def search_wand_batch(
                 if t in ex_terms
                 or (expfx and t.startswith(expfx))
                 or t in fz_neg_q
+                or any(rx.fullmatch(t) for rx in wc_neg_q)
             ]
             if tombs is not None and tombs.size:
                 ex = ex + [tombs]
@@ -1389,7 +1463,12 @@ def _index_match_scored(
         built.index_df,
         all_terms,
         list(getattr(parsed, "prefixes", ()))
-        + list(getattr(parsed, "exclude_prefixes", ())),
+        + list(getattr(parsed, "exclude_prefixes", ()))
+        + [
+            wildcard_scan_prefix(w)
+            for w in list(getattr(parsed, "wildcards", ()))
+            + list(getattr(parsed, "exclude_wildcards", ()))
+        ],
         built.num_buckets,
     )
     long_postings = seg.decode_postings(rows)
@@ -1923,7 +2002,11 @@ def explain_score(built, parsed: ParsedQuery, doc_id: int) -> DataFrame:
     rows = pruned_index_scan_prefix(
         built.index_df,
         all_terms,
-        list(getattr(parsed, "prefixes", ())),
+        list(getattr(parsed, "prefixes", ()))
+        + [
+            wildcard_scan_prefix(w)
+            for w in getattr(parsed, "wildcards", ())
+        ],
         built.num_buckets,
     )
     rows = _prune_poss(rows, False)

@@ -16,6 +16,7 @@ from xsearch_spark.constants import (
     TOKEN_SPLIT_REGEX,
     bm25_weight_sql,
     idf_sql,
+    wildcard_regex,
 )
 from xsearch_spark.plans.query import ParsedQuery
 
@@ -35,6 +36,7 @@ def _no_positive(parsed: ParsedQuery) -> bool:
         or getattr(parsed, "prefixes", ())
         or getattr(parsed, "fuzzies", ())
         or getattr(parsed, "groups", ())
+        or getattr(parsed, "wildcards", ())
     )
 
 
@@ -215,6 +217,7 @@ def bm25_code_sql(
         if getattr(parsed, "prefixes", ())
         or getattr(parsed, "fuzzies", ())
         or getattr(parsed, "groups", ())
+        or getattr(parsed, "wildcards", ())
         or getattr(parsed, "min_match", 0)
         else ""
     )
@@ -299,6 +302,8 @@ def _term_pred_sql(parsed: ParsedQuery, col: str = "tf.term") -> str:
     for g in getattr(parsed, "groups", ()):  # §3.19: explicit member set
         members = ", ".join(_sql_quote(t) for t in g)
         conds.append(f"{col} IN ({members})")
+    for wc in getattr(parsed, "wildcards", ()):  # §3.24: anchored glob
+        conds.append(f"regexp_matches({col}, {_sql_quote(wildcard_regex(wc))})")
     return "(" + " OR ".join(conds) + ")"
 
 
@@ -316,6 +321,8 @@ def _not_filter_sql(parsed: ParsedQuery) -> str:
     for g in getattr(parsed, "exclude_groups", ()):  # §3.19: any member
         members = ", ".join(_sql_quote(t) for t in g)
         conds.append(f"term IN ({members})")
+    for wc in getattr(parsed, "exclude_wildcards", ()):  # §3.24
+        conds.append(f"regexp_matches(term, {_sql_quote(wildcard_regex(wc))})")
     if not conds:
         return ""
     return (
@@ -332,6 +339,21 @@ def _having_sql(parsed: ParsedQuery) -> str:
     prefixes = getattr(parsed, "prefixes", ())
     fuzzies = getattr(parsed, "fuzzies", ())
     groups = getattr(parsed, "groups", ())
+    wildcards = getattr(parsed, "wildcards", ())
+    # one ">= 1 member present" condition per term-set group, shared by
+    # the AND form (each must hold) and the msm form (each counts one)
+    group_conds = (
+        [f"starts_with(term, {_sql_quote(p)})" for p in prefixes]
+        + [_lev_pred_sql("term", b) for b in fuzzies]
+        + [
+            "term IN (" + ", ".join(_sql_quote(t) for t in g) + ")"
+            for g in groups
+        ]
+        + [
+            f"regexp_matches(term, {_sql_quote(wildcard_regex(wc))})"
+            for wc in wildcards
+        ]
+    )
     if parsed.connective != "AND":
         msm = int(getattr(parsed, "min_match", 0) or 0)
         if not msm:
@@ -343,23 +365,10 @@ def _having_sql(parsed: ParsedQuery) -> str:
         if parsed.terms:
             terms_list = ", ".join(_sql_quote(t) for t in parsed.terms)
             parts.append(f"count(*) FILTER (WHERE term IN ({terms_list}))")
-        for p in prefixes:
-            parts.append(
-                f"(count(*) FILTER (WHERE starts_with(term, "
-                f"{_sql_quote(p)})) >= 1)::INT"
-            )
-        for b in fuzzies:
-            parts.append(
-                f"(count(*) FILTER (WHERE {_lev_pred_sql('term', b)}) "
-                f">= 1)::INT"
-            )
-        for g in groups:
-            members = ", ".join(_sql_quote(t) for t in g)
-            parts.append(
-                f"(count(*) FILTER (WHERE term IN ({members})) >= 1)::INT"
-            )
+        for gc in group_conds:
+            parts.append(f"(count(*) FILTER (WHERE {gc}) >= 1)::INT")
         return "HAVING " + " + ".join(parts) + f" >= {msm}"
-    if not prefixes and not fuzzies and not groups:
+    if not group_conds:
         return f"HAVING count(*) = {len(parsed.terms)}"
     conds = []
     if parsed.terms:
@@ -368,17 +377,8 @@ def _having_sql(parsed: ParsedQuery) -> str:
             f"count(*) FILTER (WHERE term IN ({terms_list})) = "
             f"{len(parsed.terms)}"
         )
-    for p in prefixes:
-        conds.append(
-            f"count(*) FILTER (WHERE starts_with(term, {_sql_quote(p)})) >= 1"
-        )
-    for b in fuzzies:
-        conds.append(
-            f"count(*) FILTER (WHERE {_lev_pred_sql('term', b)}) >= 1"
-        )
-    for g in groups:  # §3.19: >= 1 member of each boolean group
-        members = ", ".join(_sql_quote(t) for t in g)
-        conds.append(f"count(*) FILTER (WHERE term IN ({members})) >= 1")
+    for gc in group_conds:  # >= 1 member of each term-set group
+        conds.append(f"count(*) FILTER (WHERE {gc}) >= 1")
     return "HAVING " + " AND ".join(conds)
 
 
@@ -408,6 +408,7 @@ def _match_ctes(
         if getattr(parsed, "prefixes", ())
         or getattr(parsed, "fuzzies", ())
         or getattr(parsed, "groups", ())
+        or getattr(parsed, "wildcards", ())
         or getattr(parsed, "min_match", 0)
         else ""
     )

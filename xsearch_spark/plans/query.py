@@ -79,6 +79,13 @@ Grammar (xsearch-style free-text term bag, plus the pinned extensions):
                             semantics as prefix/fuzzy groups with an
                             explicit member set.
 
+  * ``wi*rd``            -> WILDCARD group (round 6, FIXTURES.md
+                            §3.24): >= 1 vocabulary term matching the
+                            anchored glob (``*`` = any term-char run);
+                            members score like bare terms; ``-pat``
+                            excludes. Leading ``*`` raises (no scan
+                            bound); a single trailing ``*`` stays a
+                            PREFIX group.
   * ``synonyms=``        -> SYNONYM EXPANSION (round 6, FIXTURES.md
                             §3.21, a parse() kwarg not query syntax):
                             positive plain terms with an entry become
@@ -112,6 +119,10 @@ _MAX_FUZZY_LEN = 64  # = constants.MAX_FUZZY_LEN (bounds the neighborhood)
 # base/code emission alphabet) — anything else keeps plain-text
 # semantics so `foo-bar*` or `*` alone never silently become filters
 _PREFIX_BODY_RE = re.compile(r"[a-z0-9_]+\Z")
+# a wildcard body (round-6, FIXTURES.md §3.24) is term chars + '*'
+# with a LITERAL first char (leading '*' raises — scan-bound rule)
+_WILDCARD_BODY_RE = re.compile(r"[a-z0-9_][a-z0-9_*]*\Z")
+_WILDCARD_CHARS_RE = re.compile(r"[a-z0-9_*]+\Z")
 # a fuzzy token is body~[N] with the same single-term body shape; the
 # distance digits are validated separately (only 0/absent/1 are legal)
 _FUZZY_TOKEN_RE = re.compile(r"(?P<body>[a-z0-9_]+)~(?P<d>\d*)\Z")
@@ -180,6 +191,12 @@ class ParsedQuery:
     # with the member set given explicitly instead of derived.
     groups: tuple[tuple[str, ...], ...] = field(default_factory=tuple)
     exclude_groups: tuple[tuple[str, ...], ...] = field(default_factory=tuple)
+    # wildcard groups (round-6, FIXTURES.md §3.24): anchored glob
+    # patterns over the term alphabet (`*` = any run); prefix-group
+    # semantics with glob membership. exclude_wildcards drop docs
+    # containing ANY matching term.
+    wildcards: tuple[str, ...] = field(default_factory=tuple)
+    exclude_wildcards: tuple[str, ...] = field(default_factory=tuple)
     # minimum should match (round-6, FIXTURES.md §3.20): under OR the
     # doc must satisfy >= min_match positive clauses (plain term = one
     # clause; each prefix/fuzzy/boolean group = one clause, satisfied
@@ -231,6 +248,8 @@ def parse(
     slops: list[int] = []
     prefixes: list[str] = []
     exclude_prefixes: list[str] = []
+    wildcards: list[str] = []
+    exclude_wildcards: list[str] = []
     fuzzies: list[str] = []
     exclude_fuzzies: list[str] = []
     ranges: list[tuple[str, int | None, int | None]] = []
@@ -398,15 +417,29 @@ def parse(
                 if not neg:
                     boosts.append((term, b))
             continue
-        if body.endswith("*"):
-            pre = body[:-1].lower()
-            if _PREFIX_BODY_RE.fullmatch(pre):
-                target_p = exclude_prefixes if neg else prefixes
-                if pre not in target_p:
-                    target_p.append(pre)
+        bl = body.lower()
+        if "*" in bl:
+            if bl.endswith("*") and "*" not in bl[:-1]:
+                pre = bl[:-1]  # §3.10: single trailing '*' is a PREFIX
+                if _PREFIX_BODY_RE.fullmatch(pre):
+                    target_p = exclude_prefixes if neg else prefixes
+                    if pre not in target_p:
+                        target_p.append(pre)
+                    continue
+            elif _WILDCARD_CHARS_RE.fullmatch(bl):
+                # §3.24: interior/repeated '*' over term chars
+                if bl.startswith("*"):
+                    raise ValueError(
+                        f"leading-wildcard pattern {bl!r} has no literal "
+                        "prefix to bound the dictionary scan "
+                        "(FIXTURES.md §3.24)"
+                    )
+                target_w = exclude_wildcards if neg else wildcards
+                if bl not in target_w:
+                    target_w.append(bl)
                 continue
-            # invalid prefix body (empty, or not a single term shape):
-            # degrade to plain analysis — the '*' is a separator char
+            # invalid body (empty prefix, or chars outside the term
+            # alphabet): degrade to plain analysis — '*' is a separator
         # analyze with the same chain as the index side (A3)
         for term in tokenize_query(body, variant):
             target = exclude if neg else include
@@ -453,6 +486,8 @@ def parse(
         phrase_slops=tuple(slops),
         prefixes=tuple(prefixes),
         exclude_prefixes=tuple(exclude_prefixes),
+        wildcards=tuple(wildcards),
+        exclude_wildcards=tuple(exclude_wildcards),
         fuzzies=tuple(fuzzies),
         exclude_fuzzies=tuple(exclude_fuzzies),
         ranges=tuple(ranges),
