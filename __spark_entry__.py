@@ -529,6 +529,45 @@ def _q_search_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return facet_histogram(built, parse("hash OR d* -join"), "n_chars", 100)
 
 
+def _q_facet_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.26 (round-6): grouped facet statistics — per lang value over
+    the FULL match set of an OR + prefix-group + exclusion query, the
+    n_chars stats (count/min/max/sum/avg) of the bucket's docs: the
+    terms-agg-with-stats-sub-agg result-page shape, entirely
+    index-side (match truth from _index_match_scored, facet values
+    from the lang attr postings via the _facet_values truth shared
+    with facet_counts, numeric values from the order-preserving-
+    encoded n_chars postings). Oracle: oracles.facet_stats_sql over
+    the shared _match_ctes (a plain GROUP BY over the source
+    columns)."""
+    from xsearch_spark.operators.wand import facet_stats
+
+    built = _index(spark, sf_dir)
+    return facet_stats(built, parse("hash OR d* -join"), "lang", "n_chars")
+
+
+def _q_scan_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.27 (round-6): match-set scroll/export — page 1 (k=5, doc_id
+    ASC) of an OR + lang-filter match set is collected driver-side and
+    its last doc_id becomes the cursor for page 2 (k=10); the oracle
+    states the same rows as LIMIT 10 OFFSET 5 of the doc_id order
+    (cursor-walk == offset paging IS the frozen semantic, as for the
+    §3.14/§3.23 cursors). Engine-side the cursor filter runs before
+    the k-deep heaps, so deep export pages never pay an offset+k
+    heap."""
+    from xsearch_spark.operators.wand import scan_docs
+
+    built = _index(spark, sf_dir)
+    parsed = parse("lang:en hash OR join", attr_fields=_ATTR_FIELDS)
+    page1 = scan_docs(built, parsed, k=5).collect()
+    cursor = page1[-1]["doc_id"]
+    out = scan_docs(built, parsed, k=10, after=cursor)
+    return out.select(
+        "doc_id",
+        F.round(F.col("score"), SCORE_ROUND_DECIMALS).alias("score"),
+    )
+
+
 def _q_search_after_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§3.14 (round-6): CURSOR pagination — page 1 (k=5, ascending
     n_chars) is collected driver-side (O(k), like MLT's seed read) and
@@ -1173,6 +1212,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-6 demotion for the bm25_wand_wildcard slot (the SRP
         # projection stays gated inside the IVF serving entries)
         "ann_lsh_buckets": _q_ann_lsh_buckets,
+        # §3.26/§3.27 (round-6, post-cap): both compose the already-
+        # gated _index_match_scored truth with already-gated value
+        # machinery (facet attr postings, encoded numeric postings),
+        # so the extras-level exact-value sweep at two scale factors
+        # is their evidence tier — no gated surface is displaced
+        "facet_stats": _q_facet_stats,
+        "scan_page": _q_scan_page,
     }
     for name in sorted(_BATCH_ONLY):
         q[name] = _make_bm25_query(_QUERY_SET[name])
@@ -1237,6 +1283,14 @@ WHERE rn = 1
         ),
         "emb_cosine_pairs": op.emb_cosine_pairs_sql(0.2, 8),
         "ann_lsh_buckets": op.lsh_buckets_sql(8),
+        "facet_stats": oracles.facet_stats_sql(
+            parse("hash OR d* -join"), "lang", "n_chars"
+        ),
+        "scan_page": oracles.scan_sql(
+            parse("lang:en hash OR join", attr_fields=_ATTR_FIELDS),
+            k=10,
+            offset=5,
+        ),
     }
     for name in sorted(_BATCH_ONLY):
         o[name] = oracles.bm25_sql(parse(_QUERY_SET[name]))

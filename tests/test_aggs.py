@@ -1,8 +1,9 @@
 """Round-6 numeric aggregations over the match set (FIXTURES.md §3.17:
-field_stats + facet_histogram) and cursor pagination (§3.14
-search_after): oracle parity, page-walk == offset-paging equivalence,
-exact-int bucket floors across negatives, composition with filters and
-tombstones, and fail-fast guards."""
+field_stats + facet_histogram), cursor pagination (§3.14 search_after),
+grouped facet stats (§3.26 facet_stats), and match-set scroll/export
+(§3.27 scan_docs): oracle parity, page-walk == offset-paging
+equivalence, exact-int bucket floors across negatives, composition with
+filters and tombstones, and fail-fast guards."""
 
 from __future__ import annotations
 
@@ -215,6 +216,102 @@ def test_after_cursor_bounds_the_attr_scan(spark, built):
     assert "GreaterThanOrEqual(term," in plan_asc
 
 
+FACET_STATS_QUERIES = [
+    ("hash OR join", "lang"),
+    ("hash lang:en", "source"),  # attr filter composes; facet another
+    ("s* -dup n_chars:150..900", "lang"),  # prefix + NOT + range
+    ("hash n_chars:9000..9999", "lang"),  # empty match set -> 0 rows
+]
+
+
+@pytest.mark.parametrize("q,facet", FACET_STATS_QUERIES)
+def test_facet_stats_matches_oracle(spark, built, duck, q, facet):
+    """§3.26 grouped facet stats == the declarative GROUP BY oracle,
+    bucket for bucket, across filters/prefixes/NOT/ranges and the
+    empty match set."""
+    from xsearch_spark.operators.wand import facet_stats
+
+    parsed = parse(q, attr_fields=AF)
+    got = sorted(
+        (r["value"], r["n_docs"], r["min_value"], r["max_value"],
+         r["sum_value"], round(r["avg_value"], 6))
+        for r in facet_stats(built, parsed, facet, "n_chars").collect()
+    )
+    want = sorted(
+        (r[0], int(r[1]), int(r[2]), int(r[3]), int(r[4]), round(float(r[5]), 6))
+        for r in duck.execute(
+            oracles.facet_stats_sql(parsed, facet, "n_chars")
+        ).fetchall()
+    )
+    assert got == want, q
+
+
+def test_facet_stats_respects_tombstones(spark, built, duck):
+    from xsearch_spark.operators.wand import facet_stats
+
+    parsed = parse("hash OR join", attr_fields=AF)
+    tombs = spark.range(0, 10**6, 7).select(F.col("id").alias("doc_id"))
+    got = sorted(
+        (r["value"], r["n_docs"], r["sum_value"])
+        for r in facet_stats(
+            built, parsed, "lang", "n_chars", tombstones=tombs
+        ).collect()
+    )
+    want = sorted(
+        (r[0], int(r[1]), int(r[4]))
+        for r in duck.execute(
+            oracles.facet_stats_sql(
+                parsed, "lang", "n_chars", extra_doc_pred="tf.doc_id % 7 <> 0"
+            )
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_scan_walk_equals_offset_pages(spark, built, duck):
+    """§3.27: walking the whole match set with doc_id cursors must
+    reproduce the full doc_id-ordered match set exactly — no overlaps,
+    no skips (the frozen cursor == offset equivalence)."""
+    from xsearch_spark.operators.wand import scan_docs
+
+    parsed = parse("hash OR join", attr_fields=AF)
+    full = [
+        (int(r[0]), float(r[1]))
+        for r in duck.execute(
+            oracles.scan_sql(parsed, k=10**6)
+        ).fetchall()
+    ]
+    assert len(full) > 12
+    walked: list[tuple[int, float]] = []
+    cursor = None
+    while True:
+        page = scan_docs(built, parsed, k=5, after=cursor).collect()
+        if not page:
+            break
+        walked.extend((r["doc_id"], round(r["score"], 6)) for r in page)
+        cursor = page[-1]["doc_id"]
+    assert [d for d, _ in walked] == [d for d, _ in full]
+    assert all(abs(a[1] - b[1]) < 1e-9 for a, b in zip(walked, full))
+
+
+def test_scan_page_matches_offset_oracle(spark, built, duck):
+    """One §3.27 cursor page == the equivalent LIMIT/OFFSET oracle rows
+    (the extras-entry shape), with an attr filter composed."""
+    from xsearch_spark.operators.wand import scan_docs
+
+    parsed = parse("lang:en hash OR join", attr_fields=AF)
+    p1 = scan_docs(built, parsed, k=5).collect()
+    got = [
+        r["doc_id"]
+        for r in scan_docs(built, parsed, k=10, after=p1[-1]["doc_id"]).collect()
+    ]
+    want = [
+        int(r[0])
+        for r in duck.execute(oracles.scan_sql(parsed, k=10, offset=5)).fetchall()
+    ]
+    assert got == want and len(got) > 0
+
+
 def test_agg_guards_raise(spark, built):
     with pytest.raises(ValueError, match="mutually exclusive"):
         search_sorted(
@@ -233,3 +330,13 @@ def test_agg_guards_raise(spark, built):
         facet_histogram(built, parse("hash", attr_fields=AF), "n_chars", 0)
     with pytest.raises(ValueError, match="positive int"):
         oracles.histogram_sql(parse("hash", attr_fields=AF), "n_chars", -5)
+    from xsearch_spark.operators.wand import facet_stats, scan_docs
+
+    # §3.26: the value field must be a numeric attr
+    with pytest.raises(ValueError, match="num_attr_fields"):
+        facet_stats(built, parse("hash", attr_fields=AF), "lang", "source")
+    # §3.27: cursor and offset are mutually exclusive, both sides
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        scan_docs(built, parse("hash", attr_fields=AF), k=5, after=3, offset=5)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        oracles.scan_sql(parse("hash", attr_fields=AF), k=5, after=3, offset=5)

@@ -1597,14 +1597,28 @@ def facet_counts(
     doc_id join against ``source_df`` (scalar or array column); absent
     both, raises — never a silent corpus scan.
     """
+    match = _index_match_scored(built, parsed, source_df, tombstones).select(
+        "doc_id"
+    )
+    vals = _facet_values(built, field, source_df)
+    return vals.join(match, "doc_id").groupBy("value").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+
+
+def _facet_values(built, field: str, source_df: DataFrame | None) -> DataFrame:
+    """(doc_id, value) pairs for a facet field — shared by
+    ``facet_counts`` and ``facet_stats`` (one value-extraction truth).
+    Attr-indexed fields read their synthetic postings through one
+    prefix-pruned scan (numeric attrs decode back to int64; array
+    fields yield one row per distinct element — the per-distinct-
+    element indexing convention); unindexed fields fall back to a
+    doc_id join against ``source_df``; absent both, raises."""
     from pyspark.sql.types import ArrayType
 
     from xsearch_spark.constants import ATTR_TERM_PREFIX
     from xsearch_spark.operators import segments as seg
 
-    match = _index_match_scored(built, parsed, source_df, tombstones).select(
-        "doc_id"
-    )
     if getattr(built, "has_attr", lambda f: False)(field):
         pref = f"{ATTR_TERM_PREFIX}{field}:"
         rows = built.index_df.filter(F.col("term").startswith(pref))
@@ -1614,29 +1628,121 @@ def facet_counts(
             # encoded — decode back to the int64 (same type the source
             # fallback and the oracle emit)
             raw_val = _num_attr_decode_col(raw_val)
-        vals = seg.decode_postings(rows, include_attrs=True).select(
+        return seg.decode_postings(rows, include_attrs=True).select(
             "doc_id",
             raw_val.alias("value"),
         )
-    elif source_df is not None:
+    if source_df is not None:
         col = source_df.schema[field].dataType
         if isinstance(col, ArrayType):
-            vals = source_df.select(
+            return source_df.select(
                 "doc_id",
                 F.explode(F.array_distinct(F.col(field))).alias("value"),
             )
-        else:
-            vals = source_df.filter(F.col(field).isNotNull()).select(
-                "doc_id", F.col(field).alias("value")
-            )
-    else:
-        raise ValueError(
-            f"{field}: facet requires the field attr-indexed "
-            f"(build_index(attr_cols=[...])) or the source table"
+        return source_df.filter(F.col(field).isNotNull()).select(
+            "doc_id", F.col(field).alias("value")
         )
-    return vals.join(match, "doc_id").groupBy("value").agg(
-        F.count("*").cast("long").alias("n_docs")
+    raise ValueError(
+        f"{field}: facet requires the field attr-indexed "
+        f"(build_index(attr_cols=[...])) or the source table"
     )
+
+
+def facet_stats(
+    built,
+    parsed: ParsedQuery,
+    facet_field: str,
+    value_field: str,
+    source_df: DataFrame | None = None,
+    tombstones: DataFrame | None = None,
+) -> DataFrame:
+    """Grouped facet statistics (round-6, FIXTURES.md §3.26) — the
+    Elasticsearch terms-aggregation-with-stats-sub-aggregation shape:
+    for each value of ``facet_field`` over the FULL match set, the
+    numeric statistics of ``value_field`` -> (value, n_docs, min_value,
+    max_value, sum_value, avg_value), one row per facet value with at
+    least one qualifying doc ("per lang: how many matches and their
+    size range").
+
+    FROZEN semantics: a doc qualifies for a bucket iff it matches the
+    query AND carries the facet value AND carries the numeric field
+    (the inner-join NULL rule — the same docs-WITH-the-field convention
+    as stats/sort/facets; n_docs counts qualifying docs per bucket);
+    array-valued facet fields bucket once per DISTINCT element, exactly
+    like ``facet_counts``; avg rounds to 6, the rest exact int64.
+
+    INDEX-ONLY like its two parents: match truth from the shared
+    ``_index_match_scored`` (every query feature composes), facet
+    values from ``_facet_values`` (the one value-extraction truth
+    shared with ``facet_counts``), numeric values from the
+    order-preserving-encoded attr postings (``_num_attr_values``, which
+    raises on a non-numeric field). Scale shape: two posting-list-
+    bounded sides joined to the match set on doc_id (AQE broadcasts
+    small sides) and ONE partial-agg groupBy — never a source scan,
+    never more rows than |match| x values-per-doc."""
+    match = _index_match_scored(built, parsed, source_df, tombstones).select(
+        "doc_id"
+    )
+    vals = _facet_values(built, facet_field, source_df)
+    nvals = _num_attr_values(built, value_field).select(
+        "doc_id", F.col("value").alias("_v")
+    )
+    return (
+        vals.join(match, "doc_id")
+        .join(nvals, "doc_id")
+        .groupBy("value")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("_v").alias("min_value"),
+            F.max("_v").alias("max_value"),
+            F.sum("_v").alias("sum_value"),
+            F.round(F.avg("_v"), 6).alias("avg_value"),
+        )
+    )
+
+
+def scan_docs(
+    built,
+    parsed: ParsedQuery,
+    k: int = DEFAULT_TOP_K,
+    after: int | None = None,
+    offset: int = 0,
+    source_df: DataFrame | None = None,
+    tombstones: DataFrame | None = None,
+) -> DataFrame:
+    """Match-set scroll / export (round-6, FIXTURES.md §3.27): the k
+    docs of the FULL match set in doc_id ASC order strictly AFTER the
+    ``after`` doc_id cursor -> (doc_id, score) — the bulk-export
+    primitive (Elasticsearch scroll / search_after on _doc): a client
+    walks the entire match set in stable, query-independent order by
+    feeding back the last doc_id of each page.
+
+    FROZEN semantics: the order is (doc_id ASC) — total by
+    construction, so pages never overlap or skip under a static index;
+    cursor-walk == offset paging over that order (page N+1 == rows
+    [N*k, (N+1)*k) — the equivalence IS the oracle, the same frozen
+    rule as §3.14/§3.23 cursors); ``after`` and a non-zero ``offset``
+    are mutually exclusive; the BM25 score rides along for
+    presentation and does not affect the order.
+
+    Engine shape: the shared ``_index_match_scored`` truth (every
+    query feature composes) with the cursor filter applied BEFORE the
+    k-deep per-partition heaps, planned as TakeOrderedAndProject —
+    deep scroll pages cost the same one-scan job as page 1, never an
+    offset+k heap (the offset form exists only as the oracle's
+    statement of the order)."""
+    if after is not None and offset:
+        raise ValueError(
+            "offset and after are mutually exclusive (FIXTURES.md §3.27): "
+            "a cursor page is already positioned"
+        )
+    scored = _index_match_scored(built, parsed, source_df, tombstones)
+    if after is not None:
+        scored = scored.filter(F.col("doc_id") > F.lit(int(after)))
+    out = scored.select("doc_id", "score").orderBy(F.asc("doc_id"))
+    if offset:
+        out = out.offset(offset)
+    return out.limit(k)
 
 
 def match_count(

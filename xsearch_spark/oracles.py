@@ -745,6 +745,82 @@ GROUP BY 1
 """
 
 
+def facet_stats_sql(
+    parsed: ParsedQuery,
+    facet_field: str,
+    value_field: str,
+    table: str = "documents",
+    extra_doc_pred: str | None = None,
+    array_fields: tuple[str, ...] = (),
+) -> str:
+    """Grouped facet-statistics oracle (round-6, FIXTURES.md §3.26):
+    per value of ``facet_field`` over the FULL match set, the numeric
+    statistics of ``value_field`` — the declarative twin of
+    ``wand.facet_stats``. A doc qualifies for a bucket iff it matches
+    AND carries BOTH fields (inner-join NULL rule); array facet fields
+    bucket per distinct element. Shares ``_match_ctes`` (one source of
+    match truth); sum over BIGINT casts back from HUGEINT (CLAUDE.md
+    invariant); avg rounds to 6 like everywhere."""
+    if _no_positive(parsed):
+        return (
+            "SELECT ''::VARCHAR AS value, 0::BIGINT AS n_docs, "
+            "NULL::BIGINT AS min_value, NULL::BIGINT AS max_value, "
+            "NULL::BIGINT AS sum_value, NULL::DOUBLE AS avg_value "
+            f"FROM {table} WHERE false"
+        )
+    ctes = _match_ctes(parsed, table, extra_doc_pred, array_fields)
+    if facet_field in array_fields:
+        per_doc = (
+            f"SELECT m.doc_id, unnest(list_distinct(d.{facet_field})) AS value, "
+            f"d.{value_field} AS v "
+            f"FROM scored m JOIN {table} d USING (doc_id) "
+            f"WHERE d.{facet_field} IS NOT NULL AND d.{value_field} IS NOT NULL"
+        )
+    else:
+        per_doc = (
+            f"SELECT m.doc_id, d.{facet_field} AS value, d.{value_field} AS v "
+            f"FROM scored m JOIN {table} d USING (doc_id) "
+            f"WHERE d.{facet_field} IS NOT NULL AND d.{value_field} IS NOT NULL"
+        )
+    return f"""
+WITH {ctes}
+SELECT value, count(*)::BIGINT AS n_docs,
+       min(v)::BIGINT AS min_value,
+       max(v)::BIGINT AS max_value,
+       sum(v)::BIGINT AS sum_value,
+       round(avg(v), {R}) AS avg_value
+FROM ({per_doc}) GROUP BY value
+"""
+
+
+def scan_sql(
+    parsed: ParsedQuery,
+    k: int = 10,
+    after: int | None = None,
+    offset: int = 0,
+    table: str = "documents",
+    extra_doc_pred: str | None = None,
+    array_fields: tuple[str, ...] = (),
+) -> str:
+    """Match-set scroll/export oracle (round-6, FIXTURES.md §3.27):
+    the FULL match set in doc_id ASC order, rows strictly after the
+    ``after`` doc_id cursor (or rows [offset, offset+k) — cursor-walk
+    == offset paging is the frozen equivalence, same as §3.14/§3.23).
+    Declarative twin of ``wand.scan_docs``; shares ``_match_ctes``."""
+    if after is not None and offset:
+        raise ValueError("offset and after are mutually exclusive")
+    if _no_positive(parsed):
+        return "SELECT doc_id, 0.0::DOUBLE AS score FROM documents WHERE false"
+    ctes = _match_ctes(parsed, table, extra_doc_pred, array_fields)
+    cursor = f"WHERE doc_id > {int(after)}" if after is not None else ""
+    return f"""
+WITH {ctes}
+SELECT doc_id, round(raw_score, {R}) AS score
+FROM scored {cursor}
+ORDER BY doc_id ASC LIMIT {int(k)} OFFSET {int(offset)}
+"""
+
+
 def more_like_this_sql(
     doc_id: int,
     m: int = 5,
