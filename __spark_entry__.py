@@ -1219,6 +1219,16 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # is their evidence tier — no gated surface is displaced
         "facet_stats": _q_facet_stats,
         "scan_page": _q_scan_page,
+        # §3.28 (round-6, post-cap): phrase-prefix on both engine paths
+        # — composes the already-gated positional machinery (phrase
+        # slots) with the already-gated §3.10 prefix expansion, so the
+        # extras exact-value sweep is the evidence tier; the DuckDB
+        # oracle's starts_with final slot independently re-verifies the
+        # positional-union semantics
+        "bm25_wand_phrase_prefix": _make_attr_query('"hash jo*" spark', "wand"),
+        "bm25_rel_phrase_prefix": _make_attr_query(
+            'lang:en "scan mer*"~1', "rel"
+        ),
     }
     for name in sorted(_BATCH_ONLY):
         q[name] = _make_bm25_query(_QUERY_SET[name])
@@ -1290,6 +1300,12 @@ WHERE rn = 1
             parse("lang:en hash OR join", attr_fields=_ATTR_FIELDS),
             k=10,
             offset=5,
+        ),
+        "bm25_wand_phrase_prefix": oracles.bm25_sql(
+            parse('"hash jo*" spark', attr_fields=_ATTR_FIELDS)
+        ),
+        "bm25_rel_phrase_prefix": oracles.bm25_sql(
+            parse('lang:en "scan mer*"~1', attr_fields=_ATTR_FIELDS)
         ),
     }
     for name in sorted(_BATCH_ONLY):

@@ -179,6 +179,31 @@ def main() -> None:
         "and zero extra shuffles.",
     ))
 
+    # 5c-bis. phrase-prefix (round-6 §3.28): the positional stream AND
+    # the startswith-pushed expansion ride the one pruned scan — no
+    # source table, no cogroup, no second read
+    wpp_plan = plan_of(search_wand(built, parse('"hash jo*" spark')))
+    assert "documents.parquet" not in wpp_plan, (
+        "phrase-prefix plan scans the source table"
+    )
+    assert "poss" in wpp_plan, (
+        "phrase-prefix plan does not read the positional stream"
+    )
+    assert "StringStartsWith" in wpp_plan, (
+        "phrase-prefix scan does not push the expansion startswith — "
+        "the final slot degenerates to a dictionary sweep"
+    )
+    sections.append((
+        "Q8 WAND phrase-prefix query (positional stream + pushed expansion)",
+        wpp_plan,
+        ["MapInPandas", "TakeOrderedAndProject"],
+        "The §3.28 final slot is the union of the §3.10 expansion's "
+        "positional substreams: the expansion rows arrive through the "
+        "same StringStartsWith-pushed scan as a plain prefix group, "
+        "their positions decode beside the exact members' — one job, "
+        "zero extra reads.",
+    ))
+
     # 5b. lang + tombstones: deletes still ride the shard-keyed cogroup,
     # but the lang allowlist stays in the index — the aux side carries
     # ONLY the tombstones, and the source table still never appears

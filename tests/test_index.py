@@ -364,6 +364,17 @@ PHRASE_QUERIES = [
     'lang:en "scan merge"~2',
     '"hash join"~0',
     '"zzz qqq"~3',
+    # round-6 phrase-prefix (FIXTURES.md §3.28): the final slot matches
+    # ANY vocabulary term under the prefix — adjacency, slop, attr and
+    # exclusion composition, a full-term body (join* includes join
+    # itself), and the no-expansion empty set
+    '"hash s*"',
+    '"hash jo*" spark',
+    '"scan mer*"~1',
+    'lang:en "scan mer*"',
+    '"hash join*"',
+    '"the s*"~2 -window',
+    '"hash zz*"',
 ]
 
 
@@ -380,6 +391,52 @@ def test_phrase_parse():
     assert p3.phrases == () and set(p3.terms) == {"hash", "scan"}
     p4 = parse('"" scan')
     assert p4.phrases == () and p4.terms == ("scan",)
+
+
+def test_phrase_prefix_parse():
+    """Round-6 §3.28: a trailing-star last token in a quoted span makes
+    a phrase-prefix — exact members join the scored set, the body joins
+    the §3.10 prefixes, and the prefix rides parallel to phrases.
+    Degenerations: bare "b*" becomes an ordinary prefix token; an
+    interior star stays a separator (plain phrase)."""
+    p = parse('"hash jo*" spark')
+    assert p.phrases == (("hash",),) and p.phrase_prefixes == ("jo",)
+    assert set(p.terms) == {"hash", "spark"} and p.prefixes == ("jo",)
+    assert p.connective == "AND"
+    p2 = parse('"scan mer*"~2')
+    assert p2.phrase_slops == (2,) and p2.phrase_prefixes == ("mer",)
+    p3 = parse('"jo*" scan')  # bare star span -> plain §3.10 prefix
+    assert p3.phrases == () and p3.prefixes == ("jo",) and p3.terms == ("scan",)
+    p4 = parse('"hash j*oin"')  # interior star: separator, plain phrase
+    assert p4.phrase_prefixes == () and p4.phrases == (("hash", "j", "oin"),)
+    p5 = parse('"a b" "c d*"')  # mixed exact + prefix, parallel fields
+    assert p5.phrases == (("a", "b"), ("c",))
+    assert p5.phrase_prefixes == ("", "d")
+    with pytest.raises(ValueError, match="maximum"):
+        parse('"' + " ".join(f"w{i}" for i in range(64)) + ' x*"')
+
+
+def test_phrase_prefix_requires_positions(spark, corpus, tmp_path):
+    """A phrase-prefix needs the v6 positional stream exactly like an
+    exact phrase."""
+    docs = corpus.source
+    bi = build_index(
+        spark, docs, str(tmp_path / "nopos_pp_idx"),
+        text_col="text", variant="base",
+        docs_per_segment=128, segs_per_shard=2, num_buckets=16,
+        attr_cols=None, positions=False,
+    )
+    with pytest.raises(ValueError, match="positions=True"):
+        search_wand(bi, parse('"hash jo*"'))
+
+
+def test_phrase_prefix_scoring_is_unquoted_query(spark, built, corpus):
+    """Frozen §3.28 rule: the positional slot is ONLY a filter — every
+    returned doc scores exactly what the unquoted `w1 … b*` query gives
+    it (expansions score like bare terms)."""
+    scored = dict(_rounded(search_wand(built, parse("hash s*"), k=10**6)))
+    for doc_id, score in _rounded(search_wand(built, parse('"hash s*"'))):
+        assert scored[doc_id] == score
 
 
 def test_proximity_parse():
@@ -638,6 +695,8 @@ def test_phrase_batch_equals_singles(spark, built):
         "plain": parse("hash OR join"),
         "pl": parse('lang:en "scan merge"'),
         "prox": parse('"hash join"~2 spark'),
+        "pfx": parse('"hash s*"'),  # §3.28 in the shared-decode batch
+        "pfx_prox": parse('"scan mer*"~1'),
     }
     got = {}
     for r in search_wand_batch(built, qset).collect():

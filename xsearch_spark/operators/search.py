@@ -172,25 +172,43 @@ def score_postings(
     return agg.select("doc_id", "score")
 
 
-def phrase_match_col(tokens: "F.Column", phrase: tuple[str, ...]) -> "F.Column":
+def _slot_conds(
+    phrase: tuple[str, ...], prefix_body: str = ""
+) -> "list":
+    """Per-slot token predicates: exact equality for the phrase
+    members, plus — for a §3.28 phrase-prefix — one final startswith
+    slot matched by ANY token under the body."""
+    conds = [
+        (lambda tok, w=w: tok == F.lit(w)) for w in phrase
+    ]
+    if prefix_body:
+        conds.append(lambda tok, b=prefix_body: tok.startswith(b))
+    return conds
+
+
+def phrase_match_col(
+    tokens: "F.Column", phrase: tuple[str, ...], prefix_body: str = ""
+) -> "F.Column":
     """True iff the token array contains the phrase's terms at
     consecutive positions in order — a pure Column expression (exists
     over start offsets), the same shape as the DuckDB oracle's
-    list_filter(generate_series) predicate."""
-    k = len(phrase)
+    list_filter(generate_series) predicate. ``prefix_body`` (§3.28):
+    one extra final slot matched by any token with the prefix."""
+    conds = _slot_conds(phrase, prefix_body)
+    k = len(conds)
     idxs = F.sequence(F.lit(1), F.size(tokens) - F.lit(k - 1))
 
     def hit(i):
-        cond = F.element_at(tokens, i) == phrase[0]
+        cond = conds[0](F.element_at(tokens, i))
         for j in range(1, k):
-            cond = cond & (F.element_at(tokens, i + F.lit(j)) == phrase[j])
+            cond = cond & conds[j](F.element_at(tokens, i + F.lit(j)))
         return cond
 
     return F.when(F.size(tokens) >= k, F.exists(idxs, hit)).otherwise(F.lit(False))
 
 
 def proximity_match_col(
-    tokens: "F.Column", phrase: tuple[str, ...], slop: int
+    tokens: "F.Column", phrase: tuple[str, ...], slop: int, prefix_body: str = ""
 ) -> "F.Column":
     """True iff the token array matches the phrase within an ordered
     window (FIXTURES.md §3.8): positions i_1 < … < i_m with t[i_j] =
@@ -198,8 +216,10 @@ def proximity_match_col(
     ranges, the Column-expression twin of the scorer's greedy chain
     and the DuckDB oracle's nested lambdas. ``F.sequence(a, b)``
     DESCENDS when a > b, so every level guards ``lo <= hi`` explicitly
-    (an exhausted window must be empty, not reversed)."""
-    m = len(phrase)
+    (an exhausted window must be empty, not reversed). ``prefix_body``
+    (§3.28): one extra final startswith slot, window widened by one."""
+    conds = _slot_conds(phrase, prefix_body)
+    m = len(conds)
     n = F.size(tokens)
     bound = m - 1 + slop
 
@@ -208,7 +228,7 @@ def proximity_match_col(
         hi = F.least(i0 + F.lit(bound), n)
 
         def hit(i):
-            c = F.element_at(tokens, i) == phrase[j]
+            c = conds[j](F.element_at(tokens, i))
             if j + 1 < m:
                 c = c & level(j + 1, i, i0)
             return c
@@ -218,7 +238,7 @@ def proximity_match_col(
         )
 
     def hit0(i):
-        c = F.element_at(tokens, i) == phrase[0]
+        c = conds[0](F.element_at(tokens, i))
         if m > 1:
             c = c & level(1, i, i)
         return c
@@ -297,13 +317,14 @@ def apply_doc_filters(
                 "corpus (pass tokenized_df) — the index path reads the v6 "
                 "positional stream instead"
             )
-        from xsearch_spark.plans.query import phrase_slop
+        from xsearch_spark.plans.query import phrase_prefix, phrase_slop
 
         slop = phrase_slop(parsed, pi)
+        body = phrase_prefix(parsed, pi)
         pred = (
-            phrase_match_col(F.col("tokens"), ph)
+            phrase_match_col(F.col("tokens"), ph, body)
             if slop == 0
-            else proximity_match_col(F.col("tokens"), ph, slop)
+            else proximity_match_col(F.col("tokens"), ph, slop, body)
         )
         match = tokenized_df.filter(pred).select("doc_id")
         out = out.join(match, "doc_id", "left_semi")

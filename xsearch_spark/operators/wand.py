@@ -241,6 +241,7 @@ def score_shard(
             parsed.phrases,
             pos_lists or {},
             getattr(parsed, "phrase_slops", ()),
+            getattr(parsed, "phrase_prefixes", ()),
         )
     if cand.size == 0:
         return np.empty(0, np.int64), np.empty(0, np.float64)
@@ -271,6 +272,7 @@ def _phrase_filter(
     phrases: tuple[tuple[str, ...], ...],
     pos_lists: dict[str, tuple],
     slops: tuple[int, ...] = (),
+    pprefixes: tuple[str, ...] = (),
 ) -> np.ndarray:
     """Keep candidates containing every phrase: doc matches phrase
     (t_0..t_{m-1}) iff the intersection over j of the shifted position
@@ -283,18 +285,26 @@ def _phrase_filter(
     ``slops`` (round-6 proximity, parallel to ``phrases``; empty =
     all-zero): a phrase with slop > 0 uses the ordered-window chain
     (``_proximity_chain``) instead — slop 0 keeps this exact-adjacency
-    intersection, which the proximity chain degenerates to (tested)."""
+    intersection, which the proximity chain degenerates to (tested).
+
+    ``pprefixes`` (round-6 §3.28 phrase-prefix, parallel; empty =
+    all-exact): a non-empty body b adds one EXTRA final slot matched
+    by ANY decoded term with prefix b — the union of the expansions'
+    shifted position sets (distinct terms never share a position, so
+    the union keys stay unique and the intersection argument holds
+    unchanged)."""
     for pi, ph in enumerate(phrases):
+        body = pprefixes[pi] if pi < len(pprefixes) else ""
         if pi < len(slops) and slops[pi] > 0:
-            cand = _proximity_chain(cand, ph, slops[pi], pos_lists)
+            cand = _proximity_chain(cand, ph, slops[pi], pos_lists, body)
             continue
-        if len(ph) > MAX_PHRASE_LEN:
+        if len(ph) + (1 if body else 0) > MAX_PHRASE_LEN:
             # the composite key packs (pos - j + MAX_PHRASE_LEN) into the
             # low 32 bits; a longer phrase could drive it negative and
             # bleed into the neighboring doc's key slot (round-5 advisor)
             raise ValueError(
-                f"phrase of {len(ph)} terms exceeds the supported maximum "
-                f"of {MAX_PHRASE_LEN}"
+                f"phrase of {len(ph) + (1 if body else 0)} terms exceeds "
+                f"the supported maximum of {MAX_PHRASE_LEN}"
             )
         if cand.size == 0:
             return cand
@@ -309,6 +319,16 @@ def _phrase_filter(
                 keys_t
                 if keys is None
                 else np.intersect1d(keys, keys_t, assume_unique=True)
+            )
+            if keys.size == 0:
+                return np.empty(0, np.int64)
+        if body:  # §3.28: the prefix slot at offset len(ph)
+            drep, pos_c = _gather_occurrences_union(cand, body, pos_lists)
+            keys_b = drep * _POS_KEY_BASE + (pos_c - len(ph) + MAX_PHRASE_LEN)
+            keys = (
+                keys_b
+                if keys is None
+                else np.intersect1d(keys, keys_b, assume_unique=True)
             )
             if keys.size == 0:
                 return np.empty(0, np.int64)
@@ -348,11 +368,40 @@ def _gather_occurrences(
     return drep, pos_c
 
 
+def _gather_occurrences_union(
+    cand: np.ndarray, body: str, pos_lists: dict[str, tuple]
+) -> tuple[np.ndarray, np.ndarray]:
+    """All occurrences of ANY decoded term with prefix ``body`` within
+    the candidate docs (§3.28 phrase-prefix slot), as parallel
+    (local_doc_index, position) arrays. Unlike the exact gatherer a
+    specific expansion term need NOT appear in every candidate (the
+    group is satisfied by >= 1 member), so per-term misses are
+    filtered, not raised. The caller sorts when order matters."""
+    dreps: list[np.ndarray] = []
+    poss: list[np.ndarray] = []
+    for t in pos_lists:
+        if not t.startswith(body):
+            continue
+        ids_t = pos_lists[t][0]
+        idx = np.searchsorted(ids_t, cand)
+        idx_c = np.minimum(idx, ids_t.size - 1)
+        hit = np.nonzero((idx < ids_t.size) & (ids_t[idx_c] == cand))[0]
+        if hit.size == 0:
+            continue
+        drep_l, pos_c = _gather_occurrences(cand[hit], t, pos_lists)
+        dreps.append(hit[drep_l])
+        poss.append(pos_c)
+    if not dreps:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(dreps), np.concatenate(poss)
+
+
 def _proximity_chain(
     cand: np.ndarray,
     ph: tuple[str, ...],
     slop: int,
     pos_lists: dict[str, tuple],
+    prefix_body: str = "",
 ) -> np.ndarray:
     """Ordered-window proximity (FIXTURES.md §3.8): doc matches iff
     positions i_1 < i_2 < … < i_m exist with t_j at i_j and
@@ -365,10 +414,17 @@ def _proximity_chain(
     positions << 2^32); a chain step that lands in a different doc's
     key slot is dropped, never wraps. slop = 0 degenerates to exact
     adjacency (strictly increasing ints spanning m-1 are consecutive)
-    and is served by the intersection chain in ``_phrase_filter``."""
-    if len(ph) > MAX_PHRASE_LEN:
+    and is served by the intersection chain in ``_phrase_filter``.
+
+    ``prefix_body`` (§3.28): a non-empty body appends one final slot
+    whose occurrence set is the UNION over decoded terms with the
+    prefix (sorted — the greedy step's searchsorted needs it; distinct
+    terms never share a position, so the union is duplicate-free and
+    the minimal-next-position argument is unchanged)."""
+    m_total = len(ph) + (1 if prefix_body else 0)
+    if m_total > MAX_PHRASE_LEN:
         raise ValueError(
-            f"phrase of {len(ph)} terms exceeds the supported maximum "
+            f"phrase of {m_total} terms exceeds the supported maximum "
             f"of {MAX_PHRASE_LEN}"
         )
     if cand.size == 0:
@@ -380,6 +436,11 @@ def _proximity_chain(
             return np.empty(0, np.int64)
         drep, pos_c = occ
         keys_per_term.append(drep * _POS_KEY_BASE + pos_c)
+    if prefix_body:
+        drep, pos_c = _gather_occurrences_union(cand, prefix_body, pos_lists)
+        if drep.size == 0:
+            return np.empty(0, np.int64)
+        keys_per_term.append(np.sort(drep * _POS_KEY_BASE + pos_c))
     cur = keys_per_term[0]
     start = cur
     for keys_j in keys_per_term[1:]:
@@ -390,7 +451,7 @@ def _proximity_chain(
         nxt = keys_j[np.minimum(idx, keys_j.size - 1)]
         ok &= (nxt // _POS_KEY_BASE) == (cur // _POS_KEY_BASE)
         cur, start = nxt[ok], start[ok]
-    bound = len(ph) - 1 + slop
+    bound = m_total - 1 + slop
     hit = (cur - start) <= bound
     if not hit.any():
         return np.empty(0, np.int64)
@@ -845,6 +906,37 @@ def _phrase_terms(built, parsed: ParsedQuery) -> frozenset[str]:
     return frozenset(terms)
 
 
+class _PosNeed:
+    """Membership test for the terms whose positions must decode: the
+    phrase exact members plus any §3.28 phrase-prefix expansion (a
+    term under one of the bodies). Duck-types the frozenset contract
+    ``_assemble_shard`` relies on (``in`` + truthiness), so the
+    decode path needs no branching."""
+
+    __slots__ = ("exact", "prefixes")
+
+    def __init__(self, exact, prefixes=()):  # noqa: D107
+        self.exact = frozenset(exact)
+        self.prefixes = tuple(p for p in prefixes if p)
+
+    def __contains__(self, t: str) -> bool:
+        return t in self.exact or (
+            bool(self.prefixes) and t.startswith(self.prefixes)
+        )
+
+    def __bool__(self) -> bool:
+        return bool(self.exact or self.prefixes)
+
+
+def _phrase_pos_need(built, parsed: ParsedQuery) -> "_PosNeed":
+    """The per-query position-need: exact phrase members (with the
+    positional-index validation of ``_phrase_terms``) plus the §3.28
+    phrase-prefix bodies."""
+    return _PosNeed(
+        _phrase_terms(built, parsed), getattr(parsed, "phrase_prefixes", ())
+    )
+
+
 def _attr_filter_terms(built, parsed: ParsedQuery) -> list[str]:
     """Synthetic index terms for the query's generic ``field:value``
     filters (``parsed.attrs``). Unlike ``lang:`` (which keeps a pre-v5
@@ -975,7 +1067,7 @@ def search_wand(
     lang_term = attr_term("lang", parsed.lang) if use_attr_lang else None
     extra_attr_terms = _attr_filter_terms(built, parsed)
     required_attr_terms = ([lang_term] if lang_term else []) + extra_attr_terms
-    phrase_terms = _phrase_terms(built, parsed)
+    phrase_terms = _phrase_pos_need(built, parsed)
     range_specs = _attr_range_specs(built, parsed)
     # fuzzy neighborhoods ride the exact-term scan (bucket-pruned — the
     # whole point of the closed-form d=1 enumeration)
@@ -1234,8 +1326,17 @@ def search_wand_batch(
     )
     spec_idx = {spec: i for i, spec in enumerate(all_range_specs)}
     # phrase members per batch (v6): decode positions once for the union
-    phrase_terms_all = frozenset(
-        t for p in queries.values() for t in _phrase_terms(built, p)
+    # (exact members plus the §3.28 phrase-prefix bodies' expansions)
+    phrase_terms_all = _PosNeed(
+        {t for p in queries.values() for t in _phrase_terms(built, p)},
+        sorted(
+            {
+                b
+                for p in queries.values()
+                for b in getattr(p, "phrase_prefixes", ())
+                if b
+            }
+        ),
     )
     scan_terms = (
         all_terms
@@ -1499,7 +1600,9 @@ def _index_match_scored(
         scored,
         long_postings,
         source_df,
-        dataclasses.replace(parsed, phrases=(), phrase_slops=(), ranges=()),
+        dataclasses.replace(
+            parsed, phrases=(), phrase_slops=(), phrase_prefixes=(), ranges=()
+        ),
         allowed_df=allowed_df,
         attr_allowed_dfs=attr_allowed_dfs or None,
     )
@@ -1524,28 +1627,46 @@ def _index_match_scored(
     # exceeds the t_0 occurrence count — the relational statement of the
     # scorer's greedy searchsorted chain.
     if _phrase_terms(built, parsed):
-        from xsearch_spark.plans.query import phrase_slop
+        from xsearch_spark.plans.query import phrase_prefix, phrase_slop
 
         for pi, ph in enumerate(parsed.phrases):
-            rows_p = pruned_index_scan(
-                built.index_df, sorted(set(ph)), built.num_buckets
+            # §3.28 phrase-prefix: a non-empty body adds one final slot
+            # matched by ANY vocabulary term under the prefix — the
+            # expansion rows ride the same scan via a pushed startswith
+            body = phrase_prefix(parsed, pi)
+            rows_p = (
+                pruned_index_scan_prefix(
+                    built.index_df, sorted(set(ph)), [body], built.num_buckets
+                )
+                if body
+                else pruned_index_scan(
+                    built.index_df, sorted(set(ph)), built.num_buckets
+                )
             )
             posr = seg.decode_positions(rows_p)
             slop = phrase_slop(parsed, pi)
+
+            def slot_pred(j: int) -> "F.Column":
+                # slot j < len(ph): exact member; slot len(ph): prefix
+                if j < len(ph):
+                    return F.col("term") == ph[j]
+                return F.col("term").startswith(body)
+
+            n_slots = len(ph) + (1 if body else 0)
             if slop == 0:
-                anchors = posr.filter(F.col("term") == ph[0]).select("doc_id", "pos")
-                for j in range(1, len(ph)):
-                    nxt = posr.filter(F.col("term") == ph[j]).select(
+                anchors = posr.filter(slot_pred(0)).select("doc_id", "pos")
+                for j in range(1, n_slots):
+                    nxt = posr.filter(slot_pred(j)).select(
                         "doc_id", (F.col("pos") - j).alias("pos")
                     )
                     anchors = anchors.join(nxt, ["doc_id", "pos"], "left_semi")
             else:
-                bound = len(ph) - 1 + slop
-                anchors = posr.filter(F.col("term") == ph[0]).select(
+                bound = n_slots - 1 + slop
+                anchors = posr.filter(slot_pred(0)).select(
                     "doc_id", F.col("pos").alias("p0"), F.col("pos").alias("prev")
                 )
-                for j in range(1, len(ph)):
-                    nxt = posr.filter(F.col("term") == ph[j]).select(
+                for j in range(1, n_slots):
+                    nxt = posr.filter(slot_pred(j)).select(
                         "doc_id", F.col("pos").alias("pj")
                     )
                     anchors = (

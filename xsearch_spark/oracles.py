@@ -598,16 +598,26 @@ def _phrase_sql(parsed: ParsedQuery, table: str) -> tuple[str, str]:
     if not phrases:
         return "", ""
     from xsearch_spark.constants import TOKEN_SPLIT_REGEX
-    from xsearch_spark.plans.query import phrase_slop
+    from xsearch_spark.plans.query import phrase_prefix, phrase_slop
 
     rgx = _sql_quote(TOKEN_SPLIT_REGEX)
     pred = ""
     for pi, ph in enumerate(phrases):
-        k = len(ph)
+        # §3.28 phrase-prefix: a non-empty body adds one final slot
+        # matched by ANY token under the prefix (starts_with, not LIKE
+        # — '_' is a term char and a LIKE wildcard)
+        body = phrase_prefix(parsed, pi)
+
+        def _slot(expr: str, j: int) -> str:
+            if j < len(ph):
+                return f"{expr} = {_sql_quote(ph[j])}"
+            return f"starts_with({expr}, {_sql_quote(body)})"
+
+        k = len(ph) + (1 if body else 0)
         slop = phrase_slop(parsed, pi)
         if slop == 0:
             conds = " AND ".join(
-                f"t[i + {j}] = {_sql_quote(w)}" for j, w in enumerate(ph)
+                _slot(f"t[i + {j}]", j) for j in range(k)
             )
             pred += (
                 f" AND tf.doc_id IN (SELECT doc_id FROM tarr WHERE len(t) >= {k}"
@@ -623,12 +633,12 @@ def _phrase_sql(parsed: ParsedQuery, table: str) -> tuple[str, str]:
             inner = (
                 f"len(list_filter(generate_series(i{j - 1} + 1,"
                 f" least(i0 + {bound}, len(t))),"
-                f" i{j} -> t[i{j}] = {_sql_quote(ph[j])} AND {inner})) > 0"
+                f" i{j} -> {_slot(f't[i{j}]', j)} AND {inner})) > 0"
             )
         pred += (
             f" AND tf.doc_id IN (SELECT doc_id FROM tarr WHERE len(t) >= {k}"
             f" AND len(list_filter(generate_series(1, len(t)),"
-            f" i0 -> t[i0] = {_sql_quote(ph[0])} AND {inner})) > 0)"
+            f" i0 -> {_slot('t[i0]', 0)} AND {inner})) > 0)"
         )
     cte = (
         f",\ntarr AS (SELECT doc_id, list_filter(string_split_regex("

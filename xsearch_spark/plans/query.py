@@ -141,6 +141,11 @@ _GROUP_RE = re.compile(r"(-?)\(([^()]*)\)")
 # a group member must be ONE raw token of the term alphabet (upper case
 # allowed — analysis lowercases); anything fancier inside a group raises
 _GROUP_MEMBER_RE = re.compile(r"[A-Za-z0-9_]+\Z")
+# phrase-prefix (round-6, FIXTURES.md §3.28): the LAST whitespace token
+# of a quoted span may end in exactly one '*' — its body must analyze
+# to ONE term under the query's variant, else the span keeps plain
+# phrase semantics (the '*' is a separator char and vanishes)
+_PHRASE_PREFIX_TOKEN_RE = re.compile(r"[A-Za-z0-9_]+\*\Z")
 
 
 @dataclass(frozen=True)
@@ -203,12 +208,28 @@ class ParsedQuery:
     # by >= 1 member). 0 = absent (plain OR). ONLY a filter — scoring
     # is unchanged. parse() raises when set under AND.
     min_match: int = 0
+    # phrase-prefix (round-6, FIXTURES.md §3.28): parallel to
+    # ``phrases`` when set ("" = exact phrase); a non-empty body b adds
+    # one EXTRA final positional slot to phrase i matched by ANY
+    # vocabulary term with prefix b (the §3.10 expansion set — parse()
+    # also registers b in ``prefixes``, so candidate generation and
+    # expansion scoring are the ordinary prefix-group machinery; the
+    # positional slot is ONLY a filter, like every phrase). The empty
+    # tuple means all-exact, so pre-§3.28 constructors keep meaning.
+    phrase_prefixes: tuple[str, ...] = field(default_factory=tuple)
 
 
 def phrase_slop(parsed: "ParsedQuery", i: int) -> int:
     """Slop of phrase ``i`` under the empty-means-all-zero convention."""
     slops = getattr(parsed, "phrase_slops", ())
     return slops[i] if i < len(slops) else 0
+
+
+def phrase_prefix(parsed: "ParsedQuery", i: int) -> str:
+    """Prefix body of phrase ``i`` ("" = exact phrase) under the
+    empty-means-all-exact convention (FIXTURES.md §3.28)."""
+    pfx = getattr(parsed, "phrase_prefixes", ())
+    return pfx[i] if i < len(pfx) else ""
 
 
 def boost_of(parsed: "ParsedQuery", term: str) -> float:
@@ -246,6 +267,7 @@ def parse(
     attrs: list[tuple[str, str]] = []
     phrases: list[tuple[str, ...]] = []
     slops: list[int] = []
+    pprefixes: list[str] = []  # §3.28: "" = exact phrase, parallel
     prefixes: list[str] = []
     exclude_prefixes: list[str] = []
     wildcards: list[str] = []
@@ -257,7 +279,44 @@ def parse(
     fields = set(attr_fields)
 
     def _take_phrase(m: "re.Match[str]") -> str:
-        toks = tuple(tokenize_query(m.group(1), variant))
+        raw = m.group(1)
+        slop = int(m.group(2)) if m.group(2) is not None else 0
+        rtoks = raw.split()
+        if rtoks and _PHRASE_PREFIX_TOKEN_RE.fullmatch(rtoks[-1]):
+            # §3.28 phrase-prefix: the span's LAST token ends in one '*'
+            # and its body analyzes to ONE term -> that term becomes a
+            # prefix-matched final positional slot; the preceding terms
+            # are exact phrase members. The body also joins `prefixes`
+            # (§3.10), so expansion scoring/candidate generation reuse
+            # the prefix-group machinery verbatim — the positional slot
+            # is ONLY a filter, like every phrase.
+            body_terms = tuple(tokenize_query(rtoks[-1][:-1], variant))
+            head = tuple(tokenize_query(" ".join(rtoks[:-1]), variant))
+            if len(body_terms) == 1 and head:
+                if len(head) + 1 > _MAX_PHRASE_LEN:
+                    raise ValueError(
+                        f"phrase of {len(head) + 1} analyzed terms exceeds "
+                        f"the supported maximum of {_MAX_PHRASE_LEN}"
+                    )
+                body = body_terms[0]
+                if (head, slop, body) not in zip(phrases, slops, pprefixes):
+                    phrases.append(head)
+                    slops.append(slop)
+                    pprefixes.append(body)
+                for t in head:  # exact members score like bare terms
+                    if t not in include:
+                        include.append(t)
+                if body not in prefixes:
+                    prefixes.append(body)
+                return " "
+            if len(body_terms) == 1 and not head:
+                # bare "b*": a 1-slot span degrades to plain text, which
+                # the §3.10 token rules then read as an ordinary prefix
+                return " " + raw + " "
+            # multi-term body (e.g. a code-variant compound): no single
+            # dictionary prefix exists — keep plain phrase analysis
+            # (the '*' is a separator char and vanishes below)
+        toks = tuple(tokenize_query(raw, variant))
         if len(toks) > _MAX_PHRASE_LEN:
             # mirrors the scorer's composite-key bound (operators.wand.
             # MAX_PHRASE_LEN) — fail at parse, not mid-query
@@ -265,16 +324,16 @@ def parse(
                 f"phrase of {len(toks)} analyzed terms exceeds the "
                 f"supported maximum of {_MAX_PHRASE_LEN}"
             )
-        slop = int(m.group(2)) if m.group(2) is not None else 0
         if len(toks) >= 2:
-            if (toks, slop) not in zip(phrases, slops):
+            if (toks, slop, "") not in zip(phrases, slops, pprefixes):
                 phrases.append(toks)
                 slops.append(slop)
+                pprefixes.append("")
             for t in toks:  # phrase terms are scored like bare terms
                 if t not in include:
                     include.append(t)
             return " "
-        return " " + m.group(1) + " "  # 0/1-term span: plain text
+        return " " + raw + " "  # 0/1-term span: plain text
 
     query = _PHRASE_RE.sub(_take_phrase, query)
     groups: list[tuple[str, ...]] = []
@@ -484,6 +543,7 @@ def parse(
         attrs=tuple(attrs),
         phrases=tuple(phrases),
         phrase_slops=tuple(slops),
+        phrase_prefixes=tuple(pprefixes) if any(pprefixes) else (),
         prefixes=tuple(prefixes),
         exclude_prefixes=tuple(exclude_prefixes),
         wildcards=tuple(wildcards),
