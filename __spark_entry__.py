@@ -568,6 +568,45 @@ def _q_scan_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_search_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.29 (round-6): field collapse — the best 2 docs per lang value
+    of an OR + prefix + exclusion match set, global top-8 in the
+    rounded paging order: the collapse-by-field result shape,
+    index-only (match truth + facet values both from postings).
+    Oracle: oracles.collapse_sql (ROW_NUMBER over the shared match
+    CTEs)."""
+    from xsearch_spark.operators.wand import search_collapse
+
+    built = _index(spark, sf_dir)
+    return search_collapse(
+        built, parse("hash OR d* -join"), "lang", k=8, per_value=2
+    )
+
+
+def _q_facet_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.30 (round-6): value cardinality of source over an OR + lang
+    attr-filter match set — one distinct partial-agg row, index-only.
+    Oracle: COUNT(DISTINCT) over the shared match CTEs."""
+    from xsearch_spark.operators.wand import facet_cardinality
+
+    built = _index(spark, sf_dir)
+    parsed = parse("hash OR join lang:en", attr_fields=_ATTR_FIELDS)
+    return facet_cardinality(built, parsed, "source")
+
+
+def _q_range_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.30 (round-6): explicit-edge range facets of n_chars over an
+    OR + prefix + exclusion match set — bucket = count of edges <=
+    value, exact int arithmetic both sides (the §3.17 rule).
+    Oracle: oracles.range_facets_sql."""
+    from xsearch_spark.operators.wand import range_facets
+
+    built = _index(spark, sf_dir)
+    return range_facets(
+        built, parse("hash OR d* -join"), "n_chars", [100, 250, 400]
+    )
+
+
 def _q_search_after_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§3.14 (round-6): CURSOR pagination — page 1 (k=5, ascending
     n_chars) is collected driver-side (O(k), like MLT's seed read) and
@@ -1229,6 +1268,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_rel_phrase_prefix": _make_attr_query(
             'lang:en "scan mer*"~1', "rel"
         ),
+        # §3.29/§3.30 (round-6, post-cap): collapse/cardinality/range
+        # facets — all compositions of the gated match truth with gated
+        # value machinery (the facet_stats argument)
+        "search_collapse": _q_search_collapse,
+        "facet_cardinality": _q_facet_cardinality,
+        "range_facets": _q_range_facets,
     }
     for name in sorted(_BATCH_ONLY):
         q[name] = _make_bm25_query(_QUERY_SET[name])
@@ -1306,6 +1351,15 @@ WHERE rn = 1
         ),
         "bm25_rel_phrase_prefix": oracles.bm25_sql(
             parse('lang:en "scan mer*"~1', attr_fields=_ATTR_FIELDS)
+        ),
+        "search_collapse": oracles.collapse_sql(
+            parse("hash OR d* -join"), "lang", k=8, per_value=2
+        ),
+        "facet_cardinality": oracles.cardinality_sql(
+            parse("hash OR join lang:en", attr_fields=_ATTR_FIELDS), "source"
+        ),
+        "range_facets": oracles.range_facets_sql(
+            parse("hash OR d* -join"), "n_chars", [100, 250, 400]
         ),
     }
     for name in sorted(_BATCH_ONLY):

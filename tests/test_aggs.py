@@ -312,6 +312,105 @@ def test_scan_page_matches_offset_oracle(spark, built, duck):
     assert got == want and len(got) > 0
 
 
+@pytest.mark.parametrize("q,facet,pv", [
+    ("hash OR join", "lang", 1),
+    ("hash OR join", "lang", 3),
+    ("s* -dup n_chars:150..900", "source", 2),  # prefix + NOT + range
+    ("hash lang:en", "source", 1),  # attr filter composes
+])
+def test_collapse_matches_oracle(spark, built, duck, q, facet, pv):
+    """§3.29 field collapse == the declarative ROW_NUMBER oracle —
+    per-bucket selection and the global cut both in the rounded
+    paging order."""
+    from xsearch_spark.operators.wand import search_collapse
+
+    parsed = parse(q, attr_fields=AF)
+    got = [
+        (r["doc_id"], r["value"], round(r["score"], 6))
+        for r in search_collapse(built, parsed, facet, k=8, per_value=pv).collect()
+    ]
+    want = [
+        (int(r[0]), r[1], round(float(r[2]), 6))
+        for r in duck.execute(
+            oracles.collapse_sql(parsed, facet, k=8, per_value=pv)
+        ).fetchall()
+    ]
+    assert got == want and len(got) > 0, (q, facet, pv)
+
+
+def test_collapse_large_per_value_is_plain_topk(spark, built, duck):
+    """per_value >= the biggest bucket collapses nothing: the result is
+    the plain rounded-order top-k with values attached."""
+    from xsearch_spark.operators.wand import search_collapse
+
+    parsed = parse("hash OR join", attr_fields=AF)
+    got = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in search_collapse(
+            built, parsed, "lang", k=10, per_value=10**6
+        ).collect()
+    ]
+    want = [
+        (int(r[0]), round(float(r[1]), 6))
+        for r in duck.execute(
+            oracles.bm25_after_sql(parsed, k=10, offset=0)
+        ).fetchall()
+    ]
+    assert got == want
+
+
+@pytest.mark.parametrize("q,facet", [
+    ("hash OR join", "lang"),
+    ("hash OR join", "source"),
+    ("s* -dup n_chars:150..900", "lang"),
+    ("hash n_chars:9000..9999", "lang"),  # empty match -> 0
+])
+def test_cardinality_matches_oracle(spark, built, duck, q, facet):
+    from xsearch_spark.operators.wand import facet_cardinality
+
+    parsed = parse(q, attr_fields=AF)
+    got = facet_cardinality(built, parsed, facet).collect()[0]["n_values"]
+    want = duck.execute(oracles.cardinality_sql(parsed, facet)).fetchone()[0]
+    assert got == int(want), (q, facet)
+
+
+@pytest.mark.parametrize("q,edges", [
+    ("hash OR join", [100, 250, 400]),
+    ("hash lang:en", [-5, 0, 200, 10**9]),  # below-all and above-all edges
+    ("s* -dup n_chars:150..900", [300]),
+])
+def test_range_facets_match_oracle(spark, built, duck, q, edges):
+    from xsearch_spark.operators.wand import range_facets
+
+    parsed = parse(q, attr_fields=AF)
+    got = sorted(
+        (r["bucket"], r["n_docs"])
+        for r in range_facets(built, parsed, "n_chars", edges).collect()
+    )
+    want = sorted(
+        (int(r[0]), int(r[1]))
+        for r in duck.execute(
+            oracles.range_facets_sql(parsed, "n_chars", edges)
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0, (q, edges)
+
+
+def test_collapse_cardinality_guards(spark, built):
+    from xsearch_spark.operators.wand import range_facets, search_collapse
+
+    with pytest.raises(ValueError, match="per_value"):
+        search_collapse(built, parse("hash", attr_fields=AF), "lang", per_value=0)
+    with pytest.raises(ValueError, match="per_value"):
+        oracles.collapse_sql(parse("hash", attr_fields=AF), "lang", per_value=0)
+    with pytest.raises(ValueError, match="strictly increasing"):
+        range_facets(built, parse("hash", attr_fields=AF), "n_chars", [5, 5])
+    with pytest.raises(ValueError, match="strictly increasing"):
+        oracles.range_facets_sql(parse("hash", attr_fields=AF), "n_chars", [])
+    with pytest.raises(ValueError, match="num_attr_fields"):
+        range_facets(built, parse("hash", attr_fields=AF), "lang", [1])
+
+
 def test_agg_guards_raise(spark, built):
     with pytest.raises(ValueError, match="mutually exclusive"):
         search_sorted(

@@ -545,3 +545,116 @@ def test_phrase_length_cap_enforced():
     p = ParsedQuery(terms=("a", "b"), connective="OR", phrases=(("a", "b"),))
     with pytest.raises(ValueError, match="AND semantics"):
         score_shard({}, {}, {}, 10.0, p, 10)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    seed=st.integers(0, 100_000),
+    n_docs=st.integers(1, 100),
+    head_len=st.integers(1, 3),
+    slop=st.integers(0, 3),
+)
+def test_phrase_prefix_filter_equals_stream_scan(seed, n_docs, head_len, slop):
+    """Round-6 §3.28 phrase-prefix: the scorer's union final slot
+    (adjacency intersection at slop 0, greedy window chain at slop > 0)
+    must equal a brute ordered-window scan whose last slot matches ANY
+    token under the prefix — on random mini-corpora over a tiny
+    multi-char vocab (several terms share each prefix, collisions by
+    construction). Scoring must equal the unquoted `w1 … b*` query:
+    head terms plus every present expansion, distinct-once."""
+    rng = np.random.default_rng(seed)
+    vocab = ["aa", "ab", "ba", "bb", "ca"]
+    streams = {
+        d: [vocab[i] for i in rng.integers(0, len(vocab), rng.integers(0, 24))]
+        for d in range(n_docs)
+    }
+    head = tuple(vocab[i] for i in rng.integers(0, len(vocab), head_len))
+    body = ["a", "b", "c", "aa"][int(rng.integers(0, 4))]
+    expansions = [t for t in vocab if t.startswith(body)]
+    # plant head + a random expansion with small gaps so slop matters
+    for d in rng.choice(n_docs, size=min(3, n_docs), replace=False):
+        s = streams[int(d)]
+        cut = int(rng.integers(0, len(s) + 1))
+        planted: list = []
+        for j, w in enumerate(head):
+            if j:
+                planted.extend(
+                    vocab[i]
+                    for i in rng.integers(0, len(vocab), rng.integers(0, 2))
+                )
+            planted.append(w)
+        planted.extend(
+            vocab[i] for i in rng.integers(0, len(vocab), rng.integers(0, 2))
+        )
+        planted.append(expansions[int(rng.integers(0, len(expansions)))])
+        streams[int(d)] = s[:cut] + planted + s[cut:]
+    lists, pos_lists = _streams_to_lists(streams, vocab)
+    terms = sorted(set(head))
+    avgdl = max(
+        1.0, float(np.mean([len(s) for s in streams.values()])) if streams else 1.0
+    )
+    idfs = {
+        t: math.log(1 + (n_docs - len(v[0]) + 0.5) / (len(v[0]) + 0.5))
+        for t, v in lists.items()
+    }
+    parsed = ParsedQuery(
+        terms=tuple(terms),
+        connective="AND",
+        phrases=(head,),
+        phrase_slops=(slop,),
+        phrase_prefixes=(body,),
+        prefixes=(body,),  # parse() registers the body (frozen §3.28)
+    )
+    k = 10
+    blocks = {}
+    for t, (ids, tfs, dls) in lists.items():
+        starts = np.arange(0, ids.size, BLOCK_SIZE)
+        fac = tfs * (K1 + 1.0) / (tfs + K1 * (1 - B + B * dls / avgdl))
+        blocks[t] = (
+            ids[np.minimum(starts + BLOCK_SIZE - 1, ids.size - 1)],
+            np.maximum.reduceat(fac, starts),
+        )
+    got_ids, got_scores = score_shard(
+        lists, blocks, idfs, avgdl, parsed, k, pos_lists=pos_lists
+    )
+
+    bound = len(head) + slop  # m_total - 1 + slop
+
+    def matches(s: list) -> bool:
+        pos_head = [[i + 1 for i, w in enumerate(s) if w == t] for t in head]
+        pos_exp = [i + 1 for i, w in enumerate(s) if w.startswith(body)]
+
+        def rec(j: int, prev: int, start: int) -> bool:
+            if j == len(head):
+                return any(prev < p <= start + bound for p in pos_exp)
+            return any(
+                prev < p <= start + bound and rec(j + 1, p, start)
+                for p in pos_head[j]
+            )
+
+        return any(rec(1, p0, p0) for p0 in pos_head[0])
+
+    want = []
+    for d, s in streams.items():
+        if (
+            not s
+            or not all(
+                t in lists and d in lists[t][0] for t in terms
+            )
+            or not any(w.startswith(body) for w in s)
+            or not matches(s)
+        ):
+            continue
+        score = 0.0
+        for t in sorted(set(terms) | set(expansions)):
+            tf = s.count(t)
+            if tf:
+                score += idfs[t] * tf * (K1 + 1.0) / (
+                    tf + K1 * (1 - B + B * len(s) / avgdl)
+                )
+        want.append((d, score))
+    want.sort(key=lambda x: (-x[1], x[0]))
+    want = want[:k]
+    assert [int(i) for i in got_ids] == [d for d, _ in want]
+    for g, (_, w) in zip(got_scores.tolist(), want):
+        assert abs(g - w) < 1e-9

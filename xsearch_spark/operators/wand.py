@@ -1822,6 +1822,124 @@ def facet_stats(
     )
 
 
+def search_collapse(
+    built,
+    parsed: ParsedQuery,
+    field: str,
+    k: int = DEFAULT_TOP_K,
+    per_value: int = 1,
+    source_df: DataFrame | None = None,
+    tombstones: DataFrame | None = None,
+) -> DataFrame:
+    """Field collapse (round-6, FIXTURES.md §3.29) — the Lucene/ES
+    collapse-by-field result shape ("best doc per domain"): keep only
+    the top ``per_value`` docs per value of ``field`` over the FULL
+    match set, then return the global top-k survivors as
+    (doc_id, value, score).
+
+    FROZEN semantics: per-bucket selection and the global cut both use
+    the ROUNDED paging order (round(score, 6) DESC, doc_id ASC — the
+    §3.23 rule: the rounded key is what both sides can agree on at
+    quantum ties), with value ASC as the final global tiebreak (a doc
+    under several values of an array field competes once per distinct
+    value, the facet convention); docs without the field drop (the
+    NULL rule); scores come back rounded — they are the ordering key;
+    ``per_value`` >= 1 (raises otherwise).
+
+    Engine shape: match truth from the shared ``_index_match_scored``,
+    values from ``_facet_values`` (both posting-list-bounded,
+    index-only on an attr-indexed field); the per-bucket rank is ONE
+    window over the match-set-sized join (partitionBy value — one
+    shuffle) and the global cut plans as TakeOrderedAndProject."""
+    if per_value < 1:
+        raise ValueError(f"per_value must be >= 1, got {per_value!r}")
+    from pyspark.sql.window import Window
+
+    match = _index_match_scored(built, parsed, source_df, tombstones)
+    match = match.select(
+        "doc_id", F.round(F.col("score"), 6).alias("score")
+    )
+    vals = _facet_values(built, field, source_df)
+    joined = match.join(vals, "doc_id")
+    w = Window.partitionBy("value").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    kept = (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= per_value)
+        .drop("_rn")
+    )
+    return (
+        kept.select("doc_id", "value", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"), F.asc("value"))
+        .limit(k)
+    )
+
+
+def facet_cardinality(
+    built,
+    parsed: ParsedQuery,
+    field: str,
+    source_df: DataFrame | None = None,
+    tombstones: DataFrame | None = None,
+) -> DataFrame:
+    """Value cardinality over the FULL match set (round-6, FIXTURES.md
+    §3.30) -> one (n_values) row: how many DISTINCT values of ``field``
+    the matching docs carry (array fields count distinct elements —
+    the facet convention; NULL-valued docs drop). The exact form of
+    the ES cardinality aggregation: one distinct partial-agg over the
+    posting-list-bounded facet join — index-only on an attr-indexed
+    field, no top-k, no source fetch."""
+    match = _index_match_scored(built, parsed, source_df, tombstones).select(
+        "doc_id"
+    )
+    vals = _facet_values(built, field, source_df)
+    return vals.join(match, "doc_id").agg(
+        F.count_distinct(F.col("value")).cast("long").alias("n_values")
+    )
+
+
+def range_facets(
+    built,
+    parsed: ParsedQuery,
+    field: str,
+    edges: "list[int]",
+    source_df: DataFrame | None = None,
+    tombstones: DataFrame | None = None,
+) -> DataFrame:
+    """Explicit-edge range facets over the FULL match set (round-6,
+    FIXTURES.md §3.30) -> (bucket, n_docs): for strictly increasing
+    int ``edges`` [e_1..e_n], bucket i = the number of edges <= the
+    doc's value (0 = below e_1, n = at or above e_n) — the ES range
+    aggregation with the bucket id stated as pure int arithmetic
+    (sum of (value >= e_i) casts, no floats, identical on both
+    sides); empty buckets are absent (GROUP BY semantics). ``field``
+    must be a numeric attr; edges must be strictly increasing ints
+    (raises otherwise). Index-only like the histogram: one
+    prefix-pruned attr scan + one doc_id join + a partial-agg
+    count."""
+    if not edges or any(
+        int(b) <= int(a) for a, b in zip(edges, edges[1:])
+    ):
+        raise ValueError(
+            f"edges must be a non-empty strictly increasing int list, "
+            f"got {edges!r}"
+        )
+    match = _index_match_scored(built, parsed, source_df, tombstones).select(
+        "doc_id"
+    )
+    vals = _num_attr_values(built, field)
+    bucket = sum(
+        (F.col("value") >= F.lit(int(e))).cast("long") for e in edges
+    ).alias("bucket")
+    return (
+        vals.join(match, "doc_id")
+        .select(bucket)
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
 def scan_docs(
     built,
     parsed: ParsedQuery,

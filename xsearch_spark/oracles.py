@@ -831,6 +831,117 @@ ORDER BY doc_id ASC LIMIT {int(k)} OFFSET {int(offset)}
 """
 
 
+def collapse_sql(
+    parsed: ParsedQuery,
+    field: str,
+    k: int = 10,
+    per_value: int = 1,
+    table: str = "documents",
+    extra_doc_pred: str | None = None,
+    array_fields: tuple[str, ...] = (),
+) -> str:
+    """Field-collapse oracle (round-6, FIXTURES.md §3.29): the global
+    top-k of the per-value top-``per_value`` survivors, both stated in
+    the ROUNDED paging order (round(score, 6) DESC, doc_id ASC; value
+    ASC global tiebreak) — the declarative twin of
+    ``wand.search_collapse``. Array facet fields compete once per
+    distinct element; NULL-valued docs drop."""
+    if per_value < 1:
+        raise ValueError(f"per_value must be >= 1, got {per_value!r}")
+    if _no_positive(parsed):
+        return (
+            "SELECT doc_id, ''::VARCHAR AS value, 0.0::DOUBLE AS score "
+            f"FROM {table} WHERE false"
+        )
+    ctes = _match_ctes(parsed, table, extra_doc_pred, array_fields)
+    if field in array_fields:
+        per_doc = (
+            f"SELECT m.doc_id, unnest(list_distinct(d.{field})) AS value, "
+            f"round(m.raw_score, {R}) AS score "
+            f"FROM scored m JOIN {table} d USING (doc_id) "
+            f"WHERE d.{field} IS NOT NULL"
+        )
+    else:
+        per_doc = (
+            f"SELECT m.doc_id, d.{field} AS value, "
+            f"round(m.raw_score, {R}) AS score "
+            f"FROM scored m JOIN {table} d USING (doc_id) "
+            f"WHERE d.{field} IS NOT NULL"
+        )
+    return f"""
+WITH {ctes}
+SELECT doc_id, value, score
+FROM (SELECT *, row_number() OVER (PARTITION BY value
+                                   ORDER BY score DESC, doc_id ASC) AS rn
+      FROM ({per_doc}))
+WHERE rn <= {int(per_value)}
+ORDER BY score DESC, doc_id ASC, value ASC LIMIT {int(k)}
+"""
+
+
+def cardinality_sql(
+    parsed: ParsedQuery,
+    field: str,
+    table: str = "documents",
+    extra_doc_pred: str | None = None,
+    array_fields: tuple[str, ...] = (),
+) -> str:
+    """Value-cardinality oracle (round-6, FIXTURES.md §3.30): one
+    (n_values) row — COUNT(DISTINCT value) over the match set's facet
+    values (array fields per distinct element). Declarative twin of
+    ``wand.facet_cardinality``."""
+    if _no_positive(parsed):
+        return "SELECT 0::BIGINT AS n_values"
+    ctes = _match_ctes(parsed, table, extra_doc_pred, array_fields)
+    if field in array_fields:
+        per_doc = (
+            f"SELECT unnest(list_distinct(d.{field})) AS value "
+            f"FROM scored m JOIN {table} d USING (doc_id) "
+            f"WHERE d.{field} IS NOT NULL"
+        )
+    else:
+        per_doc = (
+            f"SELECT d.{field} AS value "
+            f"FROM scored m JOIN {table} d USING (doc_id) "
+            f"WHERE d.{field} IS NOT NULL"
+        )
+    return f"""
+WITH {ctes}
+SELECT count(DISTINCT value)::BIGINT AS n_values FROM ({per_doc})
+"""
+
+
+def range_facets_sql(
+    parsed: ParsedQuery,
+    field: str,
+    edges: "list[int]",
+    table: str = "documents",
+    extra_doc_pred: str | None = None,
+    array_fields: tuple[str, ...] = (),
+) -> str:
+    """Explicit-edge range-facet oracle (round-6, FIXTURES.md §3.30):
+    (bucket, n_docs) with bucket = the count of edges <= value, stated
+    in the same pure int arithmetic as the engine (a sum of boolean
+    casts — no float boundary can drift). Declarative twin of
+    ``wand.range_facets``."""
+    if not edges or any(int(b) <= int(a) for a, b in zip(edges, edges[1:])):
+        raise ValueError(
+            f"edges must be a non-empty strictly increasing int list, "
+            f"got {edges!r}"
+        )
+    if _no_positive(parsed):
+        return "SELECT 0::BIGINT AS bucket, 0::BIGINT AS n_docs WHERE false"
+    ctes = _match_ctes(parsed, table, extra_doc_pred, array_fields)
+    bucket = " + ".join(f"(d.{field} >= {int(e)})::BIGINT" for e in edges)
+    return f"""
+WITH {ctes}
+SELECT ({bucket})::BIGINT AS bucket, count(*)::BIGINT AS n_docs
+FROM scored m JOIN {table} d USING (doc_id)
+WHERE d.{field} IS NOT NULL
+GROUP BY 1
+"""
+
+
 def more_like_this_sql(
     doc_id: int,
     m: int = 5,
