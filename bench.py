@@ -242,6 +242,19 @@ def run_bench(sf_dir: str, cpus: int, emit_json: bool = True) -> dict:
                     after=(1.0, 0),
                 ).collect()
                 per_query["q27_score_cursor"] = time.monotonic() - tq
+                # round-6 §3.28/§3.29: phrase-prefix (positional union
+                # slot + pushed expansion) and field collapse (window
+                # over the index-only facet join)
+                from xsearch_spark.operators.wand import search_collapse
+
+                tq = time.monotonic()
+                search_wand(built, parse('"hash jo*" spark')).collect()
+                per_query["q29_phrase_prefix"] = time.monotonic() - tq
+                tq = time.monotonic()
+                search_collapse(
+                    built, parse("hash OR join"), "lang", k=10, per_value=2
+                ).collect()
+                per_query["q30_collapse"] = time.monotonic() - tq
 
         # query sections carry their own steal stamp too (round 6): the
         # r5->r6 adjudication showed query-latency regressions can be

@@ -249,6 +249,30 @@ def main() -> None:
         "per-value jobs.",
     ))
 
+    # 5d-bis. field collapse (round-6 §3.29): match truth + facet
+    # values + the per-bucket window are all index-side — no source
+    # table, no positional bytes for a non-phrase query
+    from xsearch_spark.operators.wand import search_collapse
+
+    wc_plan = plan_of(
+        search_collapse(built, parse("hash OR join"), "lang", k=8, per_value=2)
+    )
+    assert "documents.parquet" not in wc_plan, (
+        "collapse plan scans the source table"
+    )
+    assert "poss" not in wc_plan, "non-phrase collapse plan reads poss"
+    assert "Window" in wc_plan, (
+        "collapse plan lost the per-bucket window rank"
+    )
+    sections.append((
+        "Q8+ field collapse (window over the index-only facet join)",
+        wc_plan,
+        ["Window", "TakeOrderedAndProject"],
+        "Best-N-per-value is one window over the match-set-sized facet "
+        "join (one shuffle on value) and the global cut is a k-deep "
+        "heap — no source scan, posting-list-bounded inputs.",
+    ))
+
     # 5e. prefix query (round-6 §3.10): the expansion comes from a
     # startswith-pushed dictionary scan — index-only (no source table,
     # no vocabulary collect, no positional bytes); the pushed

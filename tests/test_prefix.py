@@ -78,9 +78,15 @@ def test_prefix_parse():
     # round-6 §3.24: a repeated/interior '*' is a WILDCARD group now
     # (pre-§3.24 this degraded to the plain term) — still not a prefix
     assert parse("s**").prefixes == () and parse("s**").wildcards == ("s**",)
-    # '*' inside a quoted span is a separator, never a prefix
+    # round-6 §3.28: a trailing star on the LAST quoted token is now a
+    # PHRASE-PREFIX (pre-§3.28 the '*' was a separator and this was the
+    # plain phrase) — the body joins prefixes and the phrase keeps the
+    # exact members only; an INTERIOR star stays a separator
     q = parse('"hash join*"')
-    assert q.prefixes == () and q.phrases == (("hash", "join"),)
+    assert q.prefixes == ("join",) and q.phrases == (("hash",),)
+    assert q.phrase_prefixes == ("join",)
+    q2 = parse('"hash jo*in"')
+    assert q2.prefixes == () and q2.phrases == (("hash", "jo", "in"),)
     # dedup, first-occurrence order
     assert parse("a* b* a*").prefixes == ("a", "b")
 
