@@ -216,6 +216,19 @@ def test_streaming_positional_multiattr_index(spark, tmp_path):
     }
     assert got_f == want_f
 
+    # §3.29/§3.30 on the same streamed-then-compacted index: collapse
+    # and cardinality ride the identical match truth + attr postings,
+    # so the compaction's rebuilt attrs must serve them too
+    from xsearch_spark.operators.wand import facet_cardinality, search_collapse
+
+    assert (
+        facet_cardinality(bi, pf, "source").collect()[0]["n_values"]
+        == len({v for v, _ in want_f})
+    )
+    col = search_collapse(bi, pf, "source", k=5, per_value=1).collect()
+    assert len(col) == min(5, len(want_f))
+    assert len({r["value"] for r in col}) == len(col)  # one doc per value
+
     # positional stream parity vs a batch-built positional index
     batch = build_index(
         spark, docs, str(tmp_path / "pos_batch_idx"),

@@ -189,6 +189,11 @@ def test_code_phrase_proximity_paths(spark, source, tmp_path_factory):
             '"import return"~2',
             '"def parse"~1 config',
             'lang:py "return parse"~3',
+            # §3.28 phrase-prefix under the code analyzer: a simple
+            # (non-compound) trailing-star body is one emitted term, so
+            # the final slot unions the code vocabulary under it
+            '"def pa*"',
+            '"import re*"~2',
         ):
             parsed = parse(q, "code")
             naive = [

@@ -605,7 +605,12 @@ def test_phrase_prefix_filter_equals_stream_scan(seed, n_docs, head_len, slop):
         phrase_prefixes=(body,),
         prefixes=(body,),  # parse() registers the body (frozen §3.28)
     )
-    k = 10
+    # k > n_docs: no top-k cut, so the comparison is the exact MATCH SET
+    # plus per-doc scores — symmetric tf multisets in this corpus can
+    # make two raw scores differ only in float summation order (1 ulp),
+    # which would flip an order-sensitive boundary; the filter semantics
+    # under test are order-free (the cut machinery is pinned elsewhere)
+    k = n_docs + 10
     blocks = {}
     for t, (ids, tfs, dls) in lists.items():
         starts = np.arange(0, ids.size, BLOCK_SIZE)
@@ -653,8 +658,7 @@ def test_phrase_prefix_filter_equals_stream_scan(seed, n_docs, head_len, slop):
                     tf + K1 * (1 - B + B * len(s) / avgdl)
                 )
         want.append((d, score))
-    want.sort(key=lambda x: (-x[1], x[0]))
-    want = want[:k]
-    assert [int(i) for i in got_ids] == [d for d, _ in want]
-    for g, (_, w) in zip(got_scores.tolist(), want):
-        assert abs(g - w) < 1e-9
+    got = {int(i): s for i, s in zip(got_ids.tolist(), got_scores.tolist())}
+    assert set(got) == {d for d, _ in want}
+    for d, w in want:
+        assert abs(got[d] - w) < 1e-9
