@@ -578,6 +578,74 @@ def test_facet_counts_array_attr_vs_oracle(spark, tmp_path):
         assert got == want, q
 
 
+def test_collapse_and_facet_stats_array_attr_vs_oracle(spark, tmp_path):
+    """Array-valued facet field on the §3.26/§3.29 surfaces: a doc
+    competes once per DISTINCT element (collapse) and contributes its
+    numeric value once per element (facet_stats) — against the DuckDB
+    unnest(list_distinct(...)) oracle branches on the same table."""
+    import random
+
+    import duckdb
+
+    from xsearch_spark import oracles
+    from xsearch_spark.operators.wand import facet_stats, search_collapse
+
+    rng = random.Random(777)
+    tag_pool = ["mit", "gpl", "bsd", "apache"]
+    words = ["hash", "join", "scan", "merge", "the"]
+    rows = []
+    for d in range(300):
+        text = " ".join(rng.choice(words) for _ in range(rng.randint(1, 12)))
+        tags = [rng.choice(tag_pool) for _ in range(rng.randint(0, 4))] or None
+        rows.append((d, text, tags, rng.randint(-50, 500)))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, tags array<string>, n_tok long"
+    )
+    bi = build_index(
+        spark, docs, str(tmp_path / "collapse_tags_idx"),
+        text_col="text", variant="base",
+        docs_per_segment=64, segs_per_shard=2, num_buckets=16,
+        attr_cols=("tags", "n_tok"),
+    )
+    con = duckdb.connect()
+    con.register(
+        "tagdocs",
+        pd.DataFrame(rows, columns=["doc_id", "text", "tags", "n_tok"]),
+    )
+    for q in ("hash OR join", "hash -join"):
+        parsed = parse(q)
+        got = [
+            (r["doc_id"], r["value"], round(r["score"], 6))
+            for r in search_collapse(
+                bi, parsed, "tags", k=8, per_value=2
+            ).collect()
+        ]
+        want = [
+            (int(r[0]), r[1], round(float(r[2]), 6))
+            for r in con.execute(
+                oracles.collapse_sql(
+                    parsed, "tags", k=8, per_value=2,
+                    table="tagdocs", array_fields=("tags",),
+                )
+            ).fetchall()
+        ]
+        assert got == want and len(got) > 0, q
+        got_s = sorted(
+            (r["value"], r["n_docs"], r["sum_value"])
+            for r in facet_stats(bi, parsed, "tags", "n_tok").collect()
+        )
+        want_s = sorted(
+            (r[0], int(r[1]), int(r[4]))
+            for r in con.execute(
+                oracles.facet_stats_sql(
+                    parsed, "tags", "n_tok",
+                    table="tagdocs", array_fields=("tags",),
+                )
+            ).fetchall()
+        )
+        assert got_s == want_s and len(got_s) > 0, q
+
+
 def test_facet_counts_fallback_and_raise(spark, built, corpus):
     """Unindexed facet fields: a scalar or array source column joins on
     doc_id (never a silent corpus re-score); absent both index attrs
