@@ -273,6 +273,36 @@ def main() -> None:
         "heap — no source scan, posting-list-bounded inputs.",
     ))
 
+    # 5d-ter. match-set scroll + grouped facet stats (round-6
+    # §3.26/§3.27): both index-only; the scroll's doc_id-order page
+    # plans as a k-deep heap (TakeOrderedAndProject), never a full sort
+    from xsearch_spark.operators.wand import facet_stats, scan_docs
+
+    ws_plan = plan_of(scan_docs(built, parse("hash OR join"), k=10, after=50))
+    assert "documents.parquet" not in ws_plan, (
+        "scroll plan scans the source table"
+    )
+    assert "poss" not in ws_plan, "non-phrase scroll plan reads poss"
+    assert "TakeOrderedAndProject" in ws_plan, (
+        "scroll page lost the k-deep heap (full sort?)"
+    )
+    wfs_plan = plan_of(
+        facet_stats(built, parse("hash OR join"), "lang", "n_chars")
+    )
+    assert "documents.parquet" not in wfs_plan, (
+        "facet-stats plan scans the source table"
+    )
+    assert "poss" not in wfs_plan, "non-phrase facet-stats plan reads poss"
+    sections.append((
+        "Q11+ scroll page + grouped facet stats (index-only)",
+        ws_plan,
+        ["TakeOrderedAndProject"],
+        "The doc_id cursor filters before the per-partition heaps, so a "
+        "deep export page is the same one-scan job as page 1; grouped "
+        "facet stats join two posting-bounded value sides to the match "
+        "set and reduce in one partial agg.",
+    ))
+
     # 5e. prefix query (round-6 §3.10): the expansion comes from a
     # startswith-pushed dictionary scan — index-only (no source table,
     # no vocabulary collect, no positional bytes); the pushed
