@@ -607,6 +607,19 @@ def _q_range_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_search_rescored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.31 (round-6): field-value rescoring — the OR match set
+    re-ranked by round(bm25 + 0.002 * n_chars, 6) ("boost longer
+    docs"), index-only (match truth + encoded numeric attr postings,
+    one TakeOrderedAndProject). Oracle: oracles.rescored_sql (the
+    combined ORDER BY over the shared match CTEs)."""
+    from xsearch_spark.operators.wand import search_rescored
+
+    built = _index(spark, sf_dir)
+    parsed = parse("hash OR join lang:en", attr_fields=_ATTR_FIELDS)
+    return search_rescored(built, parsed, "n_chars", 0.002)
+
+
 def _q_search_after_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§3.14 (round-6): CURSOR pagination — page 1 (k=5, ascending
     n_chars) is collected driver-side (O(k), like MLT's seed read) and
@@ -1274,6 +1287,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_collapse": _q_search_collapse,
         "facet_cardinality": _q_facet_cardinality,
         "range_facets": _q_range_facets,
+        # §3.31 (round-6, post-cap): function-score-lite rescoring —
+        # gated match truth + gated numeric-attr decode, one heap
+        "search_rescored": _q_search_rescored,
     }
     for name in sorted(_BATCH_ONLY):
         q[name] = _make_bm25_query(_QUERY_SET[name])
@@ -1360,6 +1376,11 @@ WHERE rn = 1
         ),
         "range_facets": oracles.range_facets_sql(
             parse("hash OR d* -join"), "n_chars", [100, 250, 400]
+        ),
+        "search_rescored": oracles.rescored_sql(
+            parse("hash OR join lang:en", attr_fields=_ATTR_FIELDS),
+            "n_chars",
+            0.002,
         ),
     }
     for name in sorted(_BATCH_ONLY):

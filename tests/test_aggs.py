@@ -396,6 +396,63 @@ def test_range_facets_match_oracle(spark, built, duck, q, edges):
     assert got == want and len(got) > 0, (q, edges)
 
 
+@pytest.mark.parametrize("q,w", [
+    ("hash OR join", 0.01),
+    ("hash lang:en", -0.005),  # negative weight: away-from-zero round
+    ("s* -dup n_chars:150..900", 0.002),  # prefix + NOT + range compose
+    ("hash n_chars:9000..9999", 1.0),  # empty match set
+])
+def test_rescored_matches_oracle(spark, built, duck, q, w):
+    """§3.31 field-value rescoring == the declarative combined-order
+    oracle: one rounding after the sum, NULL-valued docs drop, doc_id
+    tiebreak on the rounded key."""
+    from xsearch_spark.operators.wand import search_rescored
+
+    parsed = parse(q, attr_fields=AF)
+    got = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in search_rescored(built, parsed, "n_chars", w).collect()
+    ]
+    want = [
+        (int(r[0]), round(float(r[1]), 6))
+        for r in duck.execute(
+            oracles.rescored_sql(parsed, "n_chars", w)
+        ).fetchall()
+    ]
+    assert got == want, (q, w)
+
+
+def test_rescored_zero_weight_is_rounded_topk(spark, built, duck):
+    """weight = 0 degenerates to the plain rounded-order top-k
+    restricted to docs carrying the field (the NULL rule is the only
+    difference from §3.23 page 1)."""
+    from xsearch_spark.operators.wand import search_rescored
+
+    parsed = parse("hash OR join", attr_fields=AF)
+    got = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in search_rescored(built, parsed, "n_chars", 0.0).collect()
+    ]
+    want = [
+        (int(r[0]), round(float(r[1]), 6))
+        for r in duck.execute(
+            oracles.bm25_after_sql(
+                parsed, k=10, offset=0,
+                extra_doc_pred="tf.doc_id IN (SELECT doc_id FROM documents "
+                "WHERE n_chars IS NOT NULL)",
+            )
+        ).fetchall()
+    ]
+    assert got == want
+
+
+def test_rescored_guards(spark, built):
+    from xsearch_spark.operators.wand import search_rescored
+
+    with pytest.raises(ValueError, match="num_attr_fields"):
+        search_rescored(built, parse("hash", attr_fields=AF), "lang", 1.0)
+
+
 def test_collapse_cardinality_guards(spark, built):
     from xsearch_spark.operators.wand import range_facets, search_collapse
 

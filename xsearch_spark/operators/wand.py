@@ -1940,6 +1940,49 @@ def range_facets(
     )
 
 
+def search_rescored(
+    built,
+    parsed: ParsedQuery,
+    field: str,
+    weight: float,
+    k: int = DEFAULT_TOP_K,
+    source_df: DataFrame | None = None,
+    tombstones: DataFrame | None = None,
+) -> DataFrame:
+    """Field-value rescoring (round-6, FIXTURES.md §3.31) — the ES
+    function-score / field_value_factor (sum boost mode) shape: rank
+    the FULL match set by ``combined = round(bm25 + weight * value,
+    6)`` where value is the doc's numeric attr — "boost by recency /
+    popularity" -> (doc_id, score) top-k, doc_id ASC tiebreak.
+
+    FROZEN semantics: the combination is on the RAW bm25 score with
+    one rounding AFTER the sum (the §3.25 fusion rule); the returned
+    score IS the rounded combined value (the ordering key, the §3.23
+    rule — ``weight`` may be negative, and both engines' round()
+    agree away-from-zero on negatives); docs without the field DROP
+    (the NULL rule — a missing popularity never silently counts as
+    0); match semantics are untouched (rescoring never adds or
+    removes docs beyond the NULL rule).
+
+    Engine shape: the shared ``_index_match_scored`` truth joined to
+    the field's order-preserving-encoded attr postings (both
+    posting-list-bounded, index-only) and ONE TakeOrderedAndProject —
+    the same cost as a sort-by-field page."""
+    match = _index_match_scored(built, parsed, source_df, tombstones)
+    vals = _num_attr_values(built, field)
+    return (
+        match.join(vals, "doc_id")
+        .select(
+            "doc_id",
+            F.round(
+                F.col("score") + F.lit(float(weight)) * F.col("value"), 6
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def scan_docs(
     built,
     parsed: ParsedQuery,

@@ -942,6 +942,31 @@ GROUP BY 1
 """
 
 
+def rescored_sql(
+    parsed: ParsedQuery,
+    field: str,
+    weight: float,
+    k: int = 10,
+    table: str = "documents",
+    extra_doc_pred: str | None = None,
+    array_fields: tuple[str, ...] = (),
+) -> str:
+    """Field-value rescoring oracle (round-6, FIXTURES.md §3.31):
+    top-k of the match set by round(raw_score + weight * field, 6) —
+    the declarative twin of ``wand.search_rescored``; one rounding
+    AFTER the sum, NULL-valued docs drop."""
+    if _no_positive(parsed):
+        return "SELECT doc_id, 0.0::DOUBLE AS score FROM documents WHERE false"
+    ctes = _match_ctes(parsed, table, extra_doc_pred, array_fields)
+    return f"""
+WITH {ctes}
+SELECT m.doc_id, round(m.raw_score + {float(weight)!r} * d.{field}, {R}) AS score
+FROM scored m JOIN {table} d USING (doc_id)
+WHERE d.{field} IS NOT NULL
+ORDER BY score DESC, m.doc_id ASC LIMIT {int(k)}
+"""
+
+
 def more_like_this_sql(
     doc_id: int,
     m: int = 5,
