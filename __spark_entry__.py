@@ -607,6 +607,24 @@ def _q_range_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PERCOLATE_REGISTRY = {
+    "route_hashjoin": "hash join",
+    "route_phrase_en": 'lang:en "scan merge"',
+    "route_prefix": "d* -dup",
+    "route_group": "(hash OR join) sort",
+}
+
+
+def _q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.32 (round-6): percolation / reverse search — four registered
+    routing rules (plain AND, lang+phrase, prefix+NOT, boolean group)
+    evaluated over the corpus in ONE unioned job -> (query_id,
+    doc_id) full match sets. Oracle: oracles.percolate_sql (UNION ALL
+    of the same _match_ctes branches — one match truth per side)."""
+    corpus = _corpus(spark, sf_dir)
+    return engine.percolate(corpus, dict(_PERCOLATE_REGISTRY))
+
+
 def _q_search_rescored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§3.31 (round-6): field-value rescoring — the OR match set
     re-ranked by round(bm25 + 0.002 * n_chars, 6) ("boost longer
@@ -1290,6 +1308,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # §3.31 (round-6, post-cap): function-score-lite rescoring —
         # gated match truth + gated numeric-attr decode, one heap
         "search_rescored": _q_search_rescored,
+        # §3.32: percolation — a union of already-gated naive match
+        # evaluations (one match truth per branch, both sides)
+        "percolate_route": _q_percolate,
     }
     for name in sorted(_BATCH_ONLY):
         q[name] = _make_bm25_query(_QUERY_SET[name])
@@ -1381,6 +1402,9 @@ WHERE rn = 1
             parse("hash OR join lang:en", attr_fields=_ATTR_FIELDS),
             "n_chars",
             0.002,
+        ),
+        "percolate_route": oracles.percolate_sql(
+            {qid: parse(q) for qid, q in _PERCOLATE_REGISTRY.items()}
         ),
     }
     for name in sorted(_BATCH_ONLY):

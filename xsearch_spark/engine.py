@@ -89,3 +89,42 @@ def run_query_fetch(
         F.round(F.col("score"), SCORE_ROUND_DECIMALS).alias("score"),
         *fetch_cols,
     )
+
+
+def percolate(
+    corpus: Corpus, queries: "dict[str, str | ParsedQuery]"
+) -> DataFrame:
+    """Percolation / reverse search (round-6, FIXTURES.md §3.32): for
+    a REGISTERED query set, which docs match which query ->
+    (query_id, doc_id), the FULL match set per query — the
+    ES-percolator / streaming-router shape ("which alert rules does
+    this incoming doc trigger").
+
+    FROZEN semantics: a (query_id, doc_id) row appears iff the doc is
+    in the query's §3.2–§3.31 match set — percolation introduces NO
+    new match semantics, it is the same one match truth per query
+    (match-only: scores are a search concern, routing is membership).
+    An empty registry raises.
+
+    Scale shape: the M registered queries become an M-fold UNION of
+    the naive match plans over the incoming doc batch — one Spark job,
+    each branch pruned to its own query terms. This is the
+    right-sized topology for the router use case (M small, batches
+    micro); a large-M registry would index the QUERIES instead (the
+    real percolator trade), which this engine states as the honest
+    boundary rather than pretending the union scales in M.
+    """
+    if not queries:
+        raise ValueError("percolate requires a non-empty query registry")
+    parts = []
+    for qid, q in queries.items():
+        parsed = parse(q, corpus.variant) if isinstance(q, str) else q
+        parts.append(
+            run_query(corpus, parsed, k=2**31 - 1).select(
+                F.lit(qid).alias("query_id"), "doc_id"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -967,6 +967,35 @@ ORDER BY score DESC, m.doc_id ASC LIMIT {int(k)}
 """
 
 
+def percolate_sql(
+    queries: "dict[str, ParsedQuery]",
+    table: str = "documents",
+    extra_doc_pred: str | None = None,
+    array_fields: tuple[str, ...] = (),
+) -> str:
+    """Percolation oracle (round-6, FIXTURES.md §3.32): the UNION ALL
+    of every registered query's full match set as (query_id, doc_id)
+    — each branch is the same ``_match_ctes`` scored CTE as the
+    search oracles (one match truth per side); a no-positive query
+    contributes nothing."""
+    if not queries:
+        raise ValueError("percolate requires a non-empty query registry")
+    parts = []
+    for qid, parsed in queries.items():
+        if _no_positive(parsed):
+            continue
+        ctes = _match_ctes(parsed, table, extra_doc_pred, array_fields)
+        parts.append(
+            f"SELECT {_sql_quote(qid)} AS query_id, doc_id FROM "
+            f"(WITH {ctes} SELECT doc_id FROM scored)"
+        )
+    if not parts:
+        return (
+            "SELECT ''::VARCHAR AS query_id, 0::BIGINT AS doc_id WHERE false"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
 def more_like_this_sql(
     doc_id: int,
     m: int = 5,
