@@ -453,6 +453,40 @@ def test_rescored_guards(spark, built):
         search_rescored(built, parse("hash", attr_fields=AF), "lang", 1.0)
 
 
+def test_collapse_rounded_tie_picks_doc_id_asc(spark, tmp_path):
+    """The frozen §3.29 ordering: identical docs (same text -> same
+    rounded score) collapse to the LOWEST doc_ids per bucket — the
+    rounded paging order's doc_id ASC tiebreak, deterministic on both
+    sides by construction."""
+    import pandas as pd
+
+    from xsearch_spark.operators.wand import search_collapse
+    from xsearch_spark.plans.build_index import build_index
+
+    rows = []
+    for d in range(12):
+        rows.append((d, "alpha beta gamma", "g%d" % (d % 3)))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "grp"])
+    out = str(tmp_path / "tie_idx")
+    bi = build_index(
+        spark, spark.createDataFrame(pdf), out,
+        text_col="text", docs_per_segment=4, segs_per_shard=2,
+        num_buckets=4, attr_cols=("grp",),
+    )
+    got = [
+        (r["value"], r["doc_id"])
+        for r in search_collapse(
+            bi, parse("alpha"), "grp", k=12, per_value=2
+        ).collect()
+    ]
+    # every score identical: per bucket g0/g1/g2 the two LOWEST doc_ids
+    # survive (0,3 / 1,4 / 2,5), global order doc_id ASC then value
+    assert sorted(got) == [
+        ("g0", 0), ("g0", 3), ("g1", 1), ("g1", 4), ("g2", 2), ("g2", 5),
+    ]
+    shutil.rmtree(out, ignore_errors=True)
+
+
 def test_collapse_cardinality_guards(spark, built):
     from xsearch_spark.operators.wand import range_facets, search_collapse
 
