@@ -625,6 +625,27 @@ def _q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return engine.percolate(corpus, dict(_PERCOLATE_REGISTRY))
 
 
+def _q_highlight_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.33 (round-6): first-adjacency-window char spans for a
+    phrase-PREFIX query's top-k — the prefix-matched final slot is
+    part of the highlighted span. Oracle: oracles.highlight_phrase_sql
+    (list_filter(generate_series)[1] + the shared prefix-sum
+    arithmetic)."""
+    from xsearch_spark.operators.search import highlight_phrase
+    from xsearch_spark.operators.wand import search_wand
+    from xsearch_spark.plans.query import phrase_prefix
+
+    built = _index(spark, sf_dir)
+    parsed = parse('"hash jo*" spark')
+    topk = search_wand(built, parsed).select(
+        "doc_id", F.round(F.col("score"), SCORE_ROUND_DECIMALS).alias("score")
+    )
+    src = _corpus(spark, sf_dir).source
+    return highlight_phrase(
+        topk, src, parsed.phrases[0], phrase_prefix(parsed, 0)
+    )
+
+
 def _q_search_rescored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§3.31 (round-6): field-value rescoring — the OR match set
     re-ranked by round(bm25 + 0.002 * n_chars, 6) ("boost longer
@@ -1311,6 +1332,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # §3.32: percolation — a union of already-gated naive match
         # evaluations (one match truth per branch, both sides)
         "percolate_route": _q_percolate,
+        # §3.33: phrase highlight — gated top-k + the shared prefix-sum
+        # span arithmetic already gated via search_highlight
+        "highlight_phrase": _q_highlight_phrase,
     }
     for name in sorted(_BATCH_ONLY):
         q[name] = _make_bm25_query(_QUERY_SET[name])
@@ -1405,6 +1429,9 @@ WHERE rn = 1
         ),
         "percolate_route": oracles.percolate_sql(
             {qid: parse(q) for qid, q in _PERCOLATE_REGISTRY.items()}
+        ),
+        "highlight_phrase": oracles.highlight_phrase_sql(
+            parse('"hash jo*" spark')
         ),
     }
     for name in sorted(_BATCH_ONLY):

@@ -1082,3 +1082,53 @@ def test_lang_attr_with_null_langs(spark, tmp_path):
     ]
     assert got_all == naive_all
     assert {1, 4} & {d for d, _ in got_all}  # nulls present unfiltered
+
+
+def test_highlight_phrase_random_parity(spark):
+    """§3.33: first-adjacency-window spans on a randomized corpus must
+    equal an independent re.finditer derivation (window found over the
+    token list, char spans from match offsets), incl. the §3.28
+    prefix-slot form; slop raises on the oracle side."""
+    import random
+    import re
+
+    from xsearch_spark.operators.search import highlight_phrase
+
+    rng = random.Random(99)
+    alphabet = ["hash", "join", "joiner", "Scan", "x1", "_", "!!", "日本", ""]
+    rows = []
+    for i in range(150):
+        n = rng.randint(0, 25)
+        rows.append((i, i / 9.0, " ".join(rng.choice(alphabet) for _ in range(n))))
+    topk = spark.createDataFrame(
+        [(i, s) for i, s, _ in rows], "doc_id long, score double"
+    )
+    docs = spark.createDataFrame(
+        [(i, t) for i, _, t in rows], "doc_id long, text string"
+    )
+    for phrase, body in [(("hash", "join"), ""), (("hash",), "jo")]:
+        got = sorted(
+            tuple(r)
+            for r in highlight_phrase(topk, docs, phrase, body).collect()
+        )
+        want = []
+        m = len(phrase) + (1 if body else 0)
+        for i, s, t in rows:
+            toks = list(re.finditer(r"[a-z0-9_]+", t.lower()))
+            fi = None
+            for j in range(len(toks) - m + 1):
+                win = toks[j : j + m]
+                ok = all(w.group(0) == p for w, p in zip(win, phrase))
+                if body:
+                    ok = ok and win[-1].group(0).startswith(body)
+                if ok:
+                    fi = j
+                    break
+            if fi is None:
+                continue
+            cs, ce = toks[fi].start() + 1, toks[fi + m - 1].end()
+            ss = max(1, cs - 30)
+            want.append((i, s, cs, ce, t[ss - 1 : ce + 30]))
+        assert got == sorted(want) and len(got) > 0, (phrase, body)
+    with pytest.raises(ValueError, match="slop 0"):
+        oracles.highlight_phrase_sql(parse('"hash join"~2'))

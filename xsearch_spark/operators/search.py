@@ -428,6 +428,86 @@ def highlight_matches(
     )
 
 
+def highlight_phrase(
+    topk: DataFrame,
+    source_df: DataFrame,
+    phrase: tuple[str, ...],
+    prefix_body: str = "",
+    text_col: str = "text",
+    context: int = 30,
+) -> DataFrame:
+    """Phrase highlight (round-6, FIXTURES.md §3.33): the 1-based
+    inclusive char span of the FIRST adjacency window of ``phrase`` in
+    each top-k doc -> (doc_id, score, char_start, char_end, snippet) —
+    char_start at the window's first token, char_end at the last
+    token's final char, ±context snippet. ``prefix_body`` (§3.28): one
+    extra final slot matched by any token under the prefix, exactly
+    the phrase-prefix window. Adjacency only (slop phrases highlight
+    per-term via ``highlight_matches`` — the first GREEDY slop window
+    is not a frozen span); docs without a window drop.
+
+    Same scale shape as ``highlight_matches``: k fetched rows, pure
+    Column expressions (F.filter finds the first window start), the
+    separator-run prefix sums shared with chunk_docs — no UDF, no
+    extra shuffle."""
+    from xsearch_spark.constants import TOKEN_RUN_REGEX
+    from xsearch_spark.functions.tokenize import tokenize_base_col
+
+    conds = _slot_conds(tuple(phrase), prefix_body)
+    m = len(conds)
+    if m < 1:
+        raise ValueError("highlight_phrase needs a non-empty phrase")
+    fetched = topk.join(source_df.select("doc_id", text_col), "doc_id")
+    d = fetched.select(
+        "doc_id",
+        "score",
+        F.col(text_col).alias("_text"),
+        tokenize_base_col(F.col(text_col)).alias("_toks"),
+        F.split(F.lower(F.col(text_col)), TOKEN_RUN_REGEX).alias("_seps"),
+    )
+    idxs = F.sequence(F.lit(1), F.size("_toks") - F.lit(m - 1))
+
+    def hit(i):
+        c = conds[0](F.element_at(F.col("_toks"), i))
+        for j in range(1, m):
+            c = c & conds[j](F.element_at(F.col("_toks"), i + F.lit(j)))
+        return c
+
+    firsts = F.when(F.size("_toks") >= m, F.filter(idxs, hit)).otherwise(
+        F.array()
+    )
+    # try_element_at: an empty firsts array (no window) is NULL, not an
+    # error (Spark 4 element_at is strict out-of-bounds)
+    d = d.withColumn("_fi", F.try_element_at(firsts, F.lit(1)).cast("int")).filter(
+        F.col("_fi").isNotNull()
+    )
+
+    def len_sum(arr):  # Σ length over an array slice (0 on empty slice)
+        return F.aggregate(arr, F.lit(0), lambda a, x: a + F.length(x))
+
+    def tok_start(i):  # 1-based char start of token i (prefix sums)
+        return (
+            len_sum(F.slice(F.col("_seps"), 1, i))
+            + len_sum(F.slice(F.col("_toks"), 1, i - F.lit(1)))
+            + F.lit(1)
+        )
+
+    ei = F.col("_fi") + F.lit(m - 1)
+    char_start = tok_start(F.col("_fi"))
+    char_end = (
+        tok_start(ei) + F.length(F.element_at(F.col("_toks"), ei)) - F.lit(1)
+    )
+    snip_start = F.greatest(F.lit(1), char_start - F.lit(context))
+    snip_len = char_end + F.lit(context) - snip_start + F.lit(1)
+    return d.select(
+        "doc_id",
+        "score",
+        char_start.cast("long").alias("char_start"),
+        char_end.cast("long").alias("char_end"),
+        F.col("_text").substr(snip_start, snip_len).alias("snippet"),
+    )
+
+
 def search_relational(
     source_df: DataFrame,
     postings_df: DataFrame,

@@ -996,6 +996,83 @@ def percolate_sql(
     return "\nUNION ALL\n".join(parts)
 
 
+def highlight_phrase_sql(
+    parsed: ParsedQuery,
+    phrase_index: int = 0,
+    k: int = 10,
+    table: str = "documents",
+    context: int = 30,
+) -> str:
+    """Phrase-highlight oracle (round-6, FIXTURES.md §3.33): the BM25
+    top-k joined back to the doc store with the char span of the FIRST
+    adjacency window of phrase ``phrase_index`` — first window index
+    via list_filter(generate_series)[1] (guarded: generate_series
+    DESCENDS when the doc is shorter than the window), char arithmetic
+    via the same separator-run prefix sums as ``highlight_sql``;
+    §3.28 phrase-prefix final slots state starts_with. Adjacency only
+    (a slop phrase raises, mirroring the engine)."""
+    from xsearch_spark.constants import TOKEN_RUN_REGEX, TOKEN_SPLIT_REGEX
+    from xsearch_spark.plans.query import phrase_prefix, phrase_slop
+
+    ph = parsed.phrases[phrase_index]
+    if phrase_slop(parsed, phrase_index) != 0:
+        raise ValueError(
+            "highlight_phrase covers adjacency (slop 0) phrases only"
+        )
+    body = phrase_prefix(parsed, phrase_index)
+    m = len(ph) + (1 if body else 0)
+
+    def slot(j: int) -> str:
+        if j < len(ph):
+            return f"tk.t[i + {j}] = {_sql_quote(ph[j])}"
+        return f"starts_with(tk.t[i + {j}], {_sql_quote(body)})"
+
+    conds = " AND ".join(slot(j) for j in range(m))
+    rgx = _sql_quote(TOKEN_SPLIT_REGEX)
+    run = _sql_quote(TOKEN_RUN_REGEX)
+    inner = bm25_sql(parsed, k, table)
+    lensum = (
+        "coalesce(list_sum(list_transform(list_slice({arr}, 1, {hi}),"
+        " x -> length(x))), 0)"
+    )
+    start_at = lambda i: (  # noqa: E731 — mirrors the engine's tok_start
+        lensum.format(arr="s", hi=i)
+        + " + "
+        + lensum.format(arr="t", hi=f"({i} - 1)")
+        + " + 1"
+    )
+    return f"""
+WITH topk AS ({inner}),
+toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), {rgx}), x -> x <> '') AS t,
+         string_split_regex(lower(text), {run}) AS s
+  FROM {table}
+),
+hits AS (
+  SELECT k.doc_id, k.score, tk.t AS t, tk.s AS s, tk.text AS text,
+         CASE WHEN len(tk.t) >= {m} THEN
+           list_filter(generate_series(1, len(tk.t) - {m - 1}),
+                       i -> {conds})[1]
+         END AS fi
+  FROM topk k JOIN toks tk USING (doc_id)
+),
+spans AS (
+  SELECT doc_id, score, text, t,
+         ({start_at('fi')})::BIGINT AS char_start,
+         (({start_at(f'(fi + {m - 1})')})
+          + length(t[fi + {m - 1}]) - 1)::BIGINT AS char_end
+  FROM hits WHERE fi IS NOT NULL
+)
+SELECT doc_id, score, char_start, char_end,
+       substr(text,
+              greatest(1, char_start - {context})::INT,
+              (char_end + {context}
+               - greatest(1, char_start - {context}) + 1)::INT) AS snippet
+FROM spans
+"""
+
+
 def more_like_this_sql(
     doc_id: int,
     m: int = 5,
