@@ -55,6 +55,34 @@ def test_percolate_string_queries_use_corpus_variant(spark, corpus, duck):
     assert got_s == got_p and len(got_s) > 0
 
 
+def test_percolate_code_variant(spark):
+    """A code-variant corpus routes with code-analyzer semantics:
+    a compound registered query matches via compound + subtokens,
+    identical to the per-query naive evaluation."""
+    rows = [
+        (0, "def parse_config(x): return x"),
+        (1, "import config\nparse(config)"),
+        (2, "nothing here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    corpus = engine.corpus_from_df(docs, "content", "code")
+    qs = {"r1": "parse_config", "r2": "config -import"}
+    got = sorted(
+        (r["query_id"], r["doc_id"])
+        for r in engine.percolate(corpus, qs).collect()
+    )
+    want = []
+    for qid, q in qs.items():
+        want.extend(
+            (qid, r["doc_id"])
+            for r in engine.run_query(corpus, q, k=10**6).collect()
+        )
+    assert got == sorted(want)
+    # compound expands: doc 1 contains subtoken matches for r1's parts
+    # but not the compound itself under AND — pin the actual routing
+    assert ("r1", 0) in got and ("r2", 0) in got and ("r2", 1) not in got
+
+
 def test_percolate_guards(spark, corpus):
     with pytest.raises(ValueError, match="non-empty"):
         engine.percolate(corpus, {})
