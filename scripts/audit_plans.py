@@ -303,6 +303,29 @@ def main() -> None:
         "set and reduce in one partial agg.",
     ))
 
+    # 5d-quater. field-value rescoring (round-6 §3.31): combined-order
+    # top-k stays a k-deep heap over two index-only sides
+    from xsearch_spark.operators.wand import search_rescored
+
+    wr_plan = plan_of(
+        search_rescored(built, parse("hash OR join"), "n_chars", 0.002)
+    )
+    assert "documents.parquet" not in wr_plan, (
+        "rescoring plan scans the source table"
+    )
+    assert "poss" not in wr_plan, "non-phrase rescoring plan reads poss"
+    assert "TakeOrderedAndProject" in wr_plan, (
+        "rescored top-k lost the k-deep heap"
+    )
+    sections.append((
+        "Q8+ field-value rescoring (combined-order heap, index-only)",
+        wr_plan,
+        ["TakeOrderedAndProject"],
+        "The combined key is one projection over the match-set/attr "
+        "join; the global cut is a k-deep heap — the cost of a "
+        "sort-by-field page.",
+    ))
+
     # 5e. prefix query (round-6 §3.10): the expansion comes from a
     # startswith-pushed dictionary scan — index-only (no source table,
     # no vocabulary collect, no positional bytes); the pushed
