@@ -187,3 +187,54 @@ def test_compound_transform_spark_duckdb_parity(spark):
         ).fetchall()
     ]
     assert got == want
+
+
+def test_count_batch_arrow_kernel_parity():
+    """Round 7: count_batch runs base/code on Arrow C++ kernels (RE2
+    split + utf8_lower + dictionary_encode). Pin exact posting AND
+    position parity against the frozen pure-Python tokenizers on
+    adversarial inputs — including U+0130 (İ), the one codepoint whose
+    Python lowercase is multi-codepoint (i + combining dot splits a
+    token where Arrow's 1:1 lower would not)."""
+    import numpy as np
+
+    from xsearch_spark.functions.tokenize import (
+        tokenize_base_py,
+        tokenize_cjk_py,
+        tokenize_code_py,
+    )
+    from xsearch_spark.operators.build import count_batch
+
+    texts = [
+        "",
+        None,
+        "...",
+        "héllo WÖrld_fooBar",
+        "日本語テキスト abc def",
+        "İstanbul STRASSE ß",  # py lower -> 'i' + U+0307 + 'stanbul'
+        "İİxİ yİz",
+        "AΣ B ΣΟΦΟΣ",  # final-sigma context (non-token either way)
+        "_x__y_ 0x1F camelCaseABCDef snake_case_x",
+        "\x00null\x01byte",
+        "a b a b a",
+    ]
+    ref = {"base": tokenize_base_py, "code": tokenize_code_py, "cjk": tokenize_cjk_py}
+    for variant, tok in ref.items():
+        res = count_batch(
+            pd.Series(texts), np.arange(len(texts), dtype=np.int64), variant,
+            with_positions=True,
+        )
+        terms, ids, tfs, dls, pos_flat = res
+        cum = np.concatenate([[0], np.cumsum(tfs)])
+        got = {}
+        for j in range(len(terms)):
+            got[(int(ids[j]), terms[j])] = (
+                int(tfs[j]), int(dls[j]), tuple(pos_flat[cum[j]:cum[j + 1]])
+            )
+        want = {}
+        for i, t in enumerate(texts):
+            toks = tok(t or "")
+            for p, term in enumerate(toks, start=1):
+                tf, dl, ps = want.get((i, term), (0, len(toks), ()))
+                want[(i, term)] = (tf + 1, len(toks), ps + (p,))
+        assert got == want, f"variant {variant} diverges from python reference"
