@@ -65,6 +65,9 @@ def count_batch(texts, ids, variant: str, with_positions: bool = False):
     """Tokenize+count one Arrow batch -> (terms, doc_ids, tfs, dls) numpy
     arrays sorted by doc_id. Shared by the fused postings UDF and the
     one-pass segment packer. Returns None for an all-empty batch.
+    (Thin materializing wrapper over :func:`count_batch_coded` — the
+    segment packer consumes the coded form directly so per-posting term
+    STRINGS are never built on the build hot path.)
 
     Round 7: base/code run on Arrow C++ kernels end to end — RE2 regex
     split (``pc.split_pattern_regex``), C++ lowercase, and
@@ -84,6 +87,22 @@ def count_batch(texts, ids, variant: str, with_positions: bool = False):
     ascending). Position = index in the analyzer's EMITTED token stream
     (frozen; equals the filtered-token index for the base variant, which
     is what the SQL oracle reproduces)."""
+    res = count_batch_coded(texts, ids, variant, with_positions)
+    if res is None:
+        return None
+    codes, term_dict, doc_ids, tfs, dls = res[:5]
+    out = (term_dict[codes], doc_ids, tfs, dls)
+    return out + res[5:] if with_positions else out
+
+
+def count_batch_coded(texts, ids, variant: str, with_positions: bool = False):
+    """:func:`count_batch` in CODED form: returns (term_codes, term_dict,
+    doc_ids, tfs, dls[, pos_flat]) where posting j's term is
+    ``term_dict[term_codes[j]]``. The packer remaps the small per-batch
+    dictionary into a task-local one and sorts/groups on integer codes —
+    no per-posting Python string is ever materialized (round 7; the
+    per-flush object factorize was as expensive as the whole tokenize
+    kernel)."""
     import numpy as np
     import pandas as pd
 
@@ -186,7 +205,8 @@ def count_batch(texts, ids, variant: str, with_positions: bool = False):
     r = (u // n_codes).astype(np.int64)
     c = (u % n_codes).astype(np.int64)
     out = (
-        term_dict[c],
+        c,
+        term_dict,
         ids[r],
         counts.astype(np.int64),
         lens_emit[r],

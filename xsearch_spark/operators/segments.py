@@ -876,7 +876,31 @@ def pack_from_source(
         chunk = max(256, min(docs_per_segment, -(-n_docs // (4 * n))))
 
     def pack_docs_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from xsearch_spark.operators.build import count_batch
+        from xsearch_spark.operators.build import count_batch_coded
+
+        # task-local term dictionary (round 7): postings carry integer
+        # codes end-to-end inside the packer — the per-batch dictionary
+        # (small, Zipf-deduplicated) is interned into it, so sorting and
+        # grouping happen on int64 and per-posting term STRINGS are only
+        # materialized once per emitted (seg, term) RUN at flush time.
+        # (The old per-flush object-array factorize cost as much as the
+        # whole tokenize kernel.)
+        tdict: dict[str, int] = {}
+        tlist: list[str] = []
+
+        def _intern(t) -> int:
+            code = tdict.get(t)
+            if code is None:
+                code = len(tlist)
+                tdict[t] = code
+                tlist.append(t)
+            return code
+
+        def _intern_batch(bdict: np.ndarray) -> np.ndarray:
+            lut = np.empty(bdict.size, np.int64)
+            for i, t in enumerate(bdict):
+                lut[i] = _intern(t)
+            return lut
 
         acc: dict[str, list] = {
             "terms": [], "ids": [], "tfs": [], "dls": [], "pos": []
@@ -884,7 +908,7 @@ def pack_from_source(
         cur_seg: int | None = None
 
         def flush() -> pd.DataFrame:
-            terms = np.concatenate(acc["terms"])
+            codes = np.concatenate(acc["terms"])  # task-global int codes
             ids = np.concatenate(acc["ids"])
             tfs = np.concatenate(acc["tfs"])
             dls = np.concatenate(acc["dls"])
@@ -892,21 +916,20 @@ def pack_from_source(
             acc["terms"], acc["ids"], acc["tfs"], acc["dls"], acc["pos"] = (
                 [], [], [], [], []
             )
-            # group by term WITHOUT a string sort: factorize to codes and
-            # lexsort ints; group order inside a file is irrelevant (the
-            # merge re-sorts), parquet stats come from the merged index
-            codes, uniques = pd.factorize(terms)
+            # group by term code WITHOUT any string work; group order
+            # inside a file is irrelevant (the merge re-sorts), parquet
+            # stats come from the merged index
             order = np.lexsort((ids, codes))
             codes, ids_s, tfs_s, dls_s = codes[order], ids[order], tfs[order], dls[order]
             starts = _group_bounds(codes)
-            uniq = np.asarray(uniques, dtype=object)
+            tarr = np.array(tlist, dtype=object)
             pos_s = None
             if positions:
                 # the per-posting position substreams ride the same perm
                 pos_s = _gather_substreams(pos, tfs, order)
             out = _pack_groups_frame(
                 np.full(starts.size, cur_seg, dtype=np.int64),
-                uniq[codes[starts]],
+                tarr[codes[starts]],
                 ids_s,
                 tfs_s,
                 dls_s,
@@ -920,11 +943,15 @@ def pack_from_source(
             if pdf.empty:
                 continue
             b_ids = pdf[doc_id_col].to_numpy(np.int64)
-            res = count_batch(pdf[text_col], b_ids, variant, with_positions=positions)
+            res = count_batch_coded(
+                pdf[text_col], b_ids, variant, with_positions=positions
+            )
             pos_flat = None
-            if res is not None and positions:
-                pos_flat = res[4]
-                res = res[:4]
+            if res is not None:
+                if positions:
+                    pos_flat = res[5]
+                bcodes, bdict, r_ids, r_tfs, r_dls = res[:5]
+                g_terms = _intern_batch(bdict)[bcodes]
             if attrs:
                 syn_t_parts: list[np.ndarray] = []
                 syn_i_parts: list[np.ndarray] = []
@@ -934,16 +961,21 @@ def pack_from_source(
                     )
                     syn_t_parts.append(f_terms)
                     syn_i_parts.append(f_ids)
-                syn_terms = np.concatenate(syn_t_parts)
+                syn_terms_o = np.concatenate(syn_t_parts)
                 syn_ids = np.concatenate(syn_i_parts)
+                syn_terms = np.fromiter(
+                    (_intern(t) for t in syn_terms_o),
+                    dtype=np.int64,
+                    count=syn_terms_o.size,
+                )
                 zeros = np.zeros(syn_ids.size, np.int64)
                 if res is None:
                     terms, ids, tfs, dls = syn_terms, syn_ids, zeros, zeros
                 else:
-                    terms = np.concatenate([res[0], syn_terms])
-                    ids = np.concatenate([res[1], syn_ids])
-                    tfs = np.concatenate([res[2], zeros])
-                    dls = np.concatenate([res[3], zeros])
+                    terms = np.concatenate([g_terms, syn_terms])
+                    ids = np.concatenate([r_ids, syn_ids])
+                    tfs = np.concatenate([r_tfs, zeros])
+                    dls = np.concatenate([r_dls, zeros])
                 if ids.size == 0:
                     continue
                 # re-establish doc-contiguity so the seg-change flush sees
@@ -959,7 +991,7 @@ def pack_from_source(
             else:
                 if res is None:
                     continue
-                terms, ids, tfs, dls = res
+                terms, ids, tfs, dls = g_terms, r_ids, r_tfs, r_dls
             if positions and pos_flat is None:
                 pos_flat = np.empty(0, np.int64)
             segs = ids // docs_per_segment
