@@ -585,26 +585,45 @@ def _merge_frame(
     inter_g = np.add.reduceat(bad.astype(np.int64), starts) > 0
     custom_td: dict[int, tuple[bytes, bytes]] = {}
     custom_ps: dict[int, bytes] = {}
-    for g in np.nonzero(inter_g)[0]:
-        s, e = int(g_ps[g]), int(g_ps[g] + g_nd[g])
-        ids_g = ids_all[s:e]
-        order = np.argsort(ids_g, kind="mergesort")
-        ids_srt = ids_g[order]
-        if not np.all(ids_srt[1:] > ids_srt[:-1]):
-            pos = int(np.nonzero(~(ids_srt[1:] > ids_srt[:-1]))[0][0])
+    inter_idx = np.nonzero(inter_g)[0]
+    if inter_idx.size:
+        # round 7: ALL interleaved groups sort + re-encode in ONE
+        # vectorized pass (grouped lexsort + segmented varint encode) —
+        # the per-group argsort/encode loop cost ~2 Python codec calls
+        # per group and dominated merge frames on fragmented inputs.
+        # Positional groups (streaming epochs pre-compact) keep a
+        # per-group substream gather below — rare by construction.
+        elem_sel = np.repeat(inter_g, g_nd)
+        sel_pos = np.nonzero(elem_sel)[0]
+        gidx_sel = np.repeat(np.arange(n_groups), g_nd)[elem_sel]
+        ids_sel = ids_all[sel_pos]
+        order_sel = np.lexsort((ids_sel, gidx_sel))
+        ids_srt = ids_sel[order_sel]
+        same_g = gidx_sel[1:] == gidx_sel[:-1]
+        dup = same_g & ~(ids_srt[1:] > ids_srt[:-1])
+        if dup.any():
+            j = int(np.nonzero(dup)[0][0])
+            g = int(gidx_sel[j + 1])
             gi = slice(starts[g], ends[g])
             meta = pdf.iloc[gi][
                 [c_ for c_ in ("seg_id", "shard", "first_doc_id", "last_doc_id", "n_docs") if c_ in pdf.columns]
             ].to_dict("records")
+            g0 = int(np.searchsorted(gidx_sel, g, side="left"))
+            pos = j - g0
+            window = ids_srt[max(g0, j - 2):j + 3].astype(np.int64).tolist()
             raise ValueError(
                 f"merge invariant violated: duplicate doc_id for "
                 f"term={terms[starts[g]]!r} shard={shards[starts[g]]} "
-                f"at pos {pos}: "
-                f"{ids_srt[max(0, pos - 2):pos + 3].astype(np.int64).tolist()}; "
+                f"at pos {pos}: {window}; "
                 f"runs={meta} (same doc indexed twice? apply S4 upsert/dedup first)"
             )
-        tf_g = tf_all[s:e]
-        if g_has_ps[g]:
+        # positional interleaved groups need the pre-sort tf counts and
+        # the per-group permutation for the substream gather
+        for g in inter_idx[g_has_ps[inter_idx]]:
+            s, e = int(g_ps[g]), int(g_ps[g] + g_nd[g])
+            ids_g = ids_all[s:e]
+            order = np.argsort(ids_g, kind="mergesort")
+            tf_g = tf_all[s:e]
             flat = codec.decode_tfs(big_ps[g_ps_b0[g]:g_ps_b1[g]])
             if flat.size != int(tf_g.sum()):
                 raise ValueError(
@@ -614,13 +633,15 @@ def _merge_frame(
                     f"non-positional runs of one index is unsupported"
                 )
             custom_ps[g] = codec.encode_tfs(_gather_substreams(flat, tf_g, order))
-        ids_all[s:e] = ids_srt
-        tf_all[s:e] = tf_g[order]
-        dl_all[s:e] = dl_all[s:e][order]
-        custom_td[g] = (
-            codec.encode_varints(tf_all[s:e]),
-            codec.encode_varints(dl_all[s:e]),
-        )
+        ids_all[sel_pos] = ids_srt
+        tf_all[sel_pos] = tf_all[sel_pos][order_sel]
+        dl_all[sel_pos] = dl_all[sel_pos][order_sel]
+        i_nd = g_nd[inter_idx]
+        i_starts = np.concatenate([[0], np.cumsum(i_nd)[:-1]]).astype(np.int64)
+        tf_blobs_i = codec.encode_varints_segmented(tf_all[sel_pos], i_starts)
+        dl_blobs_i = codec.encode_varints_segmented(dl_all[sel_pos], i_starts)
+        for j, g in enumerate(inter_idx):
+            custom_td[int(g)] = (tf_blobs_i[j], dl_blobs_i[j])
 
     # doc_ids blobs: multi-run groups re-encode (delta chain must span
     # runs) through ONE segmented pass over their postings; single-run
@@ -870,10 +891,6 @@ def pack_from_source(
     par = source_df.sparkSession.sparkContext.defaultParallelism
     n = num_partitions or par * 2
     chunk = docs_per_segment
-    if n_docs:
-        # ~4 chunk keys per partition smooths hash-bucket collisions;
-        # floor of 256 docs bounds per-run row overhead in the merge
-        chunk = max(256, min(docs_per_segment, -(-n_docs // (4 * n))))
 
     def pack_docs_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from xsearch_spark.operators.build import count_batch_coded
@@ -1019,7 +1036,25 @@ def pack_from_source(
         # input is already parallel enough: no exchange, no sort — the
         # packer handles arbitrary doc order via flush-on-seg-change
         return docs.mapInPandas(pack_docs_iter, PACKED_SCHEMA)
-    docs = docs.withColumn("_chunk", (F.col(doc_id_col) / F.lit(chunk)).cast("long"))
+    if n_docs:
+        # round 7: the chunk key is n CONTIGUOUS equal doc ranges, not
+        # fine sub-segment chunks. Two non-adjacent sub-segment chunks
+        # of ONE segment hashed into the same partition sort together
+        # and pack as a single SPARSE run whose doc range overlaps the
+        # other partitions' runs of that segment — every such merge
+        # group then pays the interleaved k-way-sort path (measured at
+        # sf0.1: ~20 runs per (term, shard) group, 42% interleaved).
+        # Contiguous ranges bound fragmentation at ceil(seg/range)+1
+        # disjoint contiguous runs per group and keep the merge on the
+        # byte-concatenation fast path at every scale.
+        docs = docs.withColumn(
+            "_chunk",
+            ((F.col(doc_id_col) * F.lit(n)) / F.lit(n_docs)).cast("long"),
+        )
+    else:
+        docs = docs.withColumn(
+            "_chunk", (F.col(doc_id_col) / F.lit(chunk)).cast("long")
+        )
     docs = docs.repartition(n, "_chunk").sortWithinPartitions(doc_id_col)
     return docs.drop("_chunk").mapInPandas(pack_docs_iter, PACKED_SCHEMA)
 

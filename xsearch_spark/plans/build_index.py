@@ -188,7 +188,16 @@ def checkpoint_source_ids(
             ids = assign_doc_ids_scalable(
                 source_df, num_buckets or spark.sparkContext.defaultParallelism * 4
             )
-            ids.write.mode("overwrite").parquet(path)
+            # round 7: AQE coalesces the window's hash(_bk) exchange, and
+            # a coalesced partition concatenates id buckets in HASH order
+            # — without this sort the checkpoint files interleave doc
+            # ranges, the packer emits ~20x fragmented overlapping
+            # partial runs, and 40%+ of merge groups fall onto the
+            # interleaved k-way-sort path (measured at sf0.1). Sorting by
+            # doc_id within partitions (no exchange) restores the
+            # monotone doc-range file layout the packer's no-exchange
+            # scan depends on; the merged index is byte-identical.
+            ids.sortWithinPartitions("doc_id").write.mode("overwrite").parquet(path)
         df = spark.read.parquet(path)
         n = df.count()
         m = ckpt.StageManifest("source_ids", fp, "done", t.wall_ms)

@@ -47,12 +47,22 @@ def assign_doc_ids_global(df: DataFrame) -> DataFrame:
     return df.withColumn("doc_id", (F.row_number().over(w) - 1).cast("long"))
 
 
+MIN_BUCKET_DOCS = 4096  # = segments.DEFAULT_DOCS_PER_SEGMENT: id buckets
+# are the checkpoint's FILE granularity, and a bucket smaller than a
+# segment slices every segment across many files — the packer then emits
+# one partial run per (file, segment, term) and run fragmentation
+# multiplies pack/merge row counts ~20x at small scale (round 7,
+# measured at sf0.1). Scale-adaptive: at any real scale n/4096 far
+# exceeds the requested parallelism and the clamp is inert.
+
+
 def assign_doc_ids_scalable(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     # --- deterministic range boundaries from one seeded sample ----------
     total = df.count()
     if total == 0:
         return df.withColumn("doc_id", F.lit(None).cast("long"))
+    n = max(1, min(n, total // MIN_BUCKET_DOCS + 1))
     frac = min(1.0, (_SAMPLES_PER_BUCKET * n) / total)
     sample = sorted(
         r["k"]
