@@ -114,12 +114,23 @@ def lsh_buckets(
                 F.col(id_col).alias("vec_id"), F.lit(0).cast("long").alias("bucket")
             ).limit(0)
         dim = int(first["d"])
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        _bucket_expr(emb_col, num_planes, dim).alias("bucket"),
+    )
+
+
+def _bucket_expr(emb_col: str, num_planes: int, dim: int) -> "F.Column":
+    """The SRP bucket as ONE Column expression — the single source of
+    the bucketing truth shared by :func:`lsh_buckets` and
+    :func:`build_ann_index` (which projects it directly onto the
+    embeddings row instead of re-attaching it through a self-join)."""
     bucket = F.lit(0).cast("long")
     for p, signs in enumerate(_plane_signs(num_planes, dim)):
         sarr = F.array(*[F.lit(s) for s in signs])
         bit = (F.round(_dot(F.col(emb_col), sarr), 6) >= 0).cast("long")
         bucket = bucket + bit * F.lit(1 << p)
-    return embeddings.select(F.col(id_col).alias("vec_id"), bucket.alias("bucket"))
+    return bucket
 
 
 def lsh_buckets_exploded(
@@ -356,10 +367,15 @@ def build_ann_index(
     os.makedirs(out_dir, exist_ok=True)
     first = embeddings.select(F.size(emb_col).alias("d")).first()
     dim = int(first["d"]) if first else 0
-    b = lsh_buckets(embeddings, num_planes, id_col, emb_col, dim=dim)
+    # round 7: the bucket is a pure projection (_bucket_expr) — project
+    # it straight onto the embedding row instead of computing a
+    # (vec_id, bucket) side table and re-attaching it with a self-join
+    # on vec_id (that join was a second full shuffle of the vectors)
     tbl = embeddings.select(
-        F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding")
-    ).join(b, "vec_id")
+        F.col(id_col).alias("vec_id"),
+        F.col(emb_col).alias("embedding"),
+        _bucket_expr(emb_col, num_planes, dim).alias("bucket"),
+    )
     # one file per bucket at test scale; at corpus scale the repartition
     # key bounds file count at num-shuffle-partitions per bucket
     tbl.repartition("bucket").write.mode("overwrite").partitionBy("bucket").parquet(

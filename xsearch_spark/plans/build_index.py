@@ -156,6 +156,26 @@ def _partition_rows(df: DataFrame, key: str) -> dict[str, dict]:
     return {str(r[key]): {"rows": int(r["rows"])} for r in rows}
 
 
+def _partition_rows_parquet(path: str, key: str) -> dict[str, dict]:
+    """Per-partition row counts of a freshly written partitionBy(key)
+    parquet dir, read from the file FOOTERS driver-side (round 7): the
+    manifest bookkeeping previously re-scanned the index with a Spark
+    groupBy job right after writing it — footer metadata answers the
+    same question with zero jobs and no data read."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    for d in _glob.glob(os.path.join(path, f"{key}=*")):
+        val = os.path.basename(d).split("=", 1)[1]
+        n = 0
+        for f in _glob.glob(os.path.join(d, "*.parquet")):
+            n += pq.ParquetFile(f).metadata.num_rows
+        out[val] = {"rows": int(n)}
+    return out
+
+
 def checkpoint_source_ids(
     spark: SparkSession,
     source_df: DataFrame,
@@ -395,7 +415,7 @@ def build_index(
                 paths["index"]
             )
         m3 = ckpt.StageManifest("index", fp3, "done", t.wall_ms)
-        m3.partitions = _partition_rows(spark.read.parquet(paths["index"]), "bucket")
+        m3.partitions = _partition_rows_parquet(paths["index"], "bucket")
         m3.rows_out = sum(p["rows"] for p in m3.partitions.values())
         m3.completed_at = time.time()
         ckpt.save_manifest(out_dir, m3)
@@ -489,7 +509,7 @@ def _build_index_fused(
             )
             packed.unpersist()
         m = ckpt.StageManifest("index", fpF, "done", t.wall_ms)
-        m.partitions = _partition_rows(spark.read.parquet(paths["index"]), "bucket")
+        m.partitions = _partition_rows_parquet(paths["index"], "bucket")
         m.partitions["_totals"] = {
             "rows": int(row["runs"]),
             "postings": int(row["postings"]),
