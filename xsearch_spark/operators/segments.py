@@ -792,9 +792,26 @@ def merge_to_index(
         "shard", (F.col("seg_id") / F.lit(segs_per_shard)).cast("long")
     ).withColumn("avgdl", F.lit(avgdl))
     runs = runs.withColumn("bucket", bucket_col(F.col("term"), num_buckets))
-    runs = runs.repartition(num_buckets, "bucket").sortWithinPartitions(
-        "term", "shard", "first_doc_id"
-    )
+    # round 7: when the cluster has more slots than buckets (the local
+    # bench: 64 buckets on 32 cores = 2 uneven waves), sub-split each
+    # bucket by a TERM-determined salt so merge parallelism is ~8x cores
+    # (measured 11.2 -> 8.0 s at sf1.0). The salt is a function of the
+    # term, so every shard of a term still lands in one partition — the
+    # df computation and the term-granular carry are untouched; the only
+    # visible effect is salt_k files per bucket partition. At prod scale
+    # num_buckets >> cores and the salt is 1 (inert).
+    par = segment_runs.sparkSession.sparkContext.defaultParallelism
+    salt_k = max(1, min(8, -(-8 * par // num_buckets)))
+    if salt_k > 1:
+        runs = runs.repartition(
+            num_buckets * salt_k,
+            "bucket",
+            F.pmod(F.xxhash64("term"), F.lit(salt_k)),
+        ).sortWithinPartitions("bucket", "term", "shard", "first_doc_id")
+    else:
+        runs = runs.repartition(num_buckets, "bucket").sortWithinPartitions(
+            "term", "shard", "first_doc_id"
+        )
     return runs.mapInPandas(make_merge_iter(include_bucket=True), MERGED_BUCKET_SCHEMA)
 
 
