@@ -77,7 +77,9 @@ def bench_build(sf_key: str = "0.1", cpus: int | None = None) -> dict:
 
                 spark.sparkContext.setJobDescription("bx: merge+write")
                 t0 = time.monotonic()
-                merged = seg.merge_to_index(packed, avgdl, 4, 64)
+                merged = seg.merge_to_index(
+                    packed, avgdl, 4, 64, n_runs=int(row["runs"])
+                )
                 merged.write.mode("overwrite").partitionBy("bucket").parquet(
                     os.path.join(out, "index2")
                 )

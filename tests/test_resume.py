@@ -15,7 +15,9 @@ from xsearch_spark.operators import segments as seg
 from xsearch_spark.plans.build_index import build_index
 from xsearch_spark.sources.io import read_documents
 
-STAGES = ["segments", "index", "term_stats"]
+# round 7: term_stats is no longer a materialized stage — the (term, df)
+# dictionary derives lazily from the denormalized df index rows
+STAGES = ["segments", "index"]
 
 
 def _index_snapshot(built) -> dict:
@@ -76,7 +78,7 @@ def test_partial_segment_resume(spark, workdir):
     with open(mpath, "w") as f:
         json.dump(m, f)
     shutil.rmtree(os.path.join(workdir, "segments", f"seg_group={victim}"))
-    for stage in ["index", "term_stats"]:
+    for stage in ["index"]:
         os.remove(os.path.join(workdir, "manifests", f"{stage}.json"))
 
     built2 = _build(spark, workdir)

@@ -766,11 +766,18 @@ def merge_segments(
     return runs.mapInPandas(make_merge_iter(), MERGED_SCHEMA)
 
 
+# target packed-run rows per merge task (round 7): enough decode/concat
+# work to amortize the per-task Python round-trip (~10-20 ms); at 8k
+# runs/task a merge task runs ~1-2 s on this box
+RUNS_PER_MERGE_TASK = 8192
+
+
 def merge_to_index(
     segment_runs: DataFrame,
     avgdl: float,
     segs_per_shard: int = DEFAULT_SEGS_PER_SHARD,
     num_buckets: int = 64,
+    n_runs: int | None = None,
 ) -> DataFrame:
     """B5 merge FUSED with the S6 bucket layout: one shuffle keyed by the
     term's bucket, partition-sorted by (term, shard, first_doc_id), merge
@@ -800,8 +807,20 @@ def merge_to_index(
     # df computation and the term-granular carry are untouched; the only
     # visible effect is salt_k files per bucket partition. At prod scale
     # num_buckets >> cores and the salt is 1 (inert).
+    #
+    # The salt is additionally SCALE-ADAPTIVE (round 7, guide §2.2):
+    # when the caller knows the packed-run count, salt_k is bounded so
+    # each merge task gets >= RUNS_PER_MERGE_TASK rows — a tiny build
+    # otherwise fans one segment's worth of runs across 8x-cores tasks
+    # whose per-task Python round-trips dominate (measured: the sf0.1
+    # 5 000-doc documents merge+write spent 6.0 s across 256 tasks /
+    # 446 files; runs-bounded salting returns it to num_buckets tasks).
     par = segment_runs.sparkSession.sparkContext.defaultParallelism
     salt_k = max(1, min(8, -(-8 * par // num_buckets)))
+    if n_runs is not None:
+        salt_k = max(
+            1, min(salt_k, -(-n_runs // (RUNS_PER_MERGE_TASK * num_buckets)))
+        )
     if salt_k > 1:
         runs = runs.repartition(
             num_buckets * salt_k,
@@ -1095,11 +1114,19 @@ def decode_postings(
     so compaction's rebuild re-packs the positional stream too."""
     if not include_attrs:
         packed = packed.filter(~F.col("term").startswith(ATTR_TERM_PREFIX))
-    if not include_positions and "poss" in packed.columns:
-        # column-prune the positional stream before the Arrow boundary:
-        # a non-positional decode must not read (or ship) poss bytes
-        packed = packed.drop("poss")
     with_df = "df" in packed.columns
+    # project to exactly the columns the decoder reads BEFORE the Arrow
+    # boundary (round 7, guide §4.1): mapInPandas is opaque to the
+    # optimizer, so without this the scan reads and ships every index
+    # column — block_last/block_max arrays, doc-range metadata — that
+    # the decode never touches (also prunes the positional stream for
+    # non-positional decodes, the round-6 poss rule)
+    need = ["term", "doc_ids", "tfs", "dls"]
+    if with_df:
+        need.append("df")
+    if include_positions:
+        need.append("poss")
+    packed = packed.select(*[c for c in need if c in packed.columns])
     fields = list(LONG_SCHEMA.fields)
     if with_df:
         fields.append(StructField("df", LongType(), False))
@@ -1159,6 +1186,9 @@ def decode_positions(packed: DataFrame) -> DataFrame:
     nothing. Raises if a scoring run lacks positions (the index was
     built without ``positions=True``)."""
     packed = packed.filter(~F.col("term").startswith(ATTR_TERM_PREFIX))
+    # project before the Arrow boundary (round 7, guide §4.1): the
+    # positional decode reads only these four columns
+    packed = packed.select("term", "doc_ids", "tfs", "poss")
 
     def decode_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

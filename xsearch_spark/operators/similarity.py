@@ -382,9 +382,17 @@ def build_ann_index(
         vectors_path
     )
     table_df = spark.read.parquet(vectors_path)
+    # n_vecs from the freshly written parquet footers (round 7): a
+    # driver-side metadata read, zero Spark jobs — same move as the
+    # build manifests (plans.build_index._partition_rows_parquet)
+    from xsearch_spark.plans.build_index import _partition_rows_parquet
+
+    n_vecs = sum(
+        p["rows"] for p in _partition_rows_parquet(vectors_path, "bucket").values()
+    )
     stats = {
         "num_planes": num_planes,
-        "n_vecs": table_df.count(),
+        "n_vecs": n_vecs,
         "dim": dim,
     }
     with open(os.path.join(out_dir, "ann_stats.json.tmp"), "w") as f:

@@ -673,6 +673,28 @@ def _prune_poss(rows: DataFrame, need_positions: bool) -> DataFrame:
     return rows
 
 
+# every column the Arrow scorer (_assemble_shard / _split_range_rows)
+# actually decodes; shard is the grouping/cogroup key
+_SCORER_COLS = (
+    "term", "shard", "doc_ids", "tfs", "dls", "block_last", "block_max",
+    "df", "poss",
+)
+
+
+def _project_scorer_cols(rows: DataFrame, need_positions: bool) -> DataFrame:
+    """Project the pruned scan to exactly the columns the scorer decodes
+    BEFORE the Arrow boundary (round 7, guide §4.1): mapInPandas/cogroup
+    are opaque to the optimizer, so without an explicit select every
+    warm query also reads (parquet ReadSchema) and ships (Arrow) the
+    doc-range metadata — n_docs, first_doc_id, last_doc_id, bucket —
+    that the scorer never touches. Subsumes the round-6 ``poss`` rule:
+    the positional stream is kept only for position-decoding queries."""
+    keep = [c for c in _SCORER_COLS if c in rows.columns]
+    if not need_positions and "poss" in keep:
+        keep.remove("poss")
+    return rows.select(*keep)
+
+
 def _assemble_shard(
     g: pd.DataFrame,
     exclude_terms: set[str],
@@ -1083,7 +1105,7 @@ def search_wand(
         built.num_buckets,
         term_ranges=range_specs,
     )
-    rows = _prune_poss(rows, bool(phrase_terms))
+    rows = _project_scorer_cols(rows, bool(phrase_terms))
     row_df = "df" in rows.columns
     if row_df:
         static_idfs = None
@@ -1351,7 +1373,7 @@ def search_wand_batch(
         built.num_buckets,
         term_ranges=all_range_specs,
     )
-    rows = _prune_poss(rows, bool(phrase_terms_all))
+    rows = _project_scorer_cols(rows, bool(phrase_terms_all))
     n_docs, avgdl = built.n_docs, built.avgdl
     if "df" in rows.columns:
         static_stats = None

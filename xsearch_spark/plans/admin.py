@@ -106,7 +106,7 @@ def compact(
     import shutil
 
     from xsearch_spark.operators import segments as seg
-    from xsearch_spark.plans.build_index import _paths, _term_stats_of
+    from xsearch_spark.plans.build_index import _paths, term_stats_lazy
 
     # docs already purged by earlier incremental compactions still count
     # in the persisted stats — a full compact trues them up too, EVEN
@@ -159,12 +159,10 @@ def compact(
     shutil.rmtree(paths["index"], ignore_errors=True)
     os.replace(tmp, paths["index"])
     final = spark.read.parquet(paths["index"])
-    ts = _term_stats_of(final)
-    ts_tmp = paths["term_stats"] + "_compacting"
-    shutil.rmtree(ts_tmp, ignore_errors=True)
-    ts.write.mode("overwrite").parquet(ts_tmp)
+    # term_stats: lazily derived from the rebuilt rows (round 7) — the
+    # full-vocabulary parquet swap was a job no query path read; a stale
+    # pre-round-7 sidecar dir is simply abandoned
     shutil.rmtree(paths["term_stats"], ignore_errors=True)
-    os.replace(ts_tmp, paths["term_stats"])
 
     # --- refresh sidecar stats + the in-memory handle --------------------
     # (pending_deleted was popped above: the full rebuild trues it up)
@@ -176,7 +174,7 @@ def compact(
     os.replace(paths["stats"] + ".tmp", paths["stats"])
     shutil.rmtree(tombstone_path(built.root), ignore_errors=True)
     built.index_df = final
-    built.term_stats = spark.read.parquet(paths["term_stats"])
+    built.term_stats = term_stats_lazy(final)
     built.n_docs = n_docs_new
     built.avgdl = avgdl_new
     built.sum_dl = sum_dl_new

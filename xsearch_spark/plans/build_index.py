@@ -151,6 +151,31 @@ def _term_stats_of(index_df: DataFrame) -> DataFrame:
     )
 
 
+def term_stats_lazy(index_df: DataFrame) -> DataFrame:
+    """(term, df) dictionary derived LAZILY from the index rows — the
+    round-7 replacement for the materialized ``term_stats`` parquet
+    stage (a full-vocabulary shuffle + write + count that no warm v4+
+    query path ever read: df is denormalized into every index row).
+
+    v4+ rows all carry the term's global df, so the dictionary is a
+    projection + one-value-per-term aggregate — IDENTICAL to the old
+    sidecar, including across incremental compaction, where rows keep
+    their FROZEN df (the ``_term_stats_of`` sum over per-run n_docs
+    would drift there; max(df) cannot). Pre-v4 rows (no df column) fall
+    back to the n_docs sum. Nothing executes until a consumer actions
+    the frame — the pre-v4 ``df_of`` fallback and tests; warm queries
+    never do."""
+    from xsearch_spark.constants import ATTR_TERM_PREFIX
+
+    if "df" in index_df.columns:
+        return (
+            index_df.filter(~F.col("term").startswith(ATTR_TERM_PREFIX))
+            .groupBy("term")
+            .agg(F.max("df").alias("df"))
+        )
+    return _term_stats_of(index_df)
+
+
 def _partition_rows(df: DataFrame, key: str) -> dict[str, dict]:
     rows = df.groupBy(key).agg(F.count(F.lit(1)).alias("rows")).collect()
     return {str(r[key]): {"rows": int(r["rows"])} for r in rows}
@@ -409,7 +434,8 @@ def build_index(
             # on `term` skip within each bucket file) and carrying the
             # denormalized global df (v4)
             merged = seg.merge_to_index(
-                seg_df.drop("seg_group"), avgdl, segs_per_shard, num_buckets
+                seg_df.drop("seg_group"), avgdl, segs_per_shard, num_buckets,
+                n_runs=int(m2.rows_out) if m2 and m2.rows_out else None,
             )
             merged.write.mode("overwrite").partitionBy("bucket").parquet(
                 paths["index"]
@@ -421,17 +447,10 @@ def build_index(
         ckpt.save_manifest(out_dir, m3)
     index_df = spark.read.parquet(paths["index"])
 
-    # ---- stage 4: term stats (from run metadata — no postings re-scan) ---
-    fp4 = _fingerprint("stats", fp3)
-    if ckpt.stage_done(out_dir, "term_stats", fp4) is None:
-        with ckpt.StageTimer() as t:
-            ts = _term_stats_of(index_df)
-            ts.write.mode("overwrite").parquet(paths["term_stats"])
-        m4 = ckpt.StageManifest("term_stats", fp4, "done", t.wall_ms)
-        m4.rows_out = spark.read.parquet(paths["term_stats"]).count()
-        m4.completed_at = time.time()
-        ckpt.save_manifest(out_dir, m4)
-    term_stats = spark.read.parquet(paths["term_stats"])
+    # term stats: derived lazily from the denormalized df rows (round 7)
+    # — the materialized stage-4 parquet was a full-vocabulary shuffle +
+    # write + count no warm query path ever read
+    term_stats = term_stats_lazy(index_df)
 
     ckpt.progress_event(
         os.getcwd(),
@@ -503,7 +522,10 @@ def _build_index_fused(
             # merge fused with the bucket layout: rows leave the merge UDF
             # already bucket-partitioned and term-sorted -> direct write,
             # no second exchange (see segments.merge_to_index)
-            merged = seg.merge_to_index(packed, avgdl, segs_per_shard, num_buckets)
+            merged = seg.merge_to_index(
+                packed, avgdl, segs_per_shard, num_buckets,
+                n_runs=int(row["runs"]),
+            )
             merged.write.mode("overwrite").partitionBy("bucket").parquet(
                 paths["index"]
             )
@@ -542,16 +564,9 @@ def _build_index_fused(
     n_docs, avgdl = int(sidecar["n_docs"]), float(sidecar["avgdl"])
     index_df = spark.read.parquet(paths["index"])
 
-    fp4 = _fingerprint("stats", fpF)
-    if ckpt.stage_done(out_dir, "term_stats", fp4) is None:
-        with ckpt.StageTimer() as t:
-            ts = _term_stats_of(index_df)
-            ts.write.mode("overwrite").parquet(paths["term_stats"])
-        m4 = ckpt.StageManifest("term_stats", fp4, "done", t.wall_ms)
-        m4.rows_out = spark.read.parquet(paths["term_stats"]).count()
-        m4.completed_at = time.time()
-        ckpt.save_manifest(out_dir, m4)
-    term_stats = spark.read.parquet(paths["term_stats"])
+    # term stats: lazy derivation from the df rows (round 7; see
+    # term_stats_lazy) — no stage-4 job, write, or manifest
+    term_stats = term_stats_lazy(index_df)
 
     ckpt.progress_event(
         os.getcwd(),
@@ -586,10 +601,11 @@ def load_index(spark: SparkSession, out_dir: str, num_buckets: int | None = None
         sidecar = json.load(f)
     n_docs = int(sidecar["n_docs"])
     avgdl = float(sidecar["avgdl"])
+    index_df = spark.read.parquet(paths["index"])
     return BuiltIndex(
         out_dir,
-        spark.read.parquet(paths["index"]),
-        spark.read.parquet(paths["term_stats"]),
+        index_df,
+        term_stats_lazy(index_df),
         n_docs,
         avgdl,
         num_buckets or int(sidecar.get("num_buckets", DEFAULT_NUM_BUCKETS)),

@@ -218,7 +218,7 @@ def compact_segments(
     from xsearch_spark.plans.build_index import (
         INDEX_FORMAT_VERSION,
         BuiltIndex,
-        _term_stats_of,
+        term_stats_lazy,
     )
 
     n_docs, sum_dl = _epoch_totals(index_root)
@@ -227,7 +227,23 @@ def compact_segments(
     runs = spark.read.parquet(os.path.join(index_root, "segments"))
     # fused merge+layout (one shuffle) also stamps the global per-term df
     # into every row (v4) — post-compaction queries are driver-stats-free
-    merged = seg.merge_to_index(runs.drop("epoch"), avgdl, segs_per_shard, num_buckets)
+    # run count from the epoch-segment parquet footers (driver-side,
+    # zero jobs) so the merge salt is runs-bounded (round 7)
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    n_runs = sum(
+        _pq.ParquetFile(f).metadata.num_rows
+        for f in _glob.glob(
+            os.path.join(index_root, "segments", "**", "*.parquet"),
+            recursive=True,
+        )
+    )
+    merged = seg.merge_to_index(
+        runs.drop("epoch"), avgdl, segs_per_shard, num_buckets,
+        n_runs=n_runs or None,
+    )
     out = os.path.join(index_root, "index")
     tmp = out + "_compacting"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -270,12 +286,10 @@ def compact_segments(
     has_positions = bool(
         index_df.filter(F.octet_length("poss") > 0).limit(1).count()
     )
-    ts_path = os.path.join(index_root, "term_stats")
-    ts_tmp = ts_path + "_compacting"
-    shutil.rmtree(ts_tmp, ignore_errors=True)
-    _term_stats_of(index_df).write.mode("overwrite").parquet(ts_tmp)
-    shutil.rmtree(ts_path, ignore_errors=True)
-    os.replace(ts_tmp, ts_path)
+    # term_stats: lazily derived from the denormalized df rows (round
+    # 7) — the materialized swap was a full-vocabulary job no query
+    # path read; a stale pre-round-7 sidecar dir is simply abandoned
+    shutil.rmtree(os.path.join(index_root, "term_stats"), ignore_errors=True)
     stats_path = os.path.join(index_root, "stats.json")
     with open(stats_path + ".tmp", "w") as f:
         json.dump(
@@ -297,7 +311,7 @@ def compact_segments(
     return BuiltIndex(
         index_root,
         index_df,
-        spark.read.parquet(ts_path),
+        term_stats_lazy(index_df),
         n_docs,
         avgdl,
         num_buckets,
