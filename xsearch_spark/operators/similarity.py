@@ -27,8 +27,11 @@ import json
 import os
 from dataclasses import dataclass
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def _dot(a, b):
@@ -121,16 +124,34 @@ def lsh_buckets(
 
 
 def _bucket_expr(emb_col: str, num_planes: int, dim: int) -> "F.Column":
-    """The SRP bucket as ONE Column expression — the single source of
-    the bucketing truth shared by :func:`lsh_buckets` and
+    """The SRP bucket as ONE Column — the single source of the
+    bucketing truth shared by :func:`lsh_buckets` and
     :func:`build_ann_index` (which projects it directly onto the
-    embeddings row instead of re-attaching it through a self-join)."""
-    bucket = F.lit(0).cast("long")
-    for p, signs in enumerate(_plane_signs(num_planes, dim)):
-        sarr = F.array(*[F.lit(s) for s in signs])
-        bit = (F.round(_dot(F.col(emb_col), sarr), 6) >= 0).cast("long")
-        bucket = bucket + bit * F.lit(1 << p)
-    return bucket
+    embeddings row instead of re-attaching it through a self-join).
+
+    Round 7 (guide §4.2): computed in a vectorized Arrow UDF — one
+    (batch × dim) NumPy multiply + sequential cumsum per plane —
+    instead of P interpreted higher-order JVM aggregates over a
+    2·P·dim-literal expression tree (measured ~4 s of the sf0.1 ANN
+    build for 2 000 vectors; the giant tree also taxed planning).
+    Bit-for-bit the same fold: the per-element products are exact, the
+    cumsum accumulates left-to-right in the same IEEE order as the JVM
+    ``aggregate`` and the Python twin (:func:`query_bucket_of`), and
+    the round-to-6 sign rule is the twin's."""
+    signs = np.asarray(_plane_signs(num_planes, dim), dtype=np.float64)
+
+    @pandas_udf("long")
+    def srp_bucket(v: pd.Series) -> pd.Series:
+        if v.empty:
+            return pd.Series(np.empty(0, np.int64))
+        mat = np.stack(v.to_numpy())  # (n, dim) float64
+        bucket = np.zeros(mat.shape[0], dtype=np.int64)
+        for p in range(signs.shape[0]):
+            acc = np.cumsum(mat * signs[p], axis=1)[:, -1]
+            bucket |= (np.round(acc, 6) >= 0).astype(np.int64) << p
+        return pd.Series(bucket)
+
+    return srp_bucket(F.col(emb_col).cast("array<double>"))
 
 
 def lsh_buckets_exploded(
