@@ -82,6 +82,18 @@ def main() -> None:
             built, parse("hash OR join"), source_df=docs
         ),
         "q18_suggest": lambda: suggest_terms(built, "s", 10),
+        "q14_phrase": lambda: search_wand(
+            built, parse('"hash join" spark'), source_df=docs
+        ),
+        "q17_prefix": lambda: search_wand(
+            built, parse("s* merge"), source_df=docs
+        ),
+        "q19_fuzzy": lambda: search_wand(
+            built, parse("sort sow~1"), source_df=docs
+        ),
+        "q20_range": lambda: search_wand(
+            built, parse("hash n_chars:400..530", attr_fields=AF)
+        ),
     }
     for name, fn in targets.items():
         path = os.path.join(out_dir, f"{name}_{suffix}.txt")
